@@ -1,0 +1,131 @@
+package graft.core
+
+import java.util.Base64
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/** `(position, size)` of one Kafka index inside the concatenated `indexes`
+  * object (ref `manifest/SegmentIndexV1.java`). */
+final case class SegmentIndex(position: Int, size: Int) {
+  def range: BytesRange = BytesRange.ofFromPositionAndSize(position.toLong, size.toLong)
+}
+
+/** The five named Kafka index byte-ranges (transaction nullable).
+  * Ref `manifest/SegmentIndexesV1.java:26-100`. */
+final case class SegmentIndexes(
+    offset: SegmentIndex,
+    timestamp: SegmentIndex,
+    producerSnapshot: SegmentIndex,
+    leaderEpoch: SegmentIndex,
+    transaction: Option[SegmentIndex]
+) {
+  def apply(indexType: String): Option[SegmentIndex] = indexType match {
+    case "offset"           => Some(offset)
+    case "timestamp"        => Some(timestamp)
+    case "producerSnapshot" => Some(producerSnapshot)
+    case "leaderEpoch"      => Some(leaderEpoch)
+    case "transaction"      => transaction
+    case other              => throw new IllegalArgumentException(s"unknown index type $other")
+  }
+}
+
+/** Encryption metadata carried in the manifest: which RSA key wrapped the
+  * AES data key, the wrapped key, and the AAD (ref
+  * `manifest/serde/EncryptionSerdeModule.java`, `DataKeySerializer.java`). */
+final case class EncryptionMetadata(keyId: String, wrappedDataKey: Array[Byte], aad: Array[Byte])
+
+/** Versioned per-segment manifest: chunk index + index ranges + transform
+  * flags. Ref `manifest/SegmentManifestV1.java:30-77`; JSON field layout per
+  * FIXTURES.md F3.
+  */
+final case class SegmentManifest(
+    chunkIndex: ChunkIndex,
+    segmentIndexes: Option[SegmentIndexes],
+    compression: Boolean,
+    encryption: Option[EncryptionMetadata]
+) {
+  def toJson: String = SegmentManifest.toJson(this)
+}
+
+object SegmentManifest {
+  val Version = "1"
+  private val mapper = new ObjectMapper()
+  private def b64(b: Array[Byte]): String = Base64.getEncoder.encodeToString(b)
+  private def unb64(s: String): Array[Byte] = Base64.getDecoder.decode(s)
+
+  def toJson(m: SegmentManifest): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", Version)
+    val ci = root.putObject("chunkIndex")
+    m.chunkIndex match {
+      case f: FixedSizeChunkIndex =>
+        ci.put("type", "fixed")
+        ci.put("originalChunkSize", f.originalChunkSize)
+        ci.put("originalFileSize", f.originalFileSize)
+        ci.put("transformedChunkSize", f.transformedChunkSize)
+        ci.put("finalTransformedChunkSize", f.finalTransformedChunkSize)
+      case v: VariableSizeChunkIndex =>
+        ci.put("type", "variable")
+        ci.put("originalChunkSize", v.originalChunkSize)
+        ci.put("originalFileSize", v.originalFileSize)
+        ci.put("transformedChunks", b64(ChunkSizesBinaryCodec.encode(v.transformedChunks)))
+    }
+    m.segmentIndexes match {
+      case Some(si) =>
+        val n = root.putObject("segmentIndexes")
+        def putIdx(name: String, i: SegmentIndex): Unit = {
+          val o = n.putObject(name)
+          o.put("position", i.position); o.put("size", i.size)
+        }
+        putIdx("offset", si.offset)
+        putIdx("timestamp", si.timestamp)
+        putIdx("producerSnapshot", si.producerSnapshot)
+        putIdx("leaderEpoch", si.leaderEpoch)
+        si.transaction match {
+          case Some(t) => putIdx("transaction", t)
+          case None    => n.putNull("transaction")
+        }
+      case None => root.putNull("segmentIndexes")
+    }
+    root.put("compression", m.compression)
+    m.encryption match {
+      case Some(e) =>
+        val n = root.putObject("encryption")
+        n.put("keyId", e.keyId)
+        n.put("dataKey", b64(e.wrappedDataKey))
+        n.put("aad", b64(e.aad))
+      case None => root.putNull("encryption")
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  def fromJson(json: String): SegmentManifest = {
+    val root = mapper.readTree(json)
+    val ci = root.get("chunkIndex")
+    val chunkIndex: ChunkIndex = ci.get("type").asText() match {
+      case "fixed" =>
+        FixedSizeChunkIndex(
+          ci.get("originalChunkSize").asInt(),
+          ci.get("originalFileSize").asInt(),
+          ci.get("transformedChunkSize").asInt(),
+          ci.get("finalTransformedChunkSize").asInt())
+      case "variable" =>
+        VariableSizeChunkIndex(
+          ci.get("originalChunkSize").asInt(),
+          ci.get("originalFileSize").asInt(),
+          ChunkSizesBinaryCodec.decode(unb64(ci.get("transformedChunks").asText())))
+      case other => throw new IllegalArgumentException(s"unknown chunk index type $other")
+    }
+    def idx(n: JsonNode): SegmentIndex = SegmentIndex(n.get("position").asInt(), n.get("size").asInt())
+    val segmentIndexes = Option(root.get("segmentIndexes")).filter(!_.isNull).map { si =>
+      SegmentIndexes(
+        idx(si.get("offset")), idx(si.get("timestamp")), idx(si.get("producerSnapshot")),
+        idx(si.get("leaderEpoch")),
+        Option(si.get("transaction")).filter(!_.isNull).map(idx))
+    }
+    val encryption = Option(root.get("encryption")).filter(!_.isNull).map { e =>
+      EncryptionMetadata(e.get("keyId").asText(), unb64(e.get("dataKey").asText()), unb64(e.get("aad").asText()))
+    }
+    SegmentManifest(chunkIndex, segmentIndexes, root.get("compression").asBoolean(), encryption)
+  }
+}

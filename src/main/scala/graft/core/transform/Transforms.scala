@@ -1,0 +1,131 @@
+package graft.core.transform
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.nio.ByteBuffer
+import java.util.zip.{Deflater, Inflater}
+import javax.crypto.Cipher
+import javax.crypto.spec.{GCMParameterSpec, SecretKeySpec}
+import java.security.SecureRandom
+
+/** Write-path / read-path chunk transforms, as idiomatic Scala `Iterator`
+  * pipelines (the reference composes Java `Enumeration` decorators —
+  * `core/.../transform/..ChunkEnumeration.java`). Each stage is a pure
+  * per-chunk map, which is exactly what makes the Spark layer a set of
+  * narrow `mapPartitions` stages with no shuffle.
+  */
+object Transforms {
+
+  /** Chunking scan: split a stream into `chunkSize`-byte arrays; `chunkSize
+    * == 0` disables chunking (whole stream = one chunk). Ref
+    * `BaseTransformChunkEnumeration.java:29-98`. */
+  def chunked(in: InputStream, chunkSize: Int): Iterator[Array[Byte]] = {
+    require(chunkSize >= 0, s"chunkSize must be non-negative, $chunkSize given")
+    if (chunkSize == 0) {
+      val all = in.readAllBytes()
+      if (all.isEmpty) Iterator.empty else Iterator.single(all)
+    } else
+      new Iterator[Array[Byte]] {
+        private var nextChunk: Array[Byte] = null
+        private var eof = false
+        private def advance(): Unit = if (nextChunk == null && !eof) {
+          val buf = new Array[Byte](chunkSize)
+          var off = 0
+          var n = 0
+          while (off < chunkSize && { n = in.read(buf, off, chunkSize - off); n != -1 }) off += n
+          if (off == 0) eof = true
+          else nextChunk = if (off == chunkSize) buf else java.util.Arrays.copyOf(buf, off)
+        }
+        def hasNext: Boolean = { advance(); nextChunk != null }
+        def next(): Array[Byte] = {
+          advance()
+          if (nextChunk == null) throw new NoSuchElementException
+          val c = nextChunk; nextChunk = null; c
+        }
+      }
+  }
+
+  /** Split a whole in-memory segment into chunks (Spark-side path, where the
+    * payload is already a `BinaryType` column value). */
+  def chunkedBytes(bytes: Array[Byte], chunkSize: Int): Iterator[Array[Byte]] =
+    if (chunkSize == 0 || chunkSize >= bytes.length) {
+      if (bytes.isEmpty) Iterator.empty else Iterator.single(bytes)
+    } else bytes.grouped(chunkSize)
+
+  // --- Compression (T2 / R7) ------------------------------------------------
+  // The reference uses zstd-jni (`CompressionChunkEnumeration.java:26-63`).
+  // zstd is not resolvable offline; the codec is pluggable and we use the
+  // JDK Deflater with the same contract: per-chunk independent compression,
+  // self-describing content size (we prepend the original size as int32 the
+  // way zstd embeds the content size via `Zstd.getFrameContentSize`).
+
+  def compress(chunk: Array[Byte], level: Int = Deflater.DEFAULT_COMPRESSION): Array[Byte] = {
+    val deflater = new Deflater(level)
+    try {
+      deflater.setInput(chunk)
+      deflater.finish()
+      val out = new ByteArrayOutputStream(math.max(chunk.length / 2, 64))
+      out.write(ByteBuffer.allocate(4).putInt(chunk.length).array())
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally deflater.end()
+  }
+
+  def decompress(chunk: Array[Byte]): Array[Byte] = {
+    val contentSize = ByteBuffer.wrap(chunk, 0, 4).getInt()
+    val inflater = new Inflater()
+    try {
+      inflater.setInput(chunk, 4, chunk.length - 4)
+      val out = new Array[Byte](contentSize)
+      var off = 0
+      while (off < contentSize && !inflater.finished()) {
+        off += inflater.inflate(out, off, contentSize - off)
+      }
+      require(off == contentSize, s"decompressed $off bytes, expected $contentSize")
+      out
+    } finally inflater.end()
+  }
+
+  // --- Encryption (T3 / R6) -------------------------------------------------
+  // AES-256-GCM, fresh IV per chunk, output = IV || ciphertext || tag.
+  // Ref `EncryptionChunkEnumeration.java:30-85` (IV prepend :73-75).
+
+  val GcmIvLength = 12
+  val GcmTagLengthBits = 128
+  val GcmTagLength: Int = GcmTagLengthBits / 8
+  private val random = new SecureRandom()
+
+  /** Constant per-chunk size overhead of encryption — what makes the
+    * encrypted index still [[graft.core.FixedSizeChunkIndex]]-able
+    * (ref `EncryptionChunkEnumeration.java:81-84`). */
+  def encryptionOverhead: Int = GcmIvLength + GcmTagLength
+
+  def encrypt(chunk: Array[Byte], key: Array[Byte], aad: Array[Byte]): Array[Byte] = {
+    val iv = new Array[Byte](GcmIvLength)
+    random.nextBytes(iv)
+    encryptWithIv(chunk, key, aad, iv)
+  }
+
+  private[graft] def encryptWithIv(
+      chunk: Array[Byte], key: Array[Byte], aad: Array[Byte], iv: Array[Byte]): Array[Byte] = {
+    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+    cipher.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"), new GCMParameterSpec(GcmTagLengthBits, iv))
+    if (aad.nonEmpty) cipher.updateAAD(aad)
+    val ct = cipher.doFinal(chunk)
+    val out = new Array[Byte](iv.length + ct.length)
+    System.arraycopy(iv, 0, out, 0, iv.length)
+    System.arraycopy(ct, 0, out, iv.length, ct.length)
+    out
+  }
+
+  def decrypt(chunk: Array[Byte], key: Array[Byte], aad: Array[Byte]): Array[Byte] = {
+    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+    cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"),
+      new GCMParameterSpec(GcmTagLengthBits, chunk, 0, GcmIvLength))
+    if (aad.nonEmpty) cipher.updateAAD(aad)
+    cipher.doFinal(chunk, GcmIvLength, chunk.length - GcmIvLength)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, InputStream}
+import java.nio.channels.Channels
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+import graft.core.BytesRange
+
+/** Local-filesystem backend — the primary backend in this offline
+  * environment. Mirrors the behavior of
+  * `storage/filesystem/.../FileSystemStorage.java:37-113`:
+  *   - upload lands in a temp file and is atomically renamed into place
+  *     (crash-safe, readers never observe partial objects);
+  *   - ranged fetch positions a channel and bounds the stream
+  *     (ref does skip + BoundedInputStream, :62-91);
+  *   - delete prunes now-empty parent directories up to the root (:97-112).
+  *
+  * Works identically on executor-local disks and on a shared mount
+  * (NFS-style) in a real cluster; for object stores the same contract is
+  * carried by the `StorageBackend` trait.
+  */
+final class FileSystemStorage(root: Path) extends StorageBackend {
+  Files.createDirectories(root)
+
+  private def resolve(key: String): Path = {
+    val p = root.resolve(key).normalize()
+    require(p.startsWith(root), s"key $key escapes storage root")
+    p
+  }
+
+  override def upload(in: InputStream, key: String): Long = {
+    val target = resolve(key)
+    Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(target.getParent, ".upload-", ".tmp")
+    try {
+      val written = Using.resource(Files.newOutputStream(tmp, StandardOpenOption.TRUNCATE_EXISTING)) { out =>
+        in.transferTo(out)
+      }
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      written
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
+  }
+
+  override def fetch(key: String): InputStream = {
+    val p = resolve(key)
+    if (!Files.exists(p)) throw ObjectKeyNotFound(key)
+    new BufferedInputStream(Files.newInputStream(p))
+  }
+
+  override def fetchRange(key: String, range: BytesRange): InputStream = {
+    val p = resolve(key)
+    if (!Files.exists(p)) throw ObjectKeyNotFound(key)
+    val fileSize = Files.size(p)
+    if (range.isEmpty) return InputStream.nullInputStream()
+    if (range.from >= fileSize) throw InvalidRange(key, range, fileSize)
+    val ch = Files.newByteChannel(p, StandardOpenOption.READ)
+    ch.position(range.from)
+    val len = math.min(range.to, fileSize - 1) - range.from + 1
+    new BoundedInputStream(Channels.newInputStream(ch), len)
+  }
+
+  override def delete(key: String): Unit = {
+    val p = resolve(key)
+    Files.deleteIfExists(p)
+    // Prune empty parents up to the root (ref :97-112).
+    var parent = p.getParent
+    while (parent != null && parent != root && Files.isDirectory(parent) && isEmptyDir(parent)) {
+      try Files.delete(parent) catch { case _: java.nio.file.DirectoryNotEmptyException => return }
+      parent = parent.getParent
+    }
+  }
+
+  private def isEmptyDir(p: Path): Boolean =
+    Using.resource(Files.list(p))(s => !s.iterator().hasNext)
+
+  override def exists(key: String): Boolean = Files.exists(resolve(key))
+  override def size(key: String): Long = {
+    val p = resolve(key)
+    if (!Files.exists(p)) throw ObjectKeyNotFound(key)
+    Files.size(p)
+  }
+
+  override def listKeys(prefix: String): Vector[String] = {
+    if (!Files.exists(root)) return Vector.empty
+    Using.resource(Files.walk(root)) { stream =>
+      stream.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString)
+        .filter(_.startsWith(prefix))
+        .toVector.sorted
+    }
+  }
+}
+
+object FileSystemStorage {
+  def apply(root: String): FileSystemStorage = new FileSystemStorage(Paths.get(root))
+}
+
+/** Reads at most `limit` bytes from `in` then reports EOF; closing closes the
+  * underlying stream (the bounded-stream idiom of the reference's ranged
+  * fetch, `FileSystemStorage.java:62-91`). */
+final class BoundedInputStream(in: InputStream, limit: Long) extends InputStream {
+  private var remaining = limit
+  override def read(): Int =
+    if (remaining <= 0) -1
+    else {
+      val b = in.read()
+      if (b >= 0) remaining -= 1
+      b
+    }
+  override def read(buf: Array[Byte], off: Int, len: Int): Int =
+    if (remaining <= 0) -1
+    else {
+      val n = in.read(buf, off, math.min(len.toLong, remaining).toInt)
+      if (n > 0) remaining -= n
+      n
+    }
+  override def available(): Int = math.min(in.available().toLong, remaining).toInt
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,56 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FIXTURES.md F3 — manifest JSON golden shapes, mirrors
+  * `manifest/SegmentManifestV1SerdeTest.java`. */
+class SegmentManifestSpec extends AnyFunSuite {
+
+  private val fixedManifest = SegmentManifest(
+    FixedSizeChunkIndex(100, 250, 110, 55),
+    Some(SegmentIndexes(
+      SegmentIndex(0, 100), SegmentIndex(100, 80), SegmentIndex(180, 64),
+      SegmentIndex(244, 12), None)),
+    compression = false,
+    encryption = None)
+
+  test("fixed-index manifest round-trips through JSON") {
+    val json = fixedManifest.toJson
+    assert(json.contains(""""version":"1""""))
+    assert(json.contains(""""type":"fixed""""))
+    assert(json.contains(""""transaction":null"""))
+    assert(SegmentManifest.fromJson(json) == fixedManifest)
+  }
+
+  test("variable-index manifest round-trips, sizes base64-delta-encoded") {
+    val m = SegmentManifest(
+      VariableSizeChunkIndex(100, 250, Vector(30, 20, 10)),
+      None, compression = true, encryption = None)
+    val json = m.toJson
+    assert(json.contains(""""type":"variable""""))
+    assert(SegmentManifest.fromJson(json) == m)
+  }
+
+  test("encryption metadata round-trips (wrapped key + aad base64)") {
+    val enc = EncryptionMetadata("k1", Array[Byte](1, 2, 3, 4), Array[Byte](9, 8, 7))
+    val m = fixedManifest.copy(encryption = Some(enc))
+    val back = SegmentManifest.fromJson(m.toJson)
+    val be = back.encryption.get
+    assert(be.keyId == "k1")
+    assert(be.wrappedDataKey.toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(be.aad.toSeq == Seq[Byte](9, 8, 7))
+  }
+
+  test("transaction index present round-trips") {
+    val m = fixedManifest.copy(segmentIndexes = fixedManifest.segmentIndexes.map(
+      _.copy(transaction = Some(SegmentIndex(256, 24)))))
+    assert(SegmentManifest.fromJson(m.toJson).segmentIndexes.get.transaction.contains(SegmentIndex(256, 24)))
+  }
+
+  test("segment index lookup by name") {
+    val si = fixedManifest.segmentIndexes.get
+    assert(si("offset").contains(SegmentIndex(0, 100)))
+    assert(si("transaction").isEmpty)
+    intercept[IllegalArgumentException](si("bogus"))
+  }
+}
