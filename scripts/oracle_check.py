@@ -10,7 +10,7 @@ For each query name in <verifyOutDir>/oracle_sql.json:
   - sort columns by name, sort rows, compare values (floats to 1e-9 rel).
 Prints PASS/FAIL per query and a summary; exit 1 on any FAIL.
 """
-import sys, os, json, glob, math
+import sys, os, json, glob, math, decimal, datetime
 
 import duckdb
 import pyarrow.parquet as pq
@@ -28,7 +28,13 @@ def normalize(rows, colnames):
             v = r[i]
             if isinstance(v, float):
                 v = float(f"{v:.9g}")
-            if hasattr(v, "isoformat"):
+            if isinstance(v, decimal.Decimal):
+                v = str(v.normalize())
+            if isinstance(v, datetime.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+                v = v.isoformat()
+            elif hasattr(v, "isoformat"):
                 v = v.isoformat()
             if isinstance(v, bytes):
                 v = v.hex()

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational operator inventory of SURVEY.md §2.6 expressed over the
+  * driver's TPC-H-ish tables: aggregations, broadcast equi-joins,
+  * running-sum windows (the T10 index-position window), sorts/limits,
+  * set ops, scalar functions (ObjectKey formatting), and the batch-regroup
+  * group-by shape (I8).
+  *
+  * Every query has a DuckDB oracle in [[graft.SparkEntry.oracleSql]]; column
+  * names and value types are aligned on both sides.
+  */
+object RelationalQueries {
+  import Tables._
+
+  /** Aggregation with map-side partial agg (TPC-H Q1 shape). Mirrors the
+    * reference's per-upload byte-count aggregation semantics
+    * (`KafkaRemoteStorageManager.java:265-267`) at relational scale. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
+          .as("sum_charge"),
+        count(lit(1)).as("count_order"))
+
+  /** Selective filter + global agg: the predicate must reach the parquet
+    * scan (PushedFilters) — TPC-H Q6 shape. */
+  def q02Revenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec6(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+
+  /** Broadcast-hash equi-join (customer is the small side) + agg + top-k.
+    * The only join kind the engine commits to per SURVEY §2.6. */
+  def q03TopCustomers(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(dec2(col("o_totalprice"))).as("revenue"), count(lit(1)).as("order_cnt"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+
+  /** Multi-way broadcast join through the dimension chain
+    * region -> nation -> customer -> orders -> lineitem (TPC-H Q5 shape). */
+  def q04RegionRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+
+  /** Running-sum window — the exact shape of the reference's index-position
+    * computation (T10: `sum(size) OVER (ORDER BY ordinal ROWS UNBOUNDED
+    * PRECEDING)`, `KafkaRemoteStorageManager.java:296-360`) and chunk
+    * `transformedPosition` materialization (`AbstractChunkIndex.java:52-73`). */
+  def q05RunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .filter(col("o_custkey") <= 200)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec2(col("o_totalprice"))).over(w).as("running_total"))
+  }
+
+  /** Global sort + limit (top-k) with a unique tiebreaker. */
+  def q06TopOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), dec2(col("o_totalprice")).as("totalprice"), col("o_orderpriority"))
+
+  /** Set operators: union/intersect/except over generated key sets — the
+    * shape of the reference's delete-key-set construction
+    * (`KafkaRemoteStorageManager.java:601-606`). */
+  def q07KeySets(s: SparkSession, d: String): DataFrame = {
+    val customerNations = customer(s, d).select(col("c_nationkey").cast("int").as("nk")).distinct()
+    val supplierNations = supplier(s, d).select(col("s_nationkey").cast("int").as("nk")).distinct()
+    val u = customerNations.union(supplierNations).distinct().agg(count(lit(1)).as("n")).select(col("n"))
+    val i = customerNations.intersect(supplierNations).agg(count(lit(1)).as("n")).select(col("n"))
+    val e = customerNations.except(supplierNations).agg(count(lit(1)).as("n")).select(col("n"))
+    u.withColumnRenamed("n", "union_count")
+      .crossJoin(i.withColumnRenamed("n", "intersect_count"))
+      .crossJoin(e.withColumnRenamed("n", "except_count"))
+  }
+
+  /** Group-by + HAVING + distinct aggregation. */
+  def q08EventTypes(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec2(col("value"))).as("total_value"))
+      .filter(col("n_events") > 10)
+
+  /** Scalar-function surface: the ObjectKey layout functions
+    * (`ObjectKeyFactory.java:117-135`) — zero-padded offsets, path concat —
+    * plus hashing/base64 used by the manifest serde. */
+  def q09ObjectKeys(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderkey") <= 100)
+      .select(
+        col("o_orderkey"),
+        lpad(col("o_orderkey").cast("string"), 20, "0").as("padded_offset"),
+        concat_ws("/", lit("topic"), col("o_custkey").cast("string"),
+          lpad(col("o_orderkey").cast("string"), 20, "0")).as("object_key"),
+        md5(col("o_orderpriority").cast("binary")).as("priority_md5"),
+        base64(col("o_orderstatus").cast("binary")).as("status_b64"),
+        substring(col("o_orderpriority"), 1, 1).as("priority_prefix"))
+
+  /** Event-time tumbling-window aggregation (batch form of the streaming
+    * windowed agg; Structured Streaming variant in graft.streaming). */
+  def q10HourlyEvents(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("hourly_value"))
+
+  /** Ordered regroup — the I8/I9 `RecordBatchGrouper` shape: group by batch
+    * identity, reassemble members in offset order
+    * (`RecordBatchGrouper.java:42-75`). Here: per user, events in
+    * (ts, event_id) order folded to an ordered trace string. */
+  def q11EventRegroup(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("user_id") <= 500)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ",").as("trace"))
+}
