@@ -31,33 +31,54 @@ object SparkEntry {
     "q11_event_regroup" -> (RelationalQueries.q11EventRegroup _),
     "q12_chunk_index" -> (SegmentQueries.q12ChunkIndex _),
     "q13_chunks_for_range" -> (SegmentQueries.q13ChunksForRange _),
+    "t01_token_stats" -> (TextQueries.t01TokenStats _),
+    "t02_quality" -> (TextQueries.t02Quality _),
+    "t03_langid" -> (TextQueries.t03LangId _),
+    "t04_fingerprint" -> (TextQueries.t04Fingerprint _),
+    "d01_dedup_groups" -> (TextQueries.d01DedupGroups _),
+    "d02_minhash_sig" -> (TextQueries.d02MinHashSig _),
+    "d03_minhash_pairs" -> (TextQueries.d03MinHashPairs _),
+    "d04_simhash" -> (TextQueries.d04SimHash _),
+    "d05_jaccard_pairs" -> (TextQueries.d05JaccardPairs _),
+    "s01_ann_topk" -> (SimilarityQueries.s01AnnTopK _),
+    "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
+    "s03_ann_lsh" -> (SimilarityQueries.s03AnnLsh _),
   )
+
+  // DuckDB-dialect fragments shared with the text/similarity oracles.
+  private val dNorm = TextQueries.NormSqlDuck
+  private val dToks = TextQueries.ToksSqlDuck
+  private def dStop(xs: Seq[String]) =
+    s"len(list_filter(toks, x -> list_contains([${TextQueries.sqlList(xs)}], x)))"
+  private val dNrmCte =
+    """nrm AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        | SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
-        | SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
         | COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_revenue_filter" ->
-      """SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS revenue
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q03_top_customers" ->
-      """SELECT c_custkey, c_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+      """SELECT c_custkey, c_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
         |       COUNT(*) AS order_cnt
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
     "q04_region_revenue" ->
-      """SELECT n_name, SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue
+      """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -67,9 +88,9 @@ object SparkEntry {
         |GROUP BY n_name""".stripMargin,
     "q05_running_total" ->
       """SELECT o_custkey, o_orderkey,
-        | SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
         |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
         |FROM orders WHERE o_custkey <= 200""".stripMargin,
     "q06_top_orders" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, o_orderpriority
@@ -84,7 +105,7 @@ object SparkEntry {
         |                        SELECT DISTINCT s_nationkey FROM supplier) e) AS except_count""".stripMargin,
     "q08_event_types" ->
       """SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
-        |       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
         |FROM events GROUP BY event_type HAVING COUNT(*) > 10""".stripMargin,
     "q09_object_keys" ->
       """SELECT o_orderkey,
@@ -96,11 +117,12 @@ object SparkEntry {
         | substring(o_orderpriority, 1, 1) AS priority_prefix
         |FROM orders WHERE o_orderkey <= 100""".stripMargin,
     "q10_hourly_events" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-        |       SUM(CAST(value AS DECIMAL(18,2))) AS hourly_value
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS hourly_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
     "q11_event_regroup" ->
-      """SELECT user_id, COUNT(*) AS n, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+      """SELECT user_id, COUNT(*) AS n, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
         |       string_agg(event_type, ',' ORDER BY ts, event_id) AS trace
         |FROM events WHERE user_id <= 500 GROUP BY user_id""".stripMargin,
     "q12_chunk_index" ->
@@ -129,5 +151,117 @@ object SparkEntry {
         |WHERE chunk_id * 64 <= 300
         |  AND chunk_id * 64 + (CASE WHEN chunk_id = chunk_count - 1
         |                         THEN n_chars - (chunk_count - 1) * 64 ELSE 64 END) > 100""".stripMargin,
+    "t01_token_stats" ->
+      s"""SELECT doc_id, len($dToks) AS ws_tokens,
+         | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS re_tokens
+         |FROM documents""".stripMargin,
+    "t02_quality" ->
+      s"""WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_txt, $dToks AS toks FROM documents),
+         |c AS (SELECT doc_id, n_chars_txt, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+         |        ${dStop(TextQueries.StopEn)} AS n_stop,
+         |        CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok_len
+         |      FROM t)
+         |SELECT doc_id, n_chars_txt, n_tokens, n_distinct, n_stop, sum_tok_len,
+         | CAST(CAST(n_distinct AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS ttr,
+         | CAST(CAST(n_stop AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS stop_ratio,
+         | CAST(CAST(sum_tok_len AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS avg_tok_len
+         |FROM c""".stripMargin,
+    "t03_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $dToks AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |        ${dStop(TextQueries.StopEn)} AS en_hits, ${dStop(TextQueries.StopDe)} AS de_hits,
+         |        ${dStop(TextQueries.StopFr)} AS fr_hits, ${dStop(TextQueries.StopEs)} AS es_hits
+         |      FROM t)
+         |SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
+         | CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+         |      WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+         |      WHEN fr_hits >= es_hits THEN 'fr'
+         |      ELSE 'es' END AS pred_lang
+         |FROM h""".stripMargin,
+    "t04_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, text, $dNorm AS norm FROM documents),
+         |p AS (SELECT doc_id, norm, md5(text) AS full_md5, md5(norm) AS norm_md5,
+         |        md5(array_to_string(list_sort(string_split(norm, ' ')), ' ')) AS bag_md5,
+         |        unnest(generate_series(1, greatest(length(norm) - ${TextQueries.ShingleSize - 1}, 1))) AS pos
+         |      FROM n)
+         |SELECT doc_id, full_md5, norm_md5, bag_md5,
+         |       min(md5(substring(norm, pos, ${TextQueries.ShingleSize}))) AS min_shingle_md5
+         |FROM p GROUP BY doc_id, full_md5, norm_md5, bag_md5""".stripMargin,
+    "d01_dedup_groups" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($dToks)), ' ')) AS bag_md5 FROM documents)
+         |SELECT bag_md5, min(doc_id) AS keeper, count(*) AS dup_cnt
+         |FROM b GROUP BY bag_md5 HAVING count(*) >= 2""".stripMargin,
+    "d02_minhash_sig" -> minHashSigSql,
+    "d03_minhash_pairs" ->
+      s"""WITH sig AS ($minHashSigSql),
+         |bands AS (SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig)
+         |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
+    "d04_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($dToks) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+         |b AS (SELECT doc_id, ${TextQueries.simhashBitExprs("//", "strpos").mkString(",\n         |  ")}
+         |      FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST(${TextQueries.simhashAssembleExpr} AS BIGINT) AS simhash FROM b""".stripMargin,
+    "d05_jaccard_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, lang, list_distinct($dToks) AS t FROM documents),
+         |tt AS (SELECT doc_id, lang, len(t) AS nt, unnest(t) AS tok FROM toks),
+         |j AS (SELECT a.doc_id AS a, b.doc_id AS b, a.nt AS na, b.nt AS nb, count(*) AS inter
+         |      FROM tt a JOIN tt b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT a, b, CAST(CAST(inter AS DOUBLE) / (na + nb - inter) AS DECIMAL(18,6)) AS jaccard
+         |FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= ${TextQueries.JaccardThreshold}""".stripMargin,
+    "s01_ann_topk" ->
+      s"""WITH $dNrmCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nrm
+         |      WHERE vec_id < ${SimilarityQueries.QueryCount}),
+         |c AS (SELECT query_id, vec_id, list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+         |      FROM q, nrm WHERE vec_id != query_id),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |      FROM c)
+         |SELECT query_id, vec_id AS neighbor_id, rnk, CAST(cosine AS DECIMAL(18,12)) AS cosine
+         |FROM r WHERE rnk <= ${SimilarityQueries.TopK}""".stripMargin,
+    "s02_embed_neardup" ->
+      s"""WITH $dNrmCte
+         |SELECT a.vec_id AS a, b.vec_id AS b,
+         |       CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(18,12)) AS cosine
+         |FROM nrm a, nrm b
+         |WHERE a.vec_id < b.vec_id
+         |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= ${SimilarityQueries.NearDupThreshold}""".stripMargin,
+    "s03_ann_lsh" ->
+      s"""WITH $dNrmCte,
+         |anch AS (SELECT vec_id - ${SimilarityQueries.AnchorFrom} AS anchor_id, v AS av FROM nrm
+         |         WHERE vec_id >= ${SimilarityQueries.AnchorFrom}
+         |           AND vec_id < ${SimilarityQueries.AnchorFrom + SimilarityQueries.AnchorCount}),
+         |bkt AS (SELECT n.vec_id,
+         |          CAST(SUM(CASE WHEN list_dot_product(n.v, a.av) > 0
+         |                   THEN CAST(pow(2, a.anchor_id) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |        FROM nrm n, anch a GROUP BY n.vec_id),
+         |b2 AS (SELECT nrm.vec_id, nrm.v, nrm.nrm, bkt.bucket FROM nrm JOIN bkt USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM b2
+         |      WHERE vec_id < ${SimilarityQueries.QueryCount}),
+         |c AS (SELECT query_id, q.bucket, vec_id, list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+         |      FROM q JOIN b2 ON q.bucket = b2.bucket AND b2.vec_id != q.query_id),
+         |r AS (SELECT query_id, bucket, vec_id, cosine,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |      FROM c)
+         |SELECT query_id, bucket, vec_id AS neighbor_id, CAST(cosine AS DECIMAL(18,12)) AS cosine
+         |FROM r WHERE rnk = 1""".stripMargin,
   )
+
+  /** DuckDB mirror of [[graft.queries.TextQueries.d02MinHashSig]]. */
+  private def minHashSigSql: String = {
+    val mins = (0 until TextQueries.MinHashK)
+      .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+    s"""WITH n AS (SELECT doc_id, $dNorm AS norm FROM documents),
+       |sh0 AS (SELECT doc_id, norm,
+       |          unnest(generate_series(1, greatest(length(norm) - ${TextQueries.ShingleSize - 1}, 1))) AS pos
+       |        FROM n),
+       |sh AS (SELECT doc_id, substring(norm, pos, ${TextQueries.ShingleSize}) AS shingle FROM sh0),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
+       |SELECT doc_id, h0, h1, h2, h3,
+       |       md5(h0 || h1) AS band0, md5(h2 || h3) AS band1 FROM sig""".stripMargin
+  }
 }

@@ -24,10 +24,10 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec2(col("l_quantity"))).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
-        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
+        out2(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        out2(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        out6(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("sum_disc_price"),
+        out6(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))))
           .as("sum_charge"),
         count(lit(1)).as("count_order"))
 
@@ -40,7 +40,7 @@ object RelationalQueries {
         col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
-      .agg(sum(dec6(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+      .agg(out6(sum(dec6(col("l_extendedprice") * col("l_discount")))).as("revenue"))
 
   /** Broadcast-hash equi-join (customer is the small side) + agg + top-k.
     * The only join kind the engine commits to per SURVEY §2.6. */
@@ -48,7 +48,7 @@ object RelationalQueries {
     orders(s, d)
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
-      .agg(sum(dec2(col("o_totalprice"))).as("revenue"), count(lit(1)).as("order_cnt"))
+      .agg(out2(sum(dec2(col("o_totalprice")))).as("revenue"), count(lit(1)).as("order_cnt"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
 
@@ -62,7 +62,7 @@ object RelationalQueries {
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy(col("n_name"))
-      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .agg(out6(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"))
 
   /** Running-sum window — the exact shape of the reference's index-position
     * computation (T10: `sum(size) OVER (ORDER BY ordinal ROWS UNBOUNDED
@@ -76,7 +76,7 @@ object RelationalQueries {
       .filter(col("o_custkey") <= 200)
       .select(
         col("o_custkey"), col("o_orderkey"),
-        sum(dec2(col("o_totalprice"))).over(w).as("running_total"))
+        out2(sum(dec2(col("o_totalprice"))).over(w)).as("running_total"))
   }
 
   /** Global sort + limit (top-k) with a unique tiebreaker. */
@@ -107,7 +107,7 @@ object RelationalQueries {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        sum(dec2(col("value"))).as("total_value"))
+        out2(sum(dec2(col("value")))).as("total_value"))
       .filter(col("n_events") > 10)
 
   /** Scalar-function surface: the ObjectKey layout functions
@@ -129,8 +129,8 @@ object RelationalQueries {
     * windowed agg; Structured Streaming variant in graft.streaming). */
   def q10HourlyEvents(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("hourly_value"))
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), out2(sum(dec2(col("value")))).as("hourly_value"))
 
   /** Ordered regroup — the I8/I9 `RecordBatchGrouper` shape: group by batch
     * identity, reassemble members in offset order
@@ -142,8 +142,8 @@ object RelationalQueries {
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n"),
-        min(col("ts")).as("first_ts"),
-        max(col("ts")).as("last_ts"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
         array_join(
           transform(
             array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),

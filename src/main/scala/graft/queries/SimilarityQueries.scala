@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * Determinism: dot products are computed over `ARRAY<DOUBLE>` with a
+  * sequential left-fold (`aggregate`), which is bit-identical to DuckDB's
+  * `list_dot_product` on `DOUBLE[]` (verified empirically) — float→double
+  * casts are exact and IEEE ops are deterministic given identical operand
+  * order. Ranking ties break on vec_id.
+  *
+  * Scale path: s01 brute force is the O(n·q) baseline (fine when the query
+  * set is small and broadcast). s03 is the LSH-bucketed variant: an 8-bit
+  * sign bucket from anchor hyperplanes turns all-pairs search into a
+  * per-bucket equi-join — the shape that survives 100 TB (bucket count
+  * scales with data, candidates stay bounded).
+  */
+object SimilarityQueries {
+  import Tables._
+
+  val QueryCount = 10
+  val TopK = 3
+  val NearDupThreshold = 0.45
+  val AnchorFrom = 100
+  val AnchorCount = 8
+
+  /** vec_id, v (double array), nrm (L2 norm). */
+  private def normed(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).selectExpr(
+      "vec_id",
+      "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .selectExpr("vec_id", "v",
+        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)) AS nrm")
+
+  private val dotExpr =
+    "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+
+  /** s01: brute-force cosine top-k for a broadcast query set. */
+  def s01AnnTopK(s: SparkSession, d: String): DataFrame = {
+    val all = normed(s, d)
+    val queries = broadcast(
+      all.filter(col("vec_id") < QueryCount).selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    queries.crossJoin(all)
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id", s"$dotExpr / (qnrm * nrm) AS cosine")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .selectExpr("query_id", "vec_id AS neighbor_id", "rnk",
+        "CAST(cosine AS DECIMAL(18,12)) AS cosine")
+  }
+
+  /** s02: embedding-cosine near-duplicate pairs above threshold (the
+    * embedding leg of the dedup family). */
+  def s02EmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val a = normed(s, d).selectExpr("vec_id AS a", "v AS qv", "nrm AS qnrm")
+    val b = normed(s, d).selectExpr("vec_id AS b", "v", "nrm")
+    a.crossJoin(b)
+      .filter(col("a") < col("b"))
+      .selectExpr("a", "b", s"$dotExpr / (qnrm * nrm) AS cosine")
+      .filter(col("cosine") >= NearDupThreshold)
+      .selectExpr("a", "b", "CAST(cosine AS DECIMAL(18,12)) AS cosine")
+  }
+
+  /** s03: LSH-bucketed ANN — bucket = sign bits of dot products with 8
+    * anchor vectors; candidates share the bucket; top-1 within bucket. */
+  def s03AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val all = normed(s, d)
+    val anchors = broadcast(
+      all.filter(col("vec_id") >= AnchorFrom && col("vec_id") < AnchorFrom + AnchorCount)
+        .selectExpr(s"vec_id - $AnchorFrom AS anchor_id", "v AS av"))
+    val bucketed = all.crossJoin(anchors)
+      .selectExpr("vec_id", "v", "nrm", "anchor_id",
+        "aggregate(zip_with(v, av, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x) AS adot")
+      .groupBy("vec_id")
+      .agg(
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        sum(expr("CASE WHEN adot > 0 THEN CAST(pow(2, anchor_id) AS BIGINT) ELSE 0 END")).as("bucket"))
+    val q = bucketed.filter(col("vec_id") < QueryCount)
+      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm", "bucket")
+    val c = bucketed.selectExpr("vec_id", "v", "nrm", "bucket")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    q.join(c, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "bucket", "vec_id", s"$dotExpr / (qnrm * nrm) AS cosine")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .selectExpr("query_id", "bucket", "vec_id AS neighbor_id",
+        "CAST(cosine AS DECIMAL(18,12)) AS cosine")
+  }
+}

@@ -44,4 +44,11 @@ object Tables {
     * DECIMAL(18,6) recovers the exact value from the double product with no
     * rounding ties — Spark (HALF_UP) and DuckDB agree unconditionally. */
   def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Final-output decimal normalization: Spark's SUM(DECIMAL(18,s)) yields
+    * DECIMAL(28,s) while DuckDB yields DECIMAL(38,s); casting both sides to
+    * DECIMAL(38,s) makes the output schemas byte-identical for the driver's
+    * schema compare. */
+  def out2(c: Column): Column = c.cast(DecimalType(38, 2))
+  def out6(c: Column): Column = c.cast(DecimalType(38, 6))
 }

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, fingerprinting, and the
+  * dedup family (exact/bag, MinHash+LSH, SimHash, n-gram Jaccard).
+  *
+  * Parity discipline: every derivation is either integer arithmetic, md5 hex
+  * strings, or doubles produced by identical operation sequences — so the
+  * DuckDB oracle matches bit-for-bit. Shared constants/SQL fragments are
+  * generated once here and consumed by both the Spark plans and
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Scale notes: everything is per-row narrow work (no shuffle) until the
+  * final groupBy/join, which keys on hashes — uniformly distributed, no
+  * skew. MinHash banding turns O(n^2) near-dup search into an equi-join on
+  * band keys: the canonical 100 TB dedup plan.
+  */
+object TextQueries {
+  import Tables._
+
+  // --- shared constants (also interpolated into the oracle SQL) -----------
+  val StopEn = Seq("the", "and", "of", "to", "in", "is", "that", "it")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "zu")
+  val StopFr = Seq("le", "la", "les", "et", "est", "un", "dans", "que")
+  val StopEs = Seq("el", "los", "las", "y", "es", "en", "por", "que")
+  val ShingleSize = 5
+  val MinHashK = 4
+  val JaccardThreshold = 0.9
+
+  def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
+
+  /** Normalized text: lowercase, whitespace collapsed — the canonical form
+    * all fingerprints/dedup hash. */
+  private val normExpr = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+  /** Same expression in DuckDB syntax (single-escaped regex, 'g' flag to
+    * replace all occurrences — DuckDB regexp_replace is first-match only by
+    * default, unlike Spark). */
+  val NormSqlDuck = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Tokens of the normalized text. */
+  private val toksExpr = "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')"
+  val ToksSqlDuck = s"string_split($NormSqlDuck, ' ')"
+
+  /** t01: token counting — whitespace tokens and a BPE-ish regex token
+    * stream (letter runs / digit runs / single other chars). */
+  def t01TokenStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d).selectExpr(
+      "doc_id",
+      s"CAST(size($toksExpr) AS BIGINT) AS ws_tokens",
+      "CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT) AS re_tokens")
+
+  /** t02: quality scoring — length, lexical diversity (type-token ratio),
+    * stopword ratio, mean token length. */
+  def t02Quality(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS n_chars_txt", s"$toksExpr AS toks")
+      .selectExpr(
+        "doc_id", "n_chars_txt",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct",
+        s"CAST(size(filter(toks, x -> array_contains(array(${sqlList(StopEn)}), x))) AS BIGINT) AS n_stop",
+        "CAST(aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x) AS BIGINT) AS sum_tok_len")
+      .selectExpr(
+        "doc_id", "n_chars_txt", "n_tokens", "n_distinct", "n_stop", "sum_tok_len",
+        "CAST(CAST(n_distinct AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS ttr",
+        "CAST(CAST(n_stop AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS stop_ratio",
+        "CAST(CAST(sum_tok_len AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS avg_tok_len")
+
+  /** t03: language ID — stopword-hit heuristic over four language lists,
+    * argmax with fixed precedence (en,de,fr,es). */
+  def t03LangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .selectExpr("doc_id", "lang", s"$toksExpr AS toks")
+      .selectExpr(
+        "doc_id", "lang",
+        s"CAST(size(filter(toks, x -> array_contains(array(${sqlList(StopEn)}), x))) AS BIGINT) AS en_hits",
+        s"CAST(size(filter(toks, x -> array_contains(array(${sqlList(StopDe)}), x))) AS BIGINT) AS de_hits",
+        s"CAST(size(filter(toks, x -> array_contains(array(${sqlList(StopFr)}), x))) AS BIGINT) AS fr_hits",
+        s"CAST(size(filter(toks, x -> array_contains(array(${sqlList(StopEs)}), x))) AS BIGINT) AS es_hits")
+      .selectExpr(
+        "doc_id", "lang", "en_hits", "de_hits", "fr_hits", "es_hits",
+        """CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+          |     WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+          |     WHEN fr_hits >= es_hits THEN 'fr'
+          |     ELSE 'es' END AS pred_lang""".stripMargin)
+
+  /** t04: document fingerprinting — full md5, normalized md5, token-bag md5
+    * (order-independent), and min-shingle md5 (winnowing-style rolling
+    * fingerprint). */
+  def t04Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .selectExpr("doc_id", "text", s"$normExpr AS norm")
+      .selectExpr(
+        "doc_id",
+        "md5(CAST(text AS BINARY)) AS full_md5",
+        "md5(CAST(norm AS BINARY)) AS norm_md5",
+        "md5(CAST(array_join(array_sort(split(norm, ' ')), ' ') AS BINARY)) AS bag_md5",
+        "norm")
+      .withColumn("shingle_pos", explode(expr(s"sequence(1, greatest(length(norm) - ${ShingleSize - 1}, 1))")))
+      .selectExpr("doc_id", "full_md5", "norm_md5", "bag_md5",
+        s"md5(CAST(substring(norm, shingle_pos, $ShingleSize) AS BINARY)) AS sh_md5")
+      .groupBy("doc_id", "full_md5", "norm_md5", "bag_md5")
+      .agg(min("sh_md5").as("min_shingle_md5"))
+
+  /** d01: set-semantic dedup groups — documents whose *distinct token sets*
+    * are identical (bag fingerprint); keeper = min doc id, the exact
+    * hash-groupBy dedup plan that scales to any size. */
+  def d01DedupGroups(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .selectExpr("doc_id",
+        s"md5(CAST(array_join(array_sort(array_distinct($toksExpr)), ' ') AS BINARY)) AS bag_md5")
+      .groupBy("bag_md5")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("dup_cnt"))
+      .filter(col("dup_cnt") >= 2)
+
+  /** d02: MinHash signatures — k salted min-md5s over character shingles of
+    * the normalized text, plus LSH band keys (bands of 2). */
+  def d02MinHashSig(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .selectExpr("doc_id", s"$normExpr AS norm")
+      .withColumn("pos", explode(expr(s"sequence(1, greatest(length(norm) - ${ShingleSize - 1}, 1))")))
+      .selectExpr("doc_id", s"substring(norm, pos, $ShingleSize) AS shingle")
+    val hashes = (0 until MinHashK).map(i =>
+      min(expr(s"md5(CAST(concat('$i:', shingle) AS BINARY))")).as(s"h$i"))
+    base.groupBy("doc_id")
+      .agg(hashes.head, hashes.tail: _*)
+      .selectExpr("doc_id", "h0", "h1", "h2", "h3",
+        "md5(CAST(concat(h0, h1) AS BINARY)) AS band0",
+        "md5(CAST(concat(h2, h3) AS BINARY)) AS band1")
+  }
+
+  /** d03: MinHash+LSH candidate pairs — docs sharing any band key. The
+    * band-key equi-join is the shuffle-friendly O(n) candidate generation
+    * that replaces the O(n^2) scan at scale. */
+  def d03MinHashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = d02MinHashSig(s, d)
+    val bands = sig.selectExpr("doc_id", "band0 AS band")
+      .union(sig.selectExpr("doc_id", "band1 AS band"))
+    val a = bands.toDF("a", "band")
+    val b = bands.toDF("b", "band")
+    a.join(b, "band")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Shared simhash bit-sum SQL: identical text for Spark and DuckDB modulo
+    * the integer-division operator and the position function name. */
+  def simhashBitExprs(divOp: String, strposFn: String): Seq[String] =
+    (0 until 16).map { j =>
+      val digitPos = 1 + j / 4
+      val pow = 1 << (j % 4)
+      s"SUM(CASE WHEN (($strposFn('0123456789abcdef', substring(h, $digitPos, 1)) - 1) $divOp $pow) % 2 = 1 " +
+        s"THEN 1 ELSE -1 END) AS s$j"
+    }
+
+  def simhashAssembleExpr: String =
+    (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+
+  /** d04: SimHash — 16-bit signature from per-token md5 bits, majority vote
+    * per bit position. Near-dup docs land at small Hamming distance. */
+  def d04SimHash(s: SparkSession, d: String): DataFrame = {
+    val bitSums = simhashBitExprs("div", "instr").map(expr)
+    documents(s, d)
+      .selectExpr("doc_id", s"explode($toksExpr) AS tok")
+      .selectExpr("doc_id", "md5(CAST(tok AS BINARY)) AS h")
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .selectExpr("doc_id", s"CAST($simhashAssembleExpr AS BIGINT) AS simhash")
+  }
+
+  /** d05: n-gram Jaccard near-dup pairs — within-language token-set Jaccard
+    * via an inverted-index join (token equality), threshold 0.9. */
+  def d05JaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .selectExpr("doc_id", "lang", s"array_distinct($toksExpr) AS t")
+      .selectExpr("doc_id", "lang", "t", "size(t) AS nt")
+    val exploded = toks.selectExpr("doc_id", "lang", "nt", "explode(t) AS tok")
+    val ea = exploded.toDF("a", "lang", "na", "tok")
+    val eb = exploded.toDF("b", "langb", "nb", "tok")
+    ea.join(eb, ea("tok") === eb("tok") && ea("lang") === eb("langb") && ea("a") < eb("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .selectExpr("a", "b",
+        "CAST(inter AS DOUBLE) / (na + nb - inter) AS jac_raw")
+      .filter(col("jac_raw") >= JaccardThreshold)
+      .selectExpr("a", "b", "CAST(jac_raw AS DECIMAL(18,6)) AS jaccard")
+  }
+}
