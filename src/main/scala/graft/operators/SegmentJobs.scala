@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.core.transform._
+import graft.core.security._
+import graft.sources._
+
+/** Job configuration for the segment tier-out path. All fields must be
+  * serializable — the config ships to executors.
+  *
+  * Encryption carries only what each side needs: executors wrap per-segment
+  * data keys with the RSA public key; the private key stays wherever the
+  * fetch side runs (here: both, for tests).
+  */
+final case class SegmentJobConfig(
+    storageRoot: String,
+    chunkSize: Int = SegmentJobConfig.DefaultChunkSize,
+    compression: Boolean = true,
+    encryption: Boolean = true,
+    keyId: String = "k1",
+    rsaPublicKey: Array[Byte] = Array.emptyByteArray,
+    rsaPrivateKey: Array[Byte] = Array.emptyByteArray,
+    uploadRateBytesPerSec: Option[Long] = None
+) {
+  def keyPair: java.security.KeyPair = RsaKeyRing.deserialize(rsaPublicKey, rsaPrivateKey)
+  def ring: RsaKeyRing = new RsaKeyRing(Map(keyId -> keyPair), keyId)
+}
+
+object SegmentJobConfig {
+  /** Reference-recommended chunk size (`README.md:58-59`): 4 MiB. */
+  val DefaultChunkSize: Int = 4 * 1024 * 1024
+  def withGeneratedKeys(storageRoot: String): SegmentJobConfig = {
+    val gen = java.security.KeyPairGenerator.getInstance("RSA")
+    gen.initialize(2048)
+    val kp = gen.generateKeyPair()
+    SegmentJobConfig(storageRoot,
+      rsaPublicKey = RsaKeyRing.serializePublic(kp.getPublic),
+      rsaPrivateKey = RsaKeyRing.serializePrivate(kp.getPrivate))
+  }
+}
+
+/** Per-segment upload result row. */
+final case class UploadResult(
+    segment_key: String,
+    orig_size: Long,
+    transformed_size: Long,
+    n_chunks: Int,
+    compressed: Boolean,
+    encrypted: Boolean,
+    success: Boolean,
+    error: String)
+
+/** SURVEY §3.1 — `copyLogSegmentData` as a Spark job.
+  *
+  * Scale design: segments are independent units of work, so the whole write
+  * path is a single narrow `mapPartitions` stage — zero shuffles at any data
+  * size. One task transforms and uploads its segments with per-partition
+  * reuse of storage clients; the per-segment atomicity point is the manifest
+  * PUT (always last), with compensating deletes of the data object on any
+  * failure — mirroring `KafkaRemoteStorageManager.java:211-220`. On a 1000-
+  * executor cluster this runs 1000-wide with no coordination; the driver
+  * only collects the small result rows.
+  */
+object SegmentUploadJob {
+
+  /** Tier out every file under `inputDir` (driver-agnostic: any binaryFile-
+    * readable tree). Returns one result row per segment. */
+  def run(spark: SparkSession, inputDir: String, config: SegmentJobConfig): DataFrame = {
+    val files = spark.read.format("binaryFile").load(inputDir)
+      .select(col("path"), col("content"))
+    uploadDF(spark, files, config)
+  }
+
+  /** Tier out (key, payload) rows. */
+  def uploadDF(spark: SparkSession, segments: DataFrame, config: SegmentJobConfig): DataFrame = {
+    import spark.implicits._
+    val cfg = config
+    segments.select(col(segments.columns.head).cast("string"), col(segments.columns(1)))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val storage = FileSystemStorage(cfg.storageRoot)
+        val ring = if (cfg.encryption) cfg.ring else null
+        val limiter = cfg.uploadRateBytesPerSec.map(new RateLimiter(_))
+        it.map { case (rawKey, payload) =>
+          uploadOne(storage, ring, limiter, cfg, sanitizeKey(rawKey), payload)
+        }
+      }
+      .toDF()
+  }
+
+  private def sanitizeKey(rawKey: String): String =
+    rawKey.replaceFirst("^file:/+", "").replace('/', '_').replace(':', '_')
+
+  private[operators] def uploadOne(
+      storage: StorageBackend,
+      ring: RsaKeyRing,
+      limiter: Option[RateLimiter],
+      cfg: SegmentJobConfig,
+      segKey: String,
+      payload: Array[Byte]): UploadResult = {
+    val logKey = s"$segKey.${ObjectKey.Suffix.Log.value}"
+    val manifestKey = s"$segKey.${ObjectKey.Suffix.Manifest.value}"
+    try {
+      // T7 compression predicate: skip when the payload is already dense.
+      val doCompress = cfg.compression && SegmentCompressionChecker.shouldCompress(payload)
+      val (dk, encMeta) =
+        if (cfg.encryption) {
+          val k = AesEncryptionProvider.createDataKeyAndAAD()
+          val (kid, wrapped) = ring.wrapDataKey(k.dataKey)
+          (Some(k), Some(EncryptionMetadata(kid, wrapped, k.aad)))
+        } else (None, None)
+      val spec = TransformSpec(cfg.chunkSize, doCompress, dk.map(_.dataKey), dk.map(_.aad).getOrElse(Array.emptyByteArray))
+      val seg = TransformPipeline.transform(payload, spec)
+      val body = seg.concatenated
+      limiter.foreach(_.acquire(body.length.toLong))
+      storage.uploadBytes(body, logKey)
+      // Manifest last = commit point.
+      storage.uploadBytes(
+        SegmentManifest(seg.index, None, doCompress, encMeta).toJson.getBytes("UTF-8"), manifestKey)
+      UploadResult(segKey, payload.length.toLong, seg.index.transformedFileSize,
+        seg.index.chunkCount, doCompress, cfg.encryption, success = true, error = "")
+    } catch {
+      case e: Throwable =>
+        // Compensating delete: never leave a partial segment behind.
+        try { storage.delete(logKey); storage.delete(manifestKey) } catch { case _: Throwable => () }
+        UploadResult(segKey, payload.length.toLong, -1L, -1, compressed = false,
+          encrypted = cfg.encryption, success = false, error = String.valueOf(e.getMessage))
+    }
+  }
+}
+
+/** T7 — conditional-compression predicate
+  * (`SegmentCompressionChecker.java:37-53`). The reference inspects the
+  * Kafka batch header's compression codec id; for opaque payloads we use the
+  * equivalent content heuristic: deflate a prefix and skip compression when
+  * it doesn't pay. */
+object SegmentCompressionChecker {
+  val SampleSize = 64 * 1024
+  val MinRatio = 0.9
+  def shouldCompress(payload: Array[Byte]): Boolean = {
+    if (payload.isEmpty) return false
+    val sample = if (payload.length <= SampleSize) payload else java.util.Arrays.copyOf(payload, SampleSize)
+    Transforms.compress(sample).length < sample.length * MinRatio
+  }
+}
+
+/** SURVEY §3.2 — `fetchLogSegment` both ways:
+  *   - [[fetchRange]]: the serving path — manifest + ranged GETs + detransform
+  *     directly through the core library, no Spark job (sub-second point
+  *     reads must not pay job-scheduling latency; same reuse the reference
+  *     does with its transform classes).
+  *   - [[chunksAsDataFrame]]: the analytic path — chunk metadata as rows for
+  *     distributed re-processing; the range predicate prunes before any
+  *     byte is fetched.
+  */
+object SegmentFetchJob {
+
+  def loadManifest(storage: StorageBackend, segKey: String): SegmentManifest =
+    SegmentManifest.fromJson(new String(
+      storage.fetchBytes(s"$segKey.${ObjectKey.Suffix.Manifest.value}"), "UTF-8"))
+
+  private def specOf(m: SegmentManifest, cfg: SegmentJobConfig): TransformSpec = {
+    val key = m.encryption.map(e => cfg.ring.unwrapDataKey(e.keyId, e.wrappedDataKey))
+    TransformSpec(m.chunkIndex.originalChunkSize, m.compression, key,
+      m.encryption.map(_.aad).getOrElse(Array.emptyByteArray))
+  }
+
+  /** Serving path: fetch original bytes [from, to] of one segment. The range
+    * is clamped to the segment size (ref `RemoteStorageManager.java:141-144`). */
+  def fetchRange(cfg: SegmentJobConfig, segKey: String, range: BytesRange): Array[Byte] = {
+    val storage = FileSystemStorage(cfg.storageRoot)
+    val m = loadManifest(storage, segKey)
+    val clamped = BytesRange(range.from, math.min(range.to, m.chunkIndex.originalFileSize - 1L))
+    val chunks = m.chunkIndex.chunksForRange(clamped)
+    if (chunks.isEmpty) return Array.emptyByteArray
+    val spec = specOf(m, cfg)
+    val logKey = s"$segKey.${ObjectKey.Suffix.Log.value}"
+    val fetched = chunks.iterator.map(c => storage.fetchRangeBytes(logKey, c.transformedRange))
+    val out = new java.io.ByteArrayOutputStream(clamped.size.toInt)
+    TransformPipeline.detransform(fetched, chunks, spec).foreach(out.write)
+    val joined = out.toByteArray
+    val skip = (clamped.from - chunks.head.originalPosition).toInt
+    java.util.Arrays.copyOfRange(joined, skip, skip + clamped.size.toInt)
+  }
+
+  /** Analytic path: every stored segment's chunk metadata as a DataFrame
+    * (`segment_key, chunk_id, orig_pos, orig_size, trans_pos, trans_size`),
+    * ready for range-predicate pruning and distributed fetch. */
+  def chunksAsDataFrame(spark: SparkSession, cfg: SegmentJobConfig): DataFrame = {
+    import spark.implicits._
+    val storage = FileSystemStorage(cfg.storageRoot)
+    val segKeys = storage.listKeys("")
+      .filter(_.endsWith(s".${ObjectKey.Suffix.Manifest.value}"))
+      .map(_.stripSuffix(s".${ObjectKey.Suffix.Manifest.value}"))
+    val cfgB = cfg
+    spark.createDataset(segKeys)
+      .mapPartitions { it =>
+        val st = FileSystemStorage(cfgB.storageRoot)
+        it.flatMap { segKey =>
+          val m = loadManifest(st, segKey)
+          m.chunkIndex.chunks.iterator.map(c =>
+            (segKey, c.id, c.originalPosition.toLong, c.originalSize.toLong,
+              c.transformedPosition.toLong, c.transformedSize.toLong))
+        }
+      }
+      .toDF("segment_key", "chunk_id", "orig_pos", "orig_size", "trans_pos", "trans_size")
+  }
+
+  /** Distributed fetch of original bytes for chunks matching a range, as
+    * (segment_key, chunk_id, bytes) — the wide-scan counterpart of
+    * [[fetchRange]]; ordering is restored by `orderBy(chunk_id)` downstream. */
+  def fetchChunksDF(spark: SparkSession, cfg: SegmentJobConfig, range: BytesRange): DataFrame = {
+    import spark.implicits._
+    val cfgB = cfg
+    chunksAsDataFrame(spark, cfg)
+      .filter(col("orig_pos") <= range.to && col("orig_pos") + col("orig_size") > range.from)
+      .select(col("segment_key"), col("chunk_id"))
+      .as[(String, Int)]
+      .mapPartitions { it =>
+        val st = FileSystemStorage(cfgB.storageRoot)
+        val manifests = scala.collection.mutable.HashMap.empty[String, (SegmentManifest, TransformSpec)]
+        it.map { case (segKey, chunkId) =>
+          val (m, spec) = manifests.getOrElseUpdate(segKey, {
+            val mm = loadManifest(st, segKey)
+            (mm, specOf(mm, cfgB))
+          })
+          val chunk = m.chunkIndex.chunks(chunkId)
+          val raw = st.fetchRangeBytes(s"$segKey.${ObjectKey.Suffix.Log.value}", chunk.transformedRange)
+          val plain = TransformPipeline.detransform(Iterator.single(raw), Vector(chunk), spec).next()
+          (segKey, chunkId, plain)
+        }
+      }
+      .toDF("segment_key", "chunk_id", "bytes")
+  }
+}

@@ -1,0 +1,230 @@
+package graft.records
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Per-segment data-file metadata recorded in the table manifest — including
+  * `start_byte_offset`, which powers the file-level pruning the reference
+  * left as a TODO (`IcebergRemoteStorageManager.java:385`,
+  * `DataFileMetadata.java:30-46`). */
+final case class DataFileMeta(
+    file: String,
+    segment: String,
+    minOffset: Long,
+    maxOffset: Long,
+    startByteOffset: Int,
+    endByteOffset: Int,
+    rowCount: Long)
+
+/** The per-topic analytic table (reference "Iceberg mode", SURVEY §2.5/§3.3)
+  * re-expressed Spark-first: plain Parquet data files + a JSON manifest per
+  * segment (file list + offset/byte ranges) + a versioned table schema with
+  * widening evolution.
+  *
+  * Layout: `table/data/<segment>.parquet`, `table/manifests/<segment>.json`,
+  * `table/_schema.json`. Appends are per-segment atomic: data file first,
+  * manifest rename-committed last (a reader only sees a segment once its
+  * manifest exists) — the same commit point as the reference's Iceberg
+  * transaction (`IcebergRemoteStorageManager.java:113-151`).
+  *
+  * Scale: the manifest list is tiny (one JSON per segment); data files are
+  * the bulk. Reads pass the manifest-pruned file list to one parquet scan,
+  * so Catalyst still sees a single relation (pushdown + pruning intact).
+  */
+final class RecordTable(tableDir: String) {
+  private val mapper = new ObjectMapper()
+  private def dataDir = Paths.get(tableDir, "data")
+  private def manifestDir = Paths.get(tableDir, "manifests")
+  private def schemaPath = Paths.get(tableDir, "_schema.json")
+
+  // --- schema evolution (I5) ----------------------------------------------
+
+  def currentSchema: Option[StructType] =
+    if (Files.exists(schemaPath)) Some(DataType.fromJson(Files.readString(schemaPath)).asInstanceOf[StructType])
+    else None
+
+  /** Widening merge mirroring `SchemaUtils.java:79-130`: add new nullable
+    * columns, widen int→long and float→double, never narrow. */
+  def mergeSchemas(table: StructType, incoming: StructType): StructType = {
+    val existing = table.fields.map(f => f.name -> f).toMap
+    val merged = table.fields.map { tf =>
+      incoming.fields.find(_.name == tf.name) match {
+        case Some(inf) => StructField(tf.name, widen(tf.dataType, inf.dataType), tf.nullable || inf.nullable)
+        case None => tf
+      }
+    } ++ incoming.fields.filterNot(f => existing.contains(f.name))
+      .map(f => f.copy(nullable = true)) // added columns are optional
+    StructType(merged)
+  }
+
+  private def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+    case (sa: StructType, sb: StructType) => mergeSchemas(sa, sb)
+    case (ArrayType(ea, n1), ArrayType(eb, n2)) => ArrayType(widen(ea, eb), n1 || n2)
+    case (x, y) => throw new IllegalArgumentException(s"incompatible schema change: $x vs $y")
+  }
+
+  private def commitSchema(s: StructType): Unit = {
+    Files.createDirectories(Paths.get(tableDir))
+    val tmp = Files.createTempFile(Paths.get(tableDir), ".schema-", ".tmp")
+    Files.writeString(tmp, s.json)
+    Files.move(tmp, schemaPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // --- append (S9/I3) -------------------------------------------------------
+
+  /** Append one segment's records. `rows` must contain the RowSchema `kafka`
+    * struct column. Single-writer-per-table discipline (SURVEY §7 hard
+    * point 3) makes the schema read-merge-commit race-free. */
+  def appendSegment(spark: SparkSession, segmentName: String, rows: DataFrame): DataFileMeta = {
+    val newSchema = currentSchema match {
+      case Some(t) => mergeSchemas(t, rows.schema)
+      case None => rows.schema
+    }
+    val aligned = alignTo(rows, newSchema)
+    Files.createDirectories(dataDir)
+    Files.createDirectories(manifestDir)
+
+    val staging = Files.createTempDirectory(Paths.get(tableDir), s".stage-$segmentName-")
+    aligned.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = Files.list(staging).iterator().asScala.find(_.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no parquet output"))
+    val target = dataDir.resolve(s"$segmentName.parquet")
+    Files.move(part, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(staging).iterator().asScala.toVector.reverse.foreach(Files.deleteIfExists(_))
+
+    val stats = aligned.agg(
+      min(col("kafka.offset")), max(col("kafka.offset")),
+      min(col("kafka.batch_byte_offset")), max(col("kafka.batch_byte_offset")),
+      count(lit(1))).head()
+    val meta = DataFileMeta(s"data/$segmentName.parquet", segmentName,
+      stats.getLong(0), stats.getLong(1), stats.getInt(2), stats.getInt(3), stats.getLong(4))
+
+    commitSchema(newSchema)
+    // manifest rename = the visibility/commit point
+    val tmp = Files.createTempFile(manifestDir, s".m-$segmentName-", ".tmp")
+    Files.writeString(tmp, metaToJson(meta))
+    Files.move(tmp, manifestDir.resolve(s"$segmentName.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    meta
+  }
+
+  /** Project/cast `rows` to the table schema: missing columns become nulls,
+    * widened columns cast up. */
+  private def alignTo(rows: DataFrame, schema: StructType): DataFrame = {
+    val cols = schema.fields.map { f =>
+      if (rows.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    rows.select(cols.toIndexedSeq: _*)
+  }
+
+  def listManifests(): Vector[DataFileMeta] =
+    if (!Files.exists(manifestDir)) Vector.empty
+    else Files.list(manifestDir).iterator().asScala
+      .filter(_.toString.endsWith(".json"))
+      .map(p => metaFromJson(Files.readString(p)))
+      .toVector.sortBy(_.minOffset)
+
+  // --- read (S10/I7/I10) ----------------------------------------------------
+
+  /** Scan the table from `startOffset`, with BOTH pruning levels:
+    *   - file-level: manifests whose maxOffset < startOffset are never read
+    *     (the reference's TODO, implemented);
+    *   - row-group level: the offset predicate is pushed into the parquet
+    *     scan by Catalyst.
+    * Ordering authority is the manifest file list (I7): callers needing
+    * byte-identical batch order sort by `kafka.offset`. */
+  def read(spark: SparkSession, startOffset: Long = Long.MinValue): DataFrame = {
+    val files = listManifests()
+      .filter(_.maxOffset >= startOffset)
+      .map(m => Paths.get(tableDir).resolve(m.file).toString)
+    val schema = currentSchema.getOrElse(RowSchema.rawSchema)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(files: _*)
+        .filter(col("kafka.offset") >= startOffset)
+  }
+
+  private def metaToJson(m: DataFileMeta): String = {
+    val n = mapper.createObjectNode()
+    n.put("file", m.file); n.put("segment", m.segment)
+    n.put("minOffset", m.minOffset); n.put("maxOffset", m.maxOffset)
+    n.put("startByteOffset", m.startByteOffset); n.put("endByteOffset", m.endByteOffset)
+    n.put("rowCount", m.rowCount)
+    mapper.writeValueAsString(n)
+  }
+
+  private def metaFromJson(j: String): DataFileMeta = {
+    val n = mapper.readTree(j)
+    DataFileMeta(n.get("file").asText(), n.get("segment").asText(),
+      n.get("minOffset").asLong(), n.get("maxOffset").asLong(),
+      n.get("startByteOffset").asInt(), n.get("endByteOffset").asInt(), n.get("rowCount").asLong())
+  }
+}
+
+/** I8 + I9 — regroup rows into their original batches and re-serialize to
+  * Kafka wire bytes: `groupBy(batch identity).agg(sort_array(collect_list))`
+  * then a per-group serializer — the distributed form of
+  * `RecordBatchGrouper.java:42-75` + `BatchEnumeration.java:46-235`.
+  */
+object BatchReserializer {
+
+  def toWireBatches(spark: SparkSession, rows: DataFrame): DataFrame = {
+    import spark.implicits._
+    val grouped = rows
+      .select(col("kafka"), col("headers"), col("key_raw"), col("value_raw"))
+      .groupBy(
+        col("kafka.batch_base_offset").as("base_offset"),
+        col("kafka.batch_producer_id").as("producer_id"),
+        col("kafka.batch_base_sequence").as("base_sequence"))
+      .agg(sort_array(collect_list(struct(
+        col("kafka.offset").as("offset"),
+        col("kafka.timestamp").as("timestamp"),
+        col("kafka"), col("headers"), col("key_raw"), col("value_raw")))).as("members"))
+    grouped.map { row =>
+      val members = row.getSeq[org.apache.spark.sql.Row](3)
+      val firstKafka = members.head.getStruct(2)
+      val baseOffset = row.getLong(0)
+      val batch = KafkaWireCodec.Batch(
+        baseOffset = baseOffset,
+        partitionLeaderEpoch = firstKafka.getAs[Int]("batch_partition_leader_epoch"),
+        magic = firstKafka.getAs[Int]("batch_magic").toByte,
+        attributes = ((firstKafka.getAs[Int]("batch_compression_type") & 0x07)
+          | (firstKafka.getAs[Int]("batch_timestamp_type") << 3)).toShort,
+        lastOffsetDelta = (members.last.getAs[Long]("offset") - baseOffset).toInt,
+        baseTimestamp = batchBaseTimestamp(members, baseOffset),
+        maxTimestamp = firstKafka.getAs[Long]("batch_max_timestamp"),
+        producerId = row.getLong(1),
+        producerEpoch = firstKafka.getAs[Int]("batch_producer_epoch").toShort,
+        baseSequence = row.getInt(2),
+        records = members.iterator.map { m =>
+          KafkaWireCodec.Record(
+            offsetDelta = (m.getAs[Long]("offset") - baseOffset).toInt,
+            timestampDelta = m.getAs[Long]("timestamp") - batchBaseTimestamp(members, baseOffset),
+            key = m.getAs[Array[Byte]]("key_raw"),
+            value = m.getAs[Array[Byte]]("value_raw"),
+            headers = Option(m.getSeq[org.apache.spark.sql.Row](3)).getOrElse(Seq.empty)
+              .map(h => KafkaWireCodec.Header(h.getString(0), h.getAs[Array[Byte]](1))).toVector)
+        }.toVector,
+        byteOffset = 0)
+      (baseOffset, KafkaWireCodec.writeBatch(batch))
+    }.toDF("base_offset", "wire_bytes")
+  }
+
+  /** The batch's base timestamp is carried per row as
+    * `timestamp = base + delta`; the first record of a v2 batch has delta of
+    * its own — we recover base from the stored per-batch metadata instead:
+    * rows keep `batch_max_timestamp` but not base, so we use the minimum
+    * member timestamp, which equals base when deltas are non-negative and
+    * the first record has delta 0 (true for producer-built batches). */
+  private def batchBaseTimestamp(members: Seq[org.apache.spark.sql.Row], baseOffset: Long): Long =
+    members.iterator.map(_.getAs[Long]("timestamp")).min
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.BytesRange
+import graft.sources.FileSystemStorage
+import graft.testkit.SparkSpec
+
+/** End-to-end segment layer on Spark (SURVEY §3.1/§3.2): upload job →
+  * storage layout + manifests; fetch → byte equality; failure semantics. */
+class SegmentJobsSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def makeSegments(dir: String, n: Int, size: Int): Vector[(String, Array[Byte])] = {
+    val rnd = new java.util.Random(7)
+    (0 until n).toVector.map { i =>
+      val b = new Array[Byte](size + i * 1000)
+      rnd.nextBytes(b)
+      // make it compressible half the time
+      if (i % 2 == 0) java.util.Arrays.fill(b, b.length / 2, b.length, 42.toByte)
+      val p = java.nio.file.Paths.get(dir, f"seg$i%03d.bin")
+      Files.write(p, b)
+      (s"file:$p".replaceFirst("^file:/+", "").replace('/', '_').replace(':', '_'), b)
+    }
+  }
+
+  test("upload job tiers out all segments; fetch returns exact ranges") {
+    val in = tmpDir("graft-segs-in")
+    val store = tmpDir("graft-store")
+    val segs = makeSegments(in, 4, 50000)
+    val cfg = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 4096)
+
+    val results = SegmentUploadJob.run(spark, in, cfg).collect()
+    assert(results.length == 4)
+    assert(results.forall(_.getAs[Boolean]("success")))
+
+    val storage = FileSystemStorage(store)
+    val keys = storage.listKeys("")
+    assert(keys.count(_.endsWith(".log")) == 4)
+    assert(keys.count(_.endsWith(".rsm-manifest")) == 4)
+
+    // serving-path fetch: several ranges, byte-for-byte
+    segs.foreach { case (segKey, payload) =>
+      val whole = SegmentFetchJob.fetchRange(cfg, segKey, BytesRange(0, payload.length - 1L))
+      assert(java.util.Arrays.equals(whole, payload), s"whole fetch mismatch for $segKey")
+      val mid = SegmentFetchJob.fetchRange(cfg, segKey, BytesRange(1234, 9876))
+      assert(java.util.Arrays.equals(mid, java.util.Arrays.copyOfRange(payload, 1234, 9877)))
+      // range beyond EOF clamps
+      val tail = SegmentFetchJob.fetchRange(cfg, segKey, BytesRange(payload.length - 10L, payload.length + 500L))
+      assert(java.util.Arrays.equals(tail, java.util.Arrays.copyOfRange(payload, payload.length - 10, payload.length)))
+    }
+  }
+
+  test("compression predicate: incompressible segments stored uncompressed") {
+    val in = tmpDir("graft-segs-in2")
+    val store = tmpDir("graft-store2")
+    makeSegments(in, 4, 50000)
+    val cfg = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 4096)
+    val res = SegmentUploadJob.run(spark, in, cfg).collect()
+    val bySeg = res.map(r => r.getAs[String]("segment_key") -> r.getAs[Boolean]("compressed")).toMap
+    // even indices end with a long constant run -> compressible; odd are pure random
+    assert(bySeg.exists(_._2) && bySeg.exists(!_._2),
+      s"expected a mix of compressed/uncompressed, got $bySeg")
+  }
+
+  test("distributed chunk fetch: range predicate prunes, bytes reassemble") {
+    val in = tmpDir("graft-segs-in3")
+    val store = tmpDir("graft-store3")
+    val segs = makeSegments(in, 2, 30000)
+    val cfg = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 4096)
+    SegmentUploadJob.run(spark, in, cfg).collect()
+
+    val chunks = SegmentFetchJob.chunksAsDataFrame(spark, cfg)
+    assert(chunks.count() > 2)
+
+    val range = BytesRange(5000, 12000)
+    val fetched = SegmentFetchJob.fetchChunksDF(spark, cfg, range)
+      .orderBy(col("segment_key"), col("chunk_id"))
+      .collect()
+    // only chunks 1..2 (4096-grid) per segment overlap [5000, 12000]
+    assert(fetched.map(_.getAs[Int]("chunk_id")).toSet == Set(1, 2))
+    segs.foreach { case (segKey, payload) =>
+      val mine = fetched.filter(_.getString(0) == segKey)
+      val joined = mine.flatMap(_.getAs[Array[Byte]]("bytes"))
+      assert(java.util.Arrays.equals(joined, java.util.Arrays.copyOfRange(payload, 4096, 3 * 4096)))
+    }
+  }
+
+  test("upload failure leaves no partial objects (compensating delete)") {
+    val store = tmpDir("graft-store4")
+    val cfg = SegmentJobConfig.withGeneratedKeys(store)
+    // storage root that cannot be written: point at a file
+    val bad = Files.createTempFile("not-a-dir", ".txt")
+    val badCfg = cfg.copy(storageRoot = bad.toString + "/sub")
+    val r = SegmentUploadJob.uploadOne(FileSystemStorage(store), badCfg.ring, None, badCfg.copy(storageRoot = store),
+      "seg-x", Array[Byte](1, 2, 3))
+    assert(r.success)
+    // now corrupt path: encryption ring missing private key is fine for upload;
+    // instead simulate failure via an unwritable chunk size
+    val r2 = SegmentUploadJob.uploadOne(FileSystemStorage(store), cfg.ring, None,
+      cfg.copy(chunkSize = -5), "seg-y", Array[Byte](1, 2, 3))
+    assert(!r2.success && r2.error.nonEmpty)
+    val storage = FileSystemStorage(store)
+    assert(!storage.listKeys("").exists(_.startsWith("seg-y")))
+  }
+}

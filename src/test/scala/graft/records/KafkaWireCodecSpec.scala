@@ -1,0 +1,112 @@
+package graft.records
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.testkit.Props.forAllN
+import KafkaWireCodec._
+
+/** FIXTURES.md F4 — Kafka v2 wire format: parse→write byte-identity, CRC
+  * enforcement, compression, nulls/headers, e2e-style batch shapes
+  * (batches of size offset%10+1, key-<n>, ~1 KiB values —
+  * `SingleBrokerTest.java:313-358`). */
+class KafkaWireCodecSpec extends AnyFunSuite {
+
+  private def kb(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  private def e2eStyleSegment(compression: Int = CodecNone): (Array[Byte], Vector[Batch]) = {
+    val rnd = new java.util.Random(42)
+    var offset = 0L
+    val batches = Vector.newBuilder[Batch]
+    val out = new java.io.ByteArrayOutputStream()
+    while (offset < 100) {
+      val n = (offset % 10 + 1).toInt
+      val recs = (0 until n).map { i =>
+        val v = new Array[Byte](1000 + rnd.nextInt(24))
+        rnd.nextBytes(v)
+        (kb(s"key-${offset + i}"), v,
+          if (i % 3 == 0) Seq(Header("h1", kb("v1")), Header("h2", null)) else Seq.empty)
+      }
+      val built = buildBatch(offset, 1700000000000L + offset * 10, recs,
+        producerId = 77L, producerEpoch = 3, baseSequence = offset.toInt,
+        partitionLeaderEpoch = 5, compression = compression)
+      val bytes = writeBatch(built)
+      batches += built.copy(byteOffset = out.size())
+      out.write(bytes)
+      offset += n
+    }
+    (out.toByteArray, batches.result())
+  }
+
+  test("segment parse recovers every batch and record (codec none)") {
+    val (segment, built) = e2eStyleSegment()
+    val parsed = parseSegment(segment)
+    assert(parsed.size == built.size)
+    parsed.zip(built).foreach { case (p, b) =>
+      assert(p.baseOffset == b.baseOffset)
+      assert(p.byteOffset == b.byteOffset)
+      assert(p.records.size == b.records.size)
+      assert(p.producerId == 77L && p.baseSequence == b.baseSequence)
+      p.records.zip(b.records).foreach { case (pr, br) =>
+        assert(java.util.Arrays.equals(pr.key, br.key))
+        assert(java.util.Arrays.equals(pr.value, br.value))
+        assert(pr.headers.map(_.key) == br.headers.map(_.key))
+      }
+    }
+  }
+
+  test("parse→write round trip is byte-identical (codec none)") {
+    val (segment, _) = e2eStyleSegment()
+    val rewritten = parseSegment(segment).map(writeBatch).reduce(_ ++ _)
+    assert(java.util.Arrays.equals(rewritten, segment))
+  }
+
+  test("gzip batches decode to the same records") {
+    val (plain, _) = e2eStyleSegment(CodecNone)
+    val (gz, _) = e2eStyleSegment(CodecGzip)
+    val a = parseSegment(plain).flatMap(_.records)
+    val b = parseSegment(gz).flatMap(_.records)
+    assert(a.size == b.size)
+    a.zip(b).foreach { case (x, y) =>
+      assert(java.util.Arrays.equals(x.value, y.value))
+    }
+    // and gzip re-serialization still parses to the same records
+    val regz = parseSegment(parseSegment(gz).map(writeBatch).reduce(_ ++ _)).flatMap(_.records)
+    assert(regz.size == b.size)
+    regz.zip(b).foreach { case (x, y) => assert(java.util.Arrays.equals(x.value, y.value)) }
+  }
+
+  test("null keys/values and empty batches") {
+    val b = buildBatch(5L, 1000L, Seq((null, kb("v"), Seq.empty), (kb("k"), null, Seq.empty)))
+    val parsed = parseSegment(writeBatch(b))
+    assert(parsed.head.records(0).key == null)
+    assert(parsed.head.records(1).value == null)
+  }
+
+  test("corrupted CRC is rejected") {
+    val (segment, _) = e2eStyleSegment()
+    segment(30) = (segment(30) ^ 0xFF).toByte // inside the records area of batch 0
+    intercept[IllegalArgumentException](parseSegment(segment))
+  }
+
+  test("transactional metadata fields survive the round trip") {
+    val b = buildBatch(0L, 1L, Seq((kb("k"), kb("v"), Seq.empty)),
+      producerId = 1234L, producerEpoch = 9, baseSequence = 42)
+      .copy(attributes = (1 << 4).toShort) // isTransactional bit
+    val p = parseSegment(writeBatch(b)).head
+    assert(p.attributes == (1 << 4).toShort)
+    assert(p.producerId == 1234L && p.producerEpoch == 9.toShort && p.baseSequence == 42)
+  }
+
+  test("varint law: round trip over full int/long range") {
+    forAllN(Gen.chooseNum(Int.MinValue, Int.MaxValue)) { v =>
+      val out = new java.io.ByteArrayOutputStream()
+      Varint.writeVarint(v, out)
+      assert(Varint.readVarint(java.nio.ByteBuffer.wrap(out.toByteArray)) == v)
+    }
+    forAllN(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { v =>
+      val out = new java.io.ByteArrayOutputStream()
+      Varint.writeVarlong(v, out)
+      assert(Varint.readVarlong(java.nio.ByteBuffer.wrap(out.toByteArray)) == v)
+    }
+  }
+}
