@@ -93,7 +93,7 @@ object SegmentUploadJob {
   private def sanitizeKey(rawKey: String): String =
     rawKey.replaceFirst("^file:/+", "").replace('/', '_').replace(':', '_')
 
-  private[operators] def uploadOne(
+  def uploadOne(
       storage: StorageBackend,
       ring: RsaKeyRing,
       limiter: Option[RateLimiter],

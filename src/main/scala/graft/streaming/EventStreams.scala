@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming reads over the analytic tables: watermarked event-time windows
+  * and custom keyed state — the Structured Streaming surface of the engine
+  * (SURVEY §7 step 7). Batch counterparts of these aggregations are
+  * oracle-checked as q10/q11; these are their streaming twins.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window counts with a watermark for late data. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  final case class UserState(userId: Long, nEvents: Long, lastTs: Long, trace: String)
+  final case class UserUpdate(user_id: Long, n_events: Long, last_ts: Long, closed: Boolean)
+
+  /** Custom keyed state via mapGroupsWithState: per-user running event count
+    * with idle-timeout session close — the engine's
+    * `KeyValueGroupedDataset` state surface (the reference's per-key caches
+    * map to exactly this shape in streaming form). */
+  def userSessions(spark: SparkSession, events: DataFrame, idleTimeoutMs: Long = 3600000L): Dataset[UserUpdate] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "CAST(ts AS LONG) * 1000 AS ts_ms", "event_type")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, String)], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            UserUpdate(userId, s.nEvents, s.lastTs, closed = true)
+          } else {
+            val events = rows.toVector
+            val prev = state.getOption.getOrElse(UserState(userId, 0L, 0L, ""))
+            val next = UserState(userId, prev.nEvents + events.size,
+              events.map(_._2).maxOption.getOrElse(prev.lastTs), prev.trace)
+            state.update(next)
+            state.setTimeoutDuration(idleTimeoutMs)
+            UserUpdate(userId, next.nEvents, next.lastTs, closed = false)
+          }
+      }
+  }
+
+  /** Output mode for [[hourlyCounts]] in tests: Update with watermark. */
+  val DefaultOutputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.{RetentionJob, SegmentJobConfig, SegmentFetchJob, Metrics, SegmentUploadJob}
+import graft.sources.FileSystemStorage
+import graft.core.BytesRange
+import graft.testkit.SparkSpec
+
+/** Streaming ingest (foreachBatch atomic tier-out), windowed streaming agg,
+  * retention/orphan GC, and observed metrics. */
+class StreamingSpec extends SparkSpec {
+
+  test("segment ingest stream tiers out files; replays are idempotent") {
+    val watch = Files.createTempDirectory("graft-watch").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val store = Files.createTempDirectory("graft-stream-store").toString
+    val cfg = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 4096)
+
+    val payloads = (0 until 3).map { i =>
+      val b = new Array[Byte](20000 + i * 1000)
+      new java.util.Random(i).nextBytes(b)
+      Files.write(java.nio.file.Paths.get(watch, f"seg$i%02d.bin"), b)
+      b
+    }
+
+    val q = SegmentIngestStream.start(spark, watch, ckpt, cfg, maxFilesPerTrigger = 2,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val storage = FileSystemStorage(store)
+    assert(storage.listKeys("").count(_.endsWith(".rsm-manifest")) == 3)
+
+    // fetch one range back through the serving path
+    val segKey = storage.listKeys("").find(_.endsWith(".log")).get.stripSuffix(".log")
+    val idx = segKey.takeRight(6).filter(_.isDigit).toInt // segNN
+    val got = SegmentFetchJob.fetchRange(cfg, segKey, BytesRange(100, 299))
+    assert(java.util.Arrays.equals(got, java.util.Arrays.copyOfRange(payloads(idx), 100, 300)))
+
+    // restart over the same checkpoint: no new work, still 3 manifests
+    val q2 = SegmentIngestStream.start(spark, watch, ckpt, cfg, trigger = Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(storage.listKeys("").count(_.endsWith(".rsm-manifest")) == 3)
+  }
+
+  test("watermarked windowed aggregation over an event stream") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-events-src").toString
+    graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val agg = EventStreams.hourlyCounts(stream)
+    val q = agg.writeStream
+      .format("memory").queryName("hourly")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.sql("SELECT * FROM hourly").collect()
+    assert(rows.nonEmpty)
+    // spot-check against the batch twin
+    val batch = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(rows.map(_.getAs[Long]("n")).sum == batch.agg(sum("n")).head().getLong(0))
+  }
+
+  test("retention deletes selected segments in batches; orphan GC cleans aborted uploads") {
+    val store = Files.createTempDirectory("graft-ret-store").toString
+    val cfg = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 4096)
+    val storage = FileSystemStorage(store)
+    (0 until 4).foreach { i =>
+      val b = new Array[Byte](5000); new java.util.Random(i).nextBytes(b)
+      assert(SegmentUploadJob.uploadOne(storage, cfg.ring, None, cfg, f"seg-$i%02d", b).success)
+    }
+    // orphan: a log with no manifest
+    storage.uploadBytes(Array[Byte](1, 2), "seg-orphan.log")
+
+    val gc = RetentionJob.gcOrphans(cfg)
+    assert(gc.orphansDeleted == 1)
+    assert(!storage.exists("seg-orphan.log"))
+
+    val rep = RetentionJob.deleteSegments(cfg, key => key < "seg-02")
+    assert(rep.segmentsDeleted == 2 && rep.objectsDeleted == 4) // log+manifest per segment
+    assert(storage.listKeys("").count(_.endsWith(".log")) == 2)
+  }
+
+  test("observed metrics: segment-copy sensors flow to the listener") {
+    val collector = Metrics.register(spark)
+    val in = Files.createTempDirectory("graft-obs-in").toString
+    val store = Files.createTempDirectory("graft-obs-store").toString
+    val b = new Array[Byte](10000); new java.util.Random(1).nextBytes(b)
+    Files.write(java.nio.file.Paths.get(in, "s.bin"), b)
+    val cfg = SegmentJobConfig.withGeneratedKeys(store)
+    Metrics.observeUpload(SegmentUploadJob.run(spark, in, cfg)).collect()
+    val deadline = System.currentTimeMillis + 10000
+    while (!collector.seen.contains("segment-copy") && System.currentTimeMillis < deadline) Thread.sleep(50)
+    val m = collector.seen("segment-copy")
+    assert(m("segments") == 1L)
+    assert(m("bytes-in") == 10000L)
+    assert(m("errors") == 0L)
+  }
+}
