@@ -1,5 +1,18 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: every SparkEntry query against
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1), forced through a noop sink (full
+  * materialization — `count()` would let Catalyst prune projections), plus
+  * the reference's JMH transform/detransform matrix as MB/s
+  * (`benchmarks/.../TransformBench.java:55-72` grid, scaled to 10 MiB
+  * content per BASELINE.md).
+  *
+  * Prints ONE JSON line: the driver-required keys
+  * (metric/value/unit/queries/sf) plus `transform_mbps` /
+  * `detransform_mbps` extras keyed `chunk<KiB>_comp<0|1>_enc<0|1>`.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +20,74 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warm-up: JVM + codegen + parquet footer caches, charged to nobody.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    try SparkEntry.queries.head._2(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val (tMbps, dMbps) = transformMatrix()
+
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""transform_mbps":${jmap(tMbps)},"detransform_mbps":${jmap(dMbps)}}""")
     spark.stop()
+  }
+
+  /** The JMH grid at 10 MiB content: chunk {100 KiB, 1 MiB, 5 MiB} ×
+    * comp {off,on} × enc {off,on}; single-thread MB/s (the reference bench
+    * is single-pipeline too). */
+  private def transformMatrix(): (Seq[(String, Double)], Seq[(String, Double)]) = {
+    import graft.core.transform._
+    val content = new Array[Byte](10 * 1024 * 1024)
+    // half-compressible content (mirrors real segment entropy better than pure random)
+    val rnd = new java.util.Random(42)
+    rnd.nextBytes(content)
+    java.util.Arrays.fill(content, content.length / 2, content.length, 7.toByte)
+    val key = new Array[Byte](32)
+    rnd.nextBytes(key)
+    val t = Vector.newBuilder[(String, Double)]
+    val d = Vector.newBuilder[(String, Double)]
+    for {
+      chunkKiB <- Seq(100, 1024, 5120)
+      comp <- Seq(false, true)
+      enc <- Seq(false, true)
+    } {
+      val spec = TransformSpec(chunkKiB * 1024, comp, if (enc) Some(key) else None,
+        if (enc) Array.fill[Byte](32)(1) else Array.emptyByteArray)
+      val label = s"chunk${chunkKiB}_comp${if (comp) 1 else 0}_enc${if (enc) 1 else 0}"
+      // warmup + 3 timed iterations, take best (JMH-style throughput mode, abbreviated)
+      TransformPipeline.transform(content, spec)
+      var bestT = Double.MaxValue
+      var seg: TransformedSegment = null
+      (1 to 3).foreach { _ =>
+        val t0 = System.nanoTime()
+        seg = TransformPipeline.transform(content, spec)
+        bestT = math.min(bestT, (System.nanoTime() - t0) / 1e9)
+      }
+      t += label -> (content.length / 1e6 / bestT)
+      var bestD = Double.MaxValue
+      (1 to 3).foreach { _ =>
+        val t0 = System.nanoTime()
+        TransformPipeline.detransformAll(seg, spec)
+        bestD = math.min(bestD, (System.nanoTime() - t0) / 1e9)
+      }
+      d += label -> (content.length / 1e6 / bestD)
+    }
+    (t.result(), d.result())
   }
 }

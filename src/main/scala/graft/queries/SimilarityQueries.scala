@@ -53,16 +53,50 @@ object SimilarityQueries {
         "CAST(cosine AS DECIMAL(18,12)) AS cosine")
   }
 
+  /** Sequential dot product — the same left-to-right IEEE op order as the
+    * SQL `aggregate` fold and DuckDB's `list_dot_product`, so results stay
+    * bit-identical while running as a primitive JVM loop. */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   /** s02: embedding-cosine near-duplicate pairs above threshold (the
-    * embedding leg of the dedup family). */
+    * embedding leg of the dedup family).
+    *
+    * Physical plan: all vectors broadcast (n·dim doubles — MBs for any
+    * reasonable near-dup batch), pairs enumerated per-partition with a
+    * primitive-array kernel — no shuffle, no codegen-unfriendly HOF lambda
+    * in the O(n^2) hot loop. Brute force is the exact baseline; the
+    * LSH-bucketed plan (s03) is the shape that scales past it.
+    */
   def s02EmbedNearDup(s: SparkSession, d: String): DataFrame = {
-    val a = normed(s, d).selectExpr("vec_id AS a", "v AS qv", "nrm AS qnrm")
-    val b = normed(s, d).selectExpr("vec_id AS b", "v", "nrm")
-    a.crossJoin(b)
-      .filter(col("a") < col("b"))
-      .selectExpr("a", "b", s"$dotExpr / (qnrm * nrm) AS cosine")
-      .filter(col("cosine") >= NearDupThreshold)
-      .selectExpr("a", "b", "CAST(cosine AS DECIMAL(18,12)) AS cosine")
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .as[(Long, Array[Double])]
+    val all = vecs.collect().sortBy(_._1)
+    val ids = all.map(_._1)
+    val arrs = all.map(_._2)
+    val norms = arrs.map(a => math.sqrt(dot(a, a)))
+    val bc = s.sparkContext.broadcast((ids, arrs, norms))
+    val threshold = NearDupThreshold
+    vecs.mapPartitions { rows =>
+      val (ids, arrs, norms) = bc.value
+      rows.flatMap { case (aid, av) =>
+        val an = math.sqrt(dot(av, av))
+        ids.indices.iterator.flatMap { j =>
+          if (ids(j) <= aid) Iterator.empty
+          else {
+            val c = dot(av, arrs(j)) / (an * norms(j))
+            if (c >= threshold) Iterator.single((aid, ids(j), c)) else Iterator.empty
+          }
+        }
+      }
+    }.toDF("a", "b", "cosine_raw")
+      .selectExpr("a", "b", "CAST(cosine_raw AS DECIMAL(18,12)) AS cosine")
   }
 
   /** s03: LSH-bucketed ANN — bucket = sign bits of dot products with 8

@@ -116,15 +116,17 @@ object TextQueries {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("dup_cnt"))
       .filter(col("dup_cnt") >= 2)
 
-  /** d02: MinHash signatures — k salted min-md5s over character shingles of
-    * the normalized text, plus LSH band keys (bands of 2). */
+  /** d02: MinHash signatures — k independent 8-hex-char slices of ONE md5
+    * per character shingle (4 32-bit hash functions from a single digest:
+    * one hash computation per shingle, not k), plus LSH band keys
+    * (bands of 2). */
   def d02MinHashSig(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)
       .selectExpr("doc_id", s"$normExpr AS norm")
       .withColumn("pos", explode(expr(s"sequence(1, greatest(length(norm) - ${ShingleSize - 1}, 1))")))
-      .selectExpr("doc_id", s"substring(norm, pos, $ShingleSize) AS shingle")
+      .selectExpr("doc_id", s"md5(CAST(substring(norm, pos, $ShingleSize) AS BINARY)) AS m")
     val hashes = (0 until MinHashK).map(i =>
-      min(expr(s"md5(CAST(concat('$i:', shingle) AS BINARY))")).as(s"h$i"))
+      min(expr(s"substring(m, ${i * 8 + 1}, 8)")).as(s"h$i"))
     base.groupBy("doc_id")
       .agg(hashes.head, hashes.tail: _*)
       .selectExpr("doc_id", "h0", "h1", "h2", "h3",
@@ -172,20 +174,52 @@ object TextQueries {
   }
 
   /** d05: n-gram Jaccard near-dup pairs — within-language token-set Jaccard
-    * via an inverted-index join (token equality), threshold 0.9. */
+    * as a broadcast BITSET kernel: the (bounded) token vocabulary indexes
+    * bit positions, every doc's distinct-token set becomes a few machine
+    * words, and Jaccard is `popcount(a AND b) / popcount(a OR b)` — exact
+    * integer arithmetic, so output matches the oracle's full O(n^2) scan
+    * bit-for-bit. Pairs are enumerated per-partition against the broadcast
+    * set (no shuffle). When the vocabulary is unbounded, the MinHash+LSH
+    * path (d02/d03) is the candidate generator that scales instead. */
   def d05JaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
+    import s.implicits._
+    val docs = documents(s, d)
       .selectExpr("doc_id", "lang", s"array_distinct($toksExpr) AS t")
-      .selectExpr("doc_id", "lang", "t", "size(t) AS nt")
-    val exploded = toks.selectExpr("doc_id", "lang", "nt", "explode(t) AS tok")
-    val ea = exploded.toDF("a", "lang", "na", "tok")
-    val eb = exploded.toDF("b", "langb", "nb", "tok")
-    ea.join(eb, ea("tok") === eb("tok") && ea("lang") === eb("langb") && ea("a") < eb("b"))
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .selectExpr("a", "b",
-        "CAST(inter AS DOUBLE) / (na + nb - inter) AS jac_raw")
-      .filter(col("jac_raw") >= JaccardThreshold)
+      .as[(Long, String, Seq[String])]
+    val vocab = documents(s, d)
+      .selectExpr(s"explode(array_distinct($toksExpr)) AS tok")
+      .distinct().orderBy("tok").as[String].collect()
+    val vocabIdx = vocab.zipWithIndex.toMap
+    val words = (vocab.length + 63) / 64
+    def toBits(ts: Seq[String]): Array[Long] = {
+      val b = new Array[Long](words)
+      ts.foreach { t => val i = vocabIdx(t); b(i >> 6) |= 1L << (i & 63) }
+      b
+    }
+    val all = docs.collect().sortBy(_._1).map { case (id, lang, ts) => (id, lang, toBits(ts)) }
+    val bc = s.sparkContext.broadcast(all)
+    val threshold = JaccardThreshold
+    docs.mapPartitions { rows =>
+      val others = bc.value
+      rows.flatMap { case (aid, lang, ts) =>
+        val abits = toBits(ts)
+        others.iterator.flatMap { case (bid, blang, bbits) =>
+          if (bid <= aid || blang != lang) Iterator.empty
+          else {
+            var inter = 0
+            var union = 0
+            var w = 0
+            while (w < words) {
+              inter += java.lang.Long.bitCount(abits(w) & bbits(w))
+              union += java.lang.Long.bitCount(abits(w) | bbits(w))
+              w += 1
+            }
+            val j = inter.toDouble / union
+            if (j >= threshold) Iterator.single((aid, bid, j)) else Iterator.empty
+          }
+        }
+      }
+    }.toDF("a", "b", "jac_raw")
       .selectExpr("a", "b", "CAST(jac_raw AS DECIMAL(18,6)) AS jaccard")
   }
 }

@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.testkit.SparkSpec
+
+/** Physical-plan audits: the scale properties claimed in Scaladoc must be
+  * visible in `explain` — pushed filters, broadcast joins, partial
+  * aggregation, whole-stage codegen. A correct result from a wrong-shaped
+  * plan fails here. */
+class PlanChecksSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: filters reach the parquet scan (PushedFilters)") {
+    val p = plan(RelationalQueries.q02Revenue(spark, d))
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("l_discount") && p.contains("l_quantity"))
+    // column pruning: only needed columns in ReadSchema
+    assert(p.contains("ReadSchema"))
+    assert(!p.split("ReadSchema")(1).takeWhile(_ != '\n').contains("l_orderkey"))
+  }
+
+  test("q03/q04: dimension joins broadcast, no sort-merge") {
+    val p3 = plan(RelationalQueries.q03TopCustomers(spark, d))
+    assert(p3.contains("BroadcastHashJoin"), p3.take(2000))
+    val p4 = plan(RelationalQueries.q04RegionRevenue(spark, d))
+    assert(p4.contains("BroadcastHashJoin"))
+    assert(!p4.contains("SortMergeJoin"), "dimension chain must not sort-merge:\n" + p4.take(3000))
+  }
+
+  test("q01: map-side partial aggregation + whole-stage codegen") {
+    val df = RelationalQueries.q01PricingSummary(spark, d)
+    assert(plan(df).contains("partial_"), "expected partial aggregation (map-side combine)")
+    // codegen spans only appear once AQE finalizes — execute THIS plan
+    // (a write would spawn a fresh QueryExecution), then inspect
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("WholeStageCodegen") || finalPlan.contains("*("),
+      "expected whole-stage codegen in final plan:\n" + finalPlan.take(2000))
+  }
+
+  test("q05: single window over pre-partitioned sort, no extra shuffle") {
+    val p = plan(RelationalQueries.q05RunningTotal(spark, d))
+    assert(p.contains("Window"))
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      "running-sum window should shuffle at most once:\n" + p.take(3000))
+  }
+
+  test("d01: dedup is a hash aggregate on the content hash, not a join") {
+    val p = plan(TextQueries.d01DedupGroups(spark, d))
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Join"))
+  }
+
+  test("s01: query set is broadcast against the corpus") {
+    val p = plan(SimilarityQueries.s01AnnTopK(spark, d))
+    assert(p.contains("Broadcast"), p.take(2000))
+  }
+
+  test("segment upload plan is shuffle-free (narrow mapPartitions)") {
+    val store = java.nio.file.Files.createTempDirectory("plan-store").toString
+    val in = java.nio.file.Files.createTempDirectory("plan-in").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "s.bin"), new Array[Byte](1000))
+    val cfg = graft.operators.SegmentJobConfig.withGeneratedKeys(store)
+    val p = plan(graft.operators.SegmentUploadJob.run(spark, in, cfg))
+    assert(!p.contains("Exchange"), "upload must not shuffle:\n" + p)
+  }
+}
