@@ -40,9 +40,11 @@ object SparkEntry {
     "d03_minhash_pairs" -> (TextQueries.d03MinHashPairs _),
     "d04_simhash" -> (TextQueries.d04SimHash _),
     "d05_jaccard_pairs" -> (TextQueries.d05JaccardPairs _),
+    "d06_bitset_jaccard" -> (TextQueries.d06BitsetJaccardExpr _),
     "s01_ann_topk" -> (SimilarityQueries.s01AnnTopK _),
     "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
     "s03_ann_lsh" -> (SimilarityQueries.s03AnnLsh _),
+    "s04_ann_ivf" -> (SimilarityQueries.s04AnnIvf _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -212,6 +214,35 @@ object SparkEntry {
          |      GROUP BY 1, 2, 3, 4)
          |SELECT a, b, CAST(CAST(inter AS DOUBLE) / (na + nb - inter) AS DECIMAL(18,6)) AS jaccard
          |FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= ${TextQueries.JaccardThreshold}""".stripMargin,
+    "d06_bitset_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, lang, list_distinct($dToks) AS t FROM documents),
+         |tt AS (SELECT doc_id, lang, len(t) AS nt, unnest(t) AS tok FROM toks),
+         |j AS (SELECT a.doc_id AS a, b.doc_id AS b, a.nt AS na, b.nt AS nb, count(*) AS inter
+         |      FROM tt a JOIN tt b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT a, b, CAST(CAST(inter AS DOUBLE) / (na + nb - inter) AS DECIMAL(18,6)) AS jaccard
+         |FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= ${TextQueries.JaccardThreshold}""".stripMargin,
+    "s04_ann_ivf" ->
+      s"""WITH $dNrmCte,
+         |anch AS (SELECT vec_id - ${SimilarityQueries.AnchorFrom} AS anchor_id, v AS av, nrm AS anrm
+         |         FROM nrm WHERE vec_id >= ${SimilarityQueries.AnchorFrom}
+         |           AND vec_id < ${SimilarityQueries.AnchorFrom + SimilarityQueries.AnchorCount}),
+         |scored AS (SELECT n.vec_id, n.v, n.nrm, a.anchor_id,
+         |             list_dot_product(n.v, a.av) / (n.nrm * a.anrm) AS acos,
+         |             row_number() OVER (PARTITION BY n.vec_id
+         |                                ORDER BY list_dot_product(n.v, a.av) / (n.nrm * a.anrm) DESC,
+         |                                         a.anchor_id) AS rk
+         |           FROM nrm n, anch a),
+         |celled AS (SELECT vec_id, v, nrm, anchor_id AS cell FROM scored WHERE rk = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell FROM celled
+         |      WHERE vec_id < ${SimilarityQueries.QueryCount}),
+         |c AS (SELECT query_id, q.cell, vec_id, list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+         |      FROM q JOIN celled ON q.cell = celled.cell AND celled.vec_id != q.query_id),
+         |r AS (SELECT query_id, cell, vec_id, cosine,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |      FROM c)
+         |SELECT query_id, cell, vec_id AS neighbor_id, CAST(cosine AS DECIMAL(18,12)) AS cosine
+         |FROM r WHERE rnk = 1""".stripMargin,
     "s01_ann_topk" ->
       s"""WITH $dNrmCte,
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nrm

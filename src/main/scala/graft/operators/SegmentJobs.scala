@@ -99,8 +99,10 @@ object SegmentUploadJob {
       limiter: Option[RateLimiter],
       cfg: SegmentJobConfig,
       segKey: String,
-      payload: Array[Byte]): UploadResult = {
+      payload: Array[Byte],
+      indexes: Option[IndexTransform.SegmentIndexData] = None): UploadResult = {
     val logKey = s"$segKey.${ObjectKey.Suffix.Log.value}"
+    val indexesKey = s"$segKey.${ObjectKey.Suffix.Indexes.value}"
     val manifestKey = s"$segKey.${ObjectKey.Suffix.Manifest.value}"
     try {
       // T7 compression predicate: skip when the payload is already dense.
@@ -116,15 +118,20 @@ object SegmentUploadJob {
       val body = seg.concatenated
       limiter.foreach(_.acquire(body.length.toLong))
       storage.uploadBytes(body, logKey)
+      // T10: index files — encrypted (same data key) but never compressed.
+      val segmentIndexes = indexes.map(ix =>
+        IndexTransform.upload(storage, segKey, ix, dk.map(_.dataKey),
+          dk.map(_.aad).getOrElse(Array.emptyByteArray)))
       // Manifest last = commit point.
       storage.uploadBytes(
-        SegmentManifest(seg.index, None, doCompress, encMeta).toJson.getBytes("UTF-8"), manifestKey)
+        SegmentManifest(seg.index, segmentIndexes, doCompress, encMeta).toJson.getBytes("UTF-8"), manifestKey)
       UploadResult(segKey, payload.length.toLong, seg.index.transformedFileSize,
         seg.index.chunkCount, doCompress, cfg.encryption, success = true, error = "")
     } catch {
       case e: Throwable =>
         // Compensating delete: never leave a partial segment behind.
-        try { storage.delete(logKey); storage.delete(manifestKey) } catch { case _: Throwable => () }
+        try { storage.delete(logKey); storage.delete(indexesKey); storage.delete(manifestKey) }
+        catch { case _: Throwable => () }
         UploadResult(segKey, payload.length.toLong, -1L, -1, compressed = false,
           encrypted = cfg.encryption, success = false, error = String.valueOf(e.getMessage))
     }

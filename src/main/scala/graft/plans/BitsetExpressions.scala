@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the dedup family — the one place the
+  * built-in function set genuinely can't express the operation efficiently
+  * (SURVEY §4): popcount over BinaryType bitsets. `bit_count` exists only
+  * for integral types; computing Jaccard over set-bitmaps with built-ins
+  * would mean exploding the bitmap back to rows.
+  *
+  * `BitsetJaccard` participates in whole-stage codegen (`doGenCode` emits a
+  * primitive byte loop); `TokensToBitset` is an eval-mode builder for the
+  * bitmap column. Registered via [[GraftFunctions.register]] (runtime) or
+  * [[GraftExtensions]] (`spark.sql.extensions=graft.plans.GraftExtensions`).
+  */
+final case class BitsetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "bitset_jaccard"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected (binary, binary), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    var inter = 0
+    var union = 0
+    val n = math.max(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val xb = if (i < x.length) x(i) & 0xFF else 0
+      val yb = if (i < y.length) y(i) & 0xFF else 0
+      inter += java.lang.Integer.bitCount(xb & yb)
+      union += java.lang.Integer.bitCount(xb | yb)
+      i += 1
+    }
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val inter = ctx.freshName("inter")
+      val union = ctx.freshName("union")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val xb = ctx.freshName("xb")
+      val yb = ctx.freshName("yb")
+      s"""
+         |int $inter = 0;
+         |int $union = 0;
+         |int $n = Math.max($a.length, $b.length);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $xb = $i < $a.length ? ($a[$i] & 0xFF) : 0;
+         |  int $yb = $i < $b.length ? ($b[$i] & 0xFF) : 0;
+         |  $inter += java.lang.Integer.bitCount($xb & $yb);
+         |  $union += java.lang.Integer.bitCount($xb | $yb);
+         |}
+         |${ev.value} = $union == 0 ? 0.0 : ((double) $inter) / $union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Build a bitset (BINARY) from an array of tokens and a vocab map
+  * (token -> bit index). Eval-mode (the bitmap build is off the hot loop —
+  * one per row vs O(n) jaccard comparisons per row). */
+final case class TokensToBitset(tokens: Expression, vocab: Expression)
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def left: Expression = tokens
+  override def right: Expression = vocab
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "tokens_to_bitset"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (tokens.dataType, vocab.dataType) match {
+      case (ArrayType(StringType, _), MapType(StringType, IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected (array<string>, map<string,int>), got $other")
+    }
+  }
+
+  override protected def nullSafeEval(toks: Any, voc: Any): Any = {
+    val arr = toks.asInstanceOf[ArrayData]
+    val map = voc.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    // materialize vocab lookup (small, per-row; callers should pass a
+    // foldable literal so this folds to a constant map)
+    val keys = map.keyArray()
+    val vals = map.valueArray()
+    val lookup = new java.util.HashMap[UTF8String, Int](map.numElements())
+    var i = 0
+    while (i < map.numElements()) {
+      lookup.put(keys.getUTF8String(i), vals.getInt(i))
+      i += 1
+    }
+    var maxBit = -1
+    var j = 0
+    while (j < map.numElements()) { maxBit = math.max(maxBit, vals.getInt(j)); j += 1 }
+    val out = new Array[Byte](maxBit / 8 + 1)
+    var t = 0
+    while (t < arr.numElements()) {
+      val idx = lookup.get(arr.getUTF8String(t))
+      if (idx != null) out(idx >> 3) = (out(idx >> 3) | (1 << (idx & 7))).toByte
+      t += 1
+    }
+    out
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(tokens = newLeft, vocab = newRight)
+}
+
+/** Runtime registration for sessions created without extensions (the
+  * driver's Verify/Bench sessions). Idempotent. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("bitset_jaccard",
+      (exprs: Seq[Expression]) => BitsetJaccard(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("tokens_to_bitset",
+      (exprs: Seq[Expression]) => TokensToBitset(exprs(0), exprs(1)), "scala_udf")
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` wiring. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("bitset_jaccard"),
+      new ExpressionInfo(classOf[BitsetJaccard].getName, "bitset_jaccard"),
+      (exprs: Seq[Expression]) => BitsetJaccard(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("tokens_to_bitset"),
+      new ExpressionInfo(classOf[TokensToBitset].getName, "tokens_to_bitset"),
+      (exprs: Seq[Expression]) => TokensToBitset(exprs(0), exprs(1))))
+  }
+}

@@ -99,6 +99,36 @@ object SimilarityQueries {
       .selectExpr("a", "b", "CAST(cosine_raw AS DECIMAL(18,12)) AS cosine")
   }
 
+  /** s04: IVF-style ANN — each vector is assigned to the CELL of its
+    * nearest anchor (argmax cosine over the 8 anchors, the "coarse
+    * quantizer"); search touches only the query's cell. The other classic
+    * scale path next to LSH (s03): cells partition the corpus, so a query
+    * probes 1/k of the data. */
+  def s04AnnIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = normed(s, d)
+    val anchors = broadcast(
+      all.filter(col("vec_id") >= AnchorFrom && col("vec_id") < AnchorFrom + AnchorCount)
+        .selectExpr(s"vec_id - $AnchorFrom AS anchor_id", "v AS av", "nrm AS anrm"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("acos").desc, col("anchor_id"))
+    val celled = all.crossJoin(anchors)
+      .selectExpr("vec_id", "v", "nrm", "anchor_id",
+        "aggregate(zip_with(v, av, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x) / (nrm * anrm) AS acos")
+      .withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") === 1)
+      .selectExpr("vec_id", "v", "nrm", "anchor_id AS cell")
+    val q = celled.filter(col("vec_id") < QueryCount)
+      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm", "cell")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    q.join(celled.selectExpr("vec_id", "v", "nrm", "cell"), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "cell", "vec_id", s"$dotExpr / (qnrm * nrm) AS cosine")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .selectExpr("query_id", "cell", "vec_id AS neighbor_id",
+        "CAST(cosine AS DECIMAL(18,12)) AS cosine")
+  }
+
   /** s03: LSH-bucketed ANN — bucket = sign bits of dot products with 8
     * anchor vectors; candidates share the bucket; top-1 within bucket. */
   def s03AnnLsh(s: SparkSession, d: String): DataFrame = {

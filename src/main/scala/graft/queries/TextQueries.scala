@@ -222,4 +222,32 @@ object TextQueries {
     }.toDF("a", "b", "jac_raw")
       .selectExpr("a", "b", "CAST(jac_raw AS DECIMAL(18,6)) AS jaccard")
   }
+
+  /** d06: the same Jaccard near-dup output computed through the engine's
+    * custom Catalyst expressions (`tokens_to_bitset` builds the bitmap
+    * column, codegen'd `bitset_jaccard` runs popcount AND/OR inside
+    * whole-stage codegen) — the (b)-tier extension path of the brief,
+    * exercised where built-ins genuinely can't express popcount-over-binary.
+    * Scale note: the per-language pair join keys on few values; at real
+    * scale pair enumeration belongs to the LSH candidates (d03) with this
+    * expression as the verifier. */
+  def d06BitsetJaccardExpr(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    import s.implicits._
+    val vocab = documents(s, d)
+      .selectExpr(s"explode(array_distinct($toksExpr)) AS tok")
+      .distinct().orderBy("tok").as[String].collect()
+    val vocabMap = vocab.zipWithIndex
+      .map { case (t, i) => s"'${t.replace("'", "''")}', $i" }
+      .mkString("map(", ", ", ")")
+    val withBits = documents(s, d)
+      .selectExpr("doc_id", "lang", s"array_distinct($toksExpr) AS t")
+      .selectExpr("doc_id", "lang", s"tokens_to_bitset(t, $vocabMap) AS bits")
+    val a = withBits.selectExpr("doc_id AS a", "lang", "bits AS ab")
+    val b = withBits.selectExpr("doc_id AS b", "lang AS langb", "bits AS bb")
+    a.join(b, a("lang") === b("langb") && a("a") < b("b"))
+      .selectExpr("a", "b", "bitset_jaccard(ab, bb) AS j")
+      .filter(col("j") >= JaccardThreshold)
+      .selectExpr("a", "b", "CAST(j AS DECIMAL(18,6)) AS jaccard")
+  }
 }

@@ -55,6 +55,23 @@ object SegmentRoundTripDemo {
     val expected = payload.slice(want.from.toInt, want.to.toInt + 1)
     println(s"byte-equal: ${java.util.Arrays.equals(sliced, expected)} (${sliced.length} bytes)")
 
+    // Index files (T10/R9): encrypted-not-compressed, running positions.
+    {
+      import graft.operators.IndexTransform
+      val idx = IndexTransform.SegmentIndexData(
+        offset = Array.tabulate[Byte](64)(_.toByte),
+        timestamp = Array.tabulate[Byte](48)(i => (i * 2).toByte),
+        producerSnapshot = Array.tabulate[Byte](32)(i => (i + 5).toByte),
+        leaderEpoch = Array.tabulate[Byte](8)(_.toByte),
+        transaction = None)
+      val si = IndexTransform.upload(storage, "topic-tid/0/00000000000000000000-seg1", idx, Some(dk.dataKey), dk.aad)
+      val back = IndexTransform.fetch(storage, "topic-tid/0/00000000000000000000-seg1", si,
+        "timestamp", Some(dk.dataKey), dk.aad)
+      println(s"index round trip: positions ${si.offset.position}/${si.timestamp.position}/" +
+        s"${si.producerSnapshot.position}/${si.leaderEpoch.position}, " +
+        s"timestamp index byte-equal: ${back.exists(_.sameElements(idx.timestamp))}")
+    }
+
     // Tamper probe: corrupting the stored object must fail decryption loudly.
     val corrupt = storage.fetchBytes(logKey)
     val hit = chunks.head.transformedPosition + chunks.head.transformedSize / 2

@@ -76,6 +76,28 @@ class RecordTableSpec extends SparkSpec {
       s"expected pushed filter in plan:\n$plan")
   }
 
+  test("TypedDecode materializes registry-typed columns; unknown ids stay raw") {
+    val regDir = Files.createTempDirectory("td-reg").toString
+    val registry = SchemaRegistry(regDir)
+    registry.register(3,
+      """{"type":"record","name":"v","fields":[{"name":"s","type":"string"},{"name":"n","type":"long"}]}""")
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0L
+    val framedValues = (0 until 10).map { i =>
+      if (i % 3 == 0) s"plain-$i".getBytes // non-enveloped -> stays raw
+      else registry.encode(3, org.apache.spark.sql.Row(s"s$i", i.toLong))
+    }
+    out.write(writeBatch(buildBatch(0L, 100L, framedValues.map(v => (kb("k"), v, Seq.empty[Header])))))
+    val rows = SegmentToRows.fromSegmentBytes(spark, Seq((0, out.toByteArray)))
+    val typed = TypedDecode.withDecoded(rows, registry, 3)
+    assert(typed.schema("value").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val got = typed.selectExpr("kafka.offset AS o", "value.s", "value.n").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains("s1") && got(4L).contains("s4"))
+    assert(got(0L).isEmpty && got(3L).isEmpty) // unknown envelope -> null typed, raw kept
+    assert(typed.filter(col("value").isNull && col("value_raw").isNotNull).count() == 4)
+  }
+
   test("schema evolution on append: add nullable column, widen") {
     import org.apache.spark.sql.types._
     val tableDir = Files.createTempDirectory("graft-table3").toString
