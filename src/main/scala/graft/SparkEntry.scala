@@ -29,6 +29,7 @@ object SparkEntry {
     "q09_object_keys" -> (RelationalQueries.q09ObjectKeys _),
     "q10_hourly_events" -> (RelationalQueries.q10HourlyEvents _),
     "q11_event_regroup" -> (RelationalQueries.q11EventRegroup _),
+    "q14_salted_agg" -> (RelationalQueries.q14SaltedAgg _),
     "q12_chunk_index" -> (SegmentQueries.q12ChunkIndex _),
     "q13_chunks_for_range" -> (SegmentQueries.q13ChunksForRange _),
     "t01_token_stats" -> (TextQueries.t01TokenStats _),
@@ -127,6 +128,10 @@ object SparkEntry {
         |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
         |       string_agg(event_type, ',' ORDER BY ts, event_id) AS trace
         |FROM events WHERE user_id <= 500 GROUP BY user_id""".stripMargin,
+    "q14_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "q12_chunk_index" ->
       """SELECT doc_id, n_chars,
         | CASE WHEN n_chars = 0 THEN 0 ELSE (n_chars + 63) // 64 END AS chunk_count,

@@ -132,6 +132,19 @@ object RelationalQueries {
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), out2(sum(dec2(col("value")))).as("hourly_value"))
 
+  /** Skew-safe two-phase aggregation: the classic salting pattern — partial
+    * aggregate on (key, salt) spreads a hot key over 16 reducers, the final
+    * aggregate merges partials. Output is EXACTLY the plain groupBy (decimal
+    * addition is associative), which is what the oracle runs. `event_type`
+    * has ~5 values over millions of rows — precisely the skew shape that
+    * stalls a single reducer at 100 TB. */
+  def q14SaltedAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(16)).as("salt"))
+      .agg(count(lit(1)).as("pn"), sum(dec2(col("value"))).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"), out2(sum(col("pv"))).as("total_value"))
+
   /** Ordered regroup — the I8/I9 `RecordBatchGrouper` shape: group by batch
     * identity, reassemble members in offset order
     * (`RecordBatchGrouper.java:42-75`). Here: per user, events in

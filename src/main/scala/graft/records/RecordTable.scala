@@ -153,6 +153,17 @@ final class RecordTable(tableDir: String) {
         .filter(col("kafka.offset") >= startOffset)
   }
 
+  /** Streaming reads of the records table (SURVEY §7 step 7): new segment
+    * data files become micro-batches; `maxFilesPerTrigger` is the read-side
+    * rate limit (the streaming twin of the upload limiter). */
+  def readStream(spark: SparkSession, maxFilesPerTrigger: Int = 16): DataFrame = {
+    val schema = currentSchema.getOrElse(RowSchema.rawSchema)
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dataDir.toString)
+  }
+
   private def metaToJson(m: DataFileMeta): String = {
     val n = mapper.createObjectNode()
     n.put("file", m.file); n.put("segment", m.segment)

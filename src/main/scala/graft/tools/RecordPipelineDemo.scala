@@ -74,6 +74,17 @@ object RecordPipelineDemo {
     println("spark.sql over decoded topic:")
     top.collect().foreach(r => println(s"  ${r.getString(0)} n=${r.getLong(1)} total=${r.getLong(2)}"))
 
+    // Streaming read of the topic table: each data file a micro-batch.
+    {
+      import org.apache.spark.sql.streaming.Trigger
+      val q = table.readStream(spark, maxFilesPerTrigger = 1)
+        .writeStream.format("memory").queryName("topic_stream")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val n = spark.sql("SELECT count(*) FROM topic_stream").head().getLong(0)
+      println(s"streaming read: $n rows over ${q.recentProgress.length} micro-batches")
+    }
+
     // Re-serialize and compare byte-for-byte.
     val rebuilt = BatchReserializer.toWireBatches(spark, table.read(spark))
       .orderBy(col("base_offset")).collect().flatMap(_.getAs[Array[Byte]]("wire_bytes"))

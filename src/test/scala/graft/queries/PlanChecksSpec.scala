@@ -58,6 +58,28 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p.take(2000))
   }
 
+  test("bucketed tables co-locate the join: no Exchange on either side") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force the issue
+    try {
+      Tables.orders(spark, d).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_bkt")
+      Tables.customer(spark, d).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_bkt")
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(o_custkey"),
+        "bucketed join must not reshuffle the fact side:\n" + p.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+
   test("segment upload plan is shuffle-free (narrow mapPartitions)") {
     val store = java.nio.file.Files.createTempDirectory("plan-store").toString
     val in = java.nio.file.Files.createTempDirectory("plan-in").toString

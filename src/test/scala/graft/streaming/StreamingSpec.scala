@@ -67,6 +67,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == batch.agg(sum("n")).head().getLong(0))
   }
 
+  test("streaming read of the records table sees appended segments") {
+    import graft.records._
+    import org.apache.spark.sql.streaming.Trigger
+    val tableDir = Files.createTempDirectory("graft-stream-table").toString
+    val table = new RecordTable(tableDir)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(KafkaWireCodec.writeBatch(KafkaWireCodec.buildBatch(0L, 5L,
+      (0 until 8).map(i => (s"k$i".getBytes, s"v$i".getBytes, Seq.empty)))))
+    table.appendSegment(spark, "s0", SegmentToRows.fromSegmentBytes(spark, Seq((0, out.toByteArray))))
+    val q = table.readStream(spark, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("topic_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.sql("SELECT count(*) FROM topic_stream").head().getLong(0) == 8)
+  }
+
   test("retention deletes selected segments in batches; orphan GC cleans aborted uploads") {
     val store = Files.createTempDirectory("graft-ret-store").toString
     val cfg = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 4096)
