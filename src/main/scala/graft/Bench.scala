@@ -38,14 +38,45 @@ object Bench {
     }
 
     val (tMbps, dMbps) = transformMatrix()
+    val fMbps = fetchBench()
 
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""transform_mbps":${jmap(tMbps)},"detransform_mbps":${jmap(dMbps)}}""")
+      s""""transform_mbps":${jmap(tMbps)},"detransform_mbps":${jmap(dMbps)},"fetch_mbps":${jmap(fMbps)}}""")
     spark.stop()
+  }
+
+  /** End-to-end fetch MB/s through the storage backend (BASELINE "fetch
+    * MB/s, full-range and sub-range"): one 50 MiB segment tiered out with
+    * compression+encryption, then served back via manifest + ranged GETs +
+    * detransform (the R3/R4 path). */
+  private def fetchBench(): Seq[(String, Double)] = {
+    import graft.core.BytesRange
+    import graft.operators._
+    import graft.sources.FileSystemStorage
+    val store = java.nio.file.Files.createTempDirectory("bench-store").toString
+    val cfg = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 4 * 1024 * 1024)
+    val size = 50 * 1024 * 1024
+    val payload = new Array[Byte](size)
+    new java.util.Random(7).nextBytes(payload)
+    java.util.Arrays.fill(payload, size / 2, size, 7.toByte)
+    SegmentUploadJob.uploadOne(FileSystemStorage(store), cfg.ring, None, cfg, "bench-seg", payload)
+    def time(range: BytesRange): Double = {
+      SegmentFetchJob.fetchRange(cfg, "bench-seg", range) // warm
+      var best = Double.MaxValue
+      (1 to 3).foreach { _ =>
+        val t0 = System.nanoTime()
+        SegmentFetchJob.fetchRange(cfg, "bench-seg", range)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      range.size / 1e6 / best
+    }
+    Seq(
+      "full_comp_enc" -> time(BytesRange(0, size - 1L)),
+      "subrange_1mib_comp_enc" -> time(BytesRange(10 * 1024 * 1024L, 11 * 1024 * 1024L - 1)))
   }
 
   /** The JMH grid at 10 MiB content: chunk {100 KiB, 1 MiB, 5 MiB} ×

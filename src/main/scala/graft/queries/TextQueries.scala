@@ -90,20 +90,22 @@ object TextQueries {
   /** t04: document fingerprinting — full md5, normalized md5, token-bag md5
     * (order-independent), and min-shingle md5 (winnowing-style rolling
     * fingerprint). */
-  def t04Fingerprint(s: SparkSession, d: String): DataFrame =
+  def t04Fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     documents(s, d)
       .selectExpr("doc_id", "text", s"$normExpr AS norm")
-      .selectExpr(
-        "doc_id",
-        "md5(CAST(text AS BINARY)) AS full_md5",
-        "md5(CAST(norm AS BINARY)) AS norm_md5",
-        "md5(CAST(array_join(array_sort(split(norm, ' ')), ' ') AS BINARY)) AS bag_md5",
-        "norm")
-      .withColumn("shingle_pos", explode(expr(s"sequence(1, greatest(length(norm) - ${ShingleSize - 1}, 1))")))
-      .selectExpr("doc_id", "full_md5", "norm_md5", "bag_md5",
-        s"md5(CAST(substring(norm, shingle_pos, $ShingleSize) AS BINARY)) AS sh_md5")
-      .groupBy("doc_id", "full_md5", "norm_md5", "bag_md5")
-      .agg(min("sh_md5").as("min_shingle_md5"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text, norm) =>
+          var minShingle = "￿"
+          foreachShingleMd5(md, norm)(hex => if (hex.compareTo(minShingle) < 0) minShingle = hex)
+          (id, md5Hex(md, text), md5Hex(md, norm),
+            md5Hex(md, norm.split(' ').sorted.mkString(" ")), minShingle)
+        }
+      }
+      .toDF("doc_id", "full_md5", "norm_md5", "bag_md5", "min_shingle_md5")
+  }
 
   /** d01: set-semantic dedup groups — documents whose *distinct token sets*
     * are identical (bag fingerprint); keeper = min doc id, the exact
@@ -116,19 +118,62 @@ object TextQueries {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("dup_cnt"))
       .filter(col("dup_cnt") >= 2)
 
+  /** Lowercase hex of an md5 digest — identical to Spark's and DuckDB's
+    * `md5()` rendering. */
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xF, 16))
+      sb.append(Character.forDigit(d(i) & 0xF, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Per-doc shingle scan shared by d02/t04: calls `f(fullHex)` for every
+    * ShingleSize-char shingle of `norm` (same grid as the SQL
+    * `substring(norm, pos, k)` explode — final shingles may be shorter;
+    * an empty norm yields one empty shingle). */
+  private def foreachShingleMd5(md: java.security.MessageDigest, norm: String)(f: String => Unit): Unit = {
+    val last = math.max(norm.length - (ShingleSize - 1), 1)
+    var i = 0
+    while (i < last) {
+      f(md5Hex(md, norm.substring(i, math.min(i + ShingleSize, norm.length))))
+      i += 1
+    }
+  }
+
   /** d02: MinHash signatures — k independent 8-hex-char slices of ONE md5
-    * per character shingle (4 32-bit hash functions from a single digest:
-    * one hash computation per shingle, not k), plus LSH band keys
-    * (bands of 2). */
+    * per character shingle, plus LSH band keys (bands of 2).
+    *
+    * Physical plan: a per-doc mapPartitions kernel (digest reused per task,
+    * mins folded in-place) — no shingle-row explosion, no shuffle; the
+    * exploded+groupBy formulation moved ~300 rows/doc through an exchange
+    * for the same answer. Hash values are identical to the SQL/oracle
+    * formulation. */
   def d02MinHashSig(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
+    import s.implicits._
+    documents(s, d)
       .selectExpr("doc_id", s"$normExpr AS norm")
-      .withColumn("pos", explode(expr(s"sequence(1, greatest(length(norm) - ${ShingleSize - 1}, 1))")))
-      .selectExpr("doc_id", s"md5(CAST(substring(norm, pos, $ShingleSize) AS BINARY)) AS m")
-    val hashes = (0 until MinHashK).map(i =>
-      min(expr(s"substring(m, ${i * 8 + 1}, 8)")).as(s"h$i"))
-    base.groupBy("doc_id")
-      .agg(hashes.head, hashes.tail: _*)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, norm) =>
+          val mins = Array.fill(MinHashK)("￿")
+          foreachShingleMd5(md, norm) { hex =>
+            var k = 0
+            while (k < MinHashK) {
+              val sub = hex.substring(k * 8, k * 8 + 8)
+              if (sub.compareTo(mins(k)) < 0) mins(k) = sub
+              k += 1
+            }
+          }
+          (id, mins(0), mins(1), mins(2), mins(3))
+        }
+      }
+      .toDF("doc_id", "h0", "h1", "h2", "h3")
       .selectExpr("doc_id", "h0", "h1", "h2", "h3",
         "md5(CAST(concat(h0, h1) AS BINARY)) AS band0",
         "md5(CAST(concat(h2, h3) AS BINARY)) AS band1")

@@ -28,10 +28,15 @@ object EventStreams {
     * map to exactly this shape in streaming form). */
   def userSessions(spark: SparkSession, events: DataFrame, idleTimeoutMs: Long = 3600000L): Dataset[UserUpdate] = {
     import spark.implicits._
+    // idleTimeoutMs <= 0 disables processing-time timeouts (timeout checks
+    // schedule extra micro-batches — with a memory source that means
+    // continuous empty batches, which test harnesses don't want).
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events.selectExpr("user_id", "CAST(ts AS LONG) * 1000 AS ts_ms", "event_type")
       .as[(Long, Long, String)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState(timeoutConf) {
         (userId: Long, rows: Iterator[(Long, Long, String)], state: GroupState[UserState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -43,7 +48,7 @@ object EventStreams {
             val next = UserState(userId, prev.nEvents + events.size,
               events.map(_._2).maxOption.getOrElse(prev.lastTs), prev.trace)
             state.update(next)
-            state.setTimeoutDuration(idleTimeoutMs)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
             UserUpdate(userId, next.nEvents, next.lastTs, closed = false)
           }
       }

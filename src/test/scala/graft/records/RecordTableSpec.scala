@@ -76,6 +76,29 @@ class RecordTableSpec extends SparkSpec {
       s"expected pushed filter in plan:\n$plan")
   }
 
+  test("consume across batch borders: a byte range spanning batches parses to exactly its records") {
+    // the reference e2e's key assertion (SingleBrokerTest.java:436-487):
+    // fetching a segment slice that starts at a batch boundary yields the
+    // records of the remaining batches, byte-exactly.
+    val (seg1, _, _) = makeSegments()
+    val batches = KafkaWireCodec.parseSegment(seg1)
+    assert(batches.size >= 3)
+    val cut = batches(2).byteOffset // start of third batch
+    val tail = java.util.Arrays.copyOfRange(seg1, cut, seg1.length)
+    val parsed = KafkaWireCodec.parseSegment(tail)
+    assert(parsed.head.baseOffset == batches(2).baseOffset)
+    assert(parsed.flatMap(_.records).size == batches.drop(2).flatMap(_.records).size)
+    // and through the tiered-segment layer: upload, fetch [cut, end), parse
+    val store = Files.createTempDirectory("border-store").toString
+    val cfg = graft.operators.SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 1024)
+    val storage = graft.sources.FileSystemStorage(store)
+    assert(graft.operators.SegmentUploadJob.uploadOne(storage, cfg.ring, None, cfg, "seg", seg1).success)
+    val fetched = graft.operators.SegmentFetchJob.fetchRange(cfg, "seg",
+      graft.core.BytesRange(cut.toLong, seg1.length - 1L))
+    assert(java.util.Arrays.equals(fetched, tail))
+    assert(KafkaWireCodec.parseSegment(fetched).head.baseOffset == batches(2).baseOffset)
+  }
+
   test("TypedDecode materializes registry-typed columns; unknown ids stay raw") {
     val regDir = Files.createTempDirectory("td-reg").toString
     val registry = SchemaRegistry(regDir)

@@ -103,6 +103,28 @@ class StreamingSpec extends SparkSpec {
     assert(storage.listKeys("").count(_.endsWith(".log")) == 2)
   }
 
+  test("mapGroupsWithState user sessions accumulate per-key state across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String)]
+    val events = input.toDF().toDF("user_id", "ts_s", "event_type")
+      .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+    val updates = EventStreams.userSessions(spark, events, idleTimeoutMs = 0L)
+    val q = updates.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    input.addData((1L, 100L, "a"), (1L, 101L, "b"), (2L, 100L, "a"))
+    q.processAllAvailable()
+    input.addData((1L, 102L, "c"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    q.stop()
+    assert(rows(1L) == 3L, s"user 1 should have 3 events across batches, got $rows")
+    assert(rows(2L) == 1L)
+  }
+
   test("observed metrics: segment-copy sensors flow to the listener") {
     val collector = Metrics.register(spark)
     val in = Files.createTempDirectory("graft-obs-in").toString
