@@ -59,6 +59,25 @@ object StreamingIngestDemo {
     val s2 = cache.stats
     println(s"prefetch warmed next chunk: ${s2.hits > s1.hits} (cache size ${cache.size}, hits ${s2.hits})")
 
+    // topic ingest: .log Kafka segments stream into a record table
+    {
+      import graft.records._
+      import graft.streaming.TopicIngestStream
+      val topicWatch = Files.createTempDirectory("demo-topic-watch").toString
+      val topicCkpt = Files.createTempDirectory("demo-topic-ckpt").toString
+      val topicTable = Files.createTempDirectory("demo-topic-table").toString
+      (0 until 3).foreach { i =>
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(KafkaWireCodec.writeBatch(KafkaWireCodec.buildBatch(i * 4L, i * 100L,
+          (0 until 4).map(j => (s"k${i * 4 + j}".getBytes, s"v${i * 4 + j}".getBytes, Seq.empty)))))
+        Files.write(java.nio.file.Paths.get(topicWatch, f"seg-$i%03d.log"), out.toByteArray)
+      }
+      val tq = TopicIngestStream.start(spark, topicWatch, topicCkpt, topicTable)
+      tq.awaitTermination(120000)
+      val table = new RecordTable(topicTable)
+      println(s"topic ingest: ${table.listManifests().size} segments, ${table.read(spark).count()} records queryable via spark.sql")
+    }
+
     // ops: orphan + retention
     storage.uploadBytes(Array[Byte](1), "aborted-upload.log")
     val gc = RetentionJob.gcOrphans(cfg)

@@ -103,6 +103,32 @@ class StreamingSpec extends SparkSpec {
     assert(storage.listKeys("").count(_.endsWith(".log")) == 2)
   }
 
+  test("topic ingest stream: .log segments land in the record table; replay idempotent") {
+    import graft.records._
+    val watch = Files.createTempDirectory("graft-topic-watch").toString
+    val ckpt = Files.createTempDirectory("graft-topic-ckpt").toString
+    val tableDir = Files.createTempDirectory("graft-topic-table").toString
+    def segment(base: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(KafkaWireCodec.writeBatch(KafkaWireCodec.buildBatch(base, base * 3,
+        (0 until 5).map(i => (s"k${base + i}".getBytes, s"v${base + i}".getBytes, Seq.empty)))))
+      out.toByteArray
+    }
+    Files.write(java.nio.file.Paths.get(watch, "seg-000.log"), segment(0))
+    Files.write(java.nio.file.Paths.get(watch, "seg-005.log"), segment(5))
+    Files.write(java.nio.file.Paths.get(watch, "ignored.txt"), Array[Byte](1)) // glob-filtered
+
+    val q = TopicIngestStream.start(spark, watch, ckpt, tableDir)
+    q.awaitTermination(120000)
+    val table = new RecordTable(tableDir)
+    assert(table.listManifests().map(_.segment).sorted == Vector("seg-000", "seg-005"))
+    assert(table.read(spark).count() == 10)
+    // replay: same checkpoint, no duplicates
+    val q2 = TopicIngestStream.start(spark, watch, ckpt, tableDir)
+    q2.awaitTermination(60000)
+    assert(table.read(spark).count() == 10)
+  }
+
   test("mapGroupsWithState user sessions accumulate per-key state across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
