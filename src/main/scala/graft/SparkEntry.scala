@@ -42,6 +42,7 @@ object SparkEntry {
     "d04_simhash" -> (TextQueries.d04SimHash _),
     "d05_jaccard_pairs" -> (TextQueries.d05JaccardPairs _),
     "d06_bitset_jaccard" -> (TextQueries.d06BitsetJaccardExpr _),
+    "d07_dedup_clusters" -> (TextQueries.d07DedupClusters _),
     "s01_ann_topk" -> (SimilarityQueries.s01AnnTopK _),
     "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
     "s03_ann_lsh" -> (SimilarityQueries.s03AnnLsh _),
@@ -200,11 +201,7 @@ object SparkEntry {
          |SELECT bag_md5, min(doc_id) AS keeper, count(*) AS dup_cnt
          |FROM b GROUP BY bag_md5 HAVING count(*) >= 2""".stripMargin,
     "d02_minhash_sig" -> minHashSigSql,
-    "d03_minhash_pairs" ->
-      s"""WITH sig AS ($minHashSigSql),
-         |bands AS (SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig)
-         |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
+    "d03_minhash_pairs" -> minHashPairsSql,
     "d04_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest($dToks) AS tok FROM documents),
          |h AS (SELECT doc_id, md5(tok) AS h FROM toks),
@@ -248,6 +245,14 @@ object SparkEntry {
          |      FROM c)
          |SELECT query_id, cell, vec_id AS neighbor_id, CAST(cosine AS DECIMAL(18,12)) AS cosine
          |FROM r WHERE rnk = 1""".stripMargin,
+    "d07_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($minHashPairsSql),
+         |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.y FROM reach r JOIN edges e ON e.x = r.dst)
+         |SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src""".stripMargin,
     "s01_ann_topk" ->
       s"""WITH $dNrmCte,
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nrm
@@ -286,6 +291,13 @@ object SparkEntry {
          |SELECT query_id, bucket, vec_id AS neighbor_id, CAST(cosine AS DECIMAL(18,12)) AS cosine
          |FROM r WHERE rnk = 1""".stripMargin,
   )
+
+  /** DuckDB mirror of [[graft.queries.TextQueries.d03MinHashPairs]]. */
+  private def minHashPairsSql: String =
+    s"""WITH sig AS ($minHashSigSql),
+       |bands AS (SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig)
+       |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin
 
   /** DuckDB mirror of [[graft.queries.TextQueries.d02MinHashSig]]: k 32-bit
     * hash functions as disjoint 8-hex slices of one md5 per shingle. */

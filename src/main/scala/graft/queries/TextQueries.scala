@@ -268,6 +268,42 @@ object TextQueries {
       .selectExpr("a", "b", "CAST(jac_raw AS DECIMAL(18,6)) AS jaccard")
   }
 
+  /** d07: dedup CLUSTERS — connected components over the MinHash-LSH
+    * candidate graph (d03), each document labeled with the minimum doc_id
+    * of its component (the keeper). This is the final step of corpus
+    * dedup at scale: iterative min-label propagation, each round a
+    * broadcast-free equi-join + min-aggregate, converging in
+    * graph-diameter rounds (near-dup components are dense, so diameter is
+    * tiny). Singleton documents are their own cluster. Deterministic:
+    * min() is order-free. */
+  def d07DedupClusters(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint truncates lineage each round — iterative algorithms
+    // otherwise nest the whole previous plan per iteration and blow the
+    // driver; the label/edge tables themselves are small (one row per doc /
+    // candidate pair).
+    val pairs = d03MinHashPairs(s, d).localCheckpoint(true)
+    val edges = pairs.selectExpr("a AS x", "b AS y")
+      .union(pairs.selectExpr("b AS x", "a AS y"))
+      .localCheckpoint(true)
+    var labels = documents(s, d).selectExpr("doc_id AS node", "doc_id AS lbl")
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val neighborMin = edges.join(labels, edges("y") === labels("node"))
+        .groupBy(col("x")).agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.join(neighborMin, labels("node") === neighborMin("x"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = labels.join(updated.withColumnRenamed("lbl", "lbl2"), "node")
+        .filter(col("lbl") =!= col("lbl2")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.selectExpr("node AS doc_id", "lbl AS cluster_rep")
+  }
+
   /** d06: the same Jaccard near-dup output computed through the engine's
     * custom Catalyst expressions (`tokens_to_bitset` builds the bitmap
     * column, codegen'd `bitset_jaccard` runs popcount AND/OR inside
