@@ -292,13 +292,14 @@ object TextQueries {
     while (!converged && iter < 50) {
       val neighborMin = edges.join(labels, edges("y") === labels("node"))
         .groupBy(col("x")).agg(min(col("lbl")).as("nlbl"))
+      // carry the previous label through the checkpoint so convergence is a
+      // filter on the materialized frame, not a second join per round
       val updated = labels.join(neighborMin, labels("node") === neighborMin("x"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("node"), col("lbl").as("old_lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      val changed = labels.join(updated.withColumnRenamed("lbl", "lbl2"), "node")
-        .filter(col("lbl") =!= col("lbl2")).count()
-      labels = updated
-      converged = changed == 0
+      converged = updated.filter(col("old_lbl") =!= col("lbl")).isEmpty
+      labels = updated.select(col("node"), col("lbl"))
       iter += 1
     }
     labels.selectExpr("node AS doc_id", "lbl AS cluster_rep")
