@@ -30,6 +30,7 @@ object SparkEntry {
     "q10_hourly_events" -> (RelationalQueries.q10HourlyEvents _),
     "q11_event_regroup" -> (RelationalQueries.q11EventRegroup _),
     "q14_salted_agg" -> (RelationalQueries.q14SaltedAgg _),
+    "q15_semi_anti" -> (RelationalQueries.q15SemiAnti _),
     "q12_chunk_index" -> (SegmentQueries.q12ChunkIndex _),
     "q13_chunks_for_range" -> (SegmentQueries.q13ChunksForRange _),
     "t01_token_stats" -> (TextQueries.t01TokenStats _),
@@ -129,6 +130,14 @@ object SparkEntry {
         |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
         |       string_agg(event_type, ',' ORDER BY ts, event_id) AS trace
         |FROM events WHERE user_id <= 500 GROUP BY user_id""".stripMargin,
+    "q15_semi_anti" ->
+      """SELECT 'with_orders' AS segment, COUNT(*) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders', COUNT(*),
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q14_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value

@@ -132,6 +132,21 @@ object RelationalQueries {
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), out2(sum(dec2(col("value")))).as("hourly_value"))
 
+  /** Semi/anti joins — EXISTS / NOT EXISTS as join strategies (the
+    * existence-check shape of the reference's manifest-presence routing,
+    * R11): customers partitioned into with-orders / without-orders. */
+  def q15SemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d).select(col("o_custkey"))
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n"), out2(sum(dec2(col("c_acctbal")))).as("bal"))
+      .selectExpr("'with_orders' AS segment", "n", "bal")
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"), out2(sum(dec2(col("c_acctbal")))).as("bal"))
+      .selectExpr("'without_orders' AS segment", "n", "bal")
+    withOrders.union(withoutOrders)
+  }
+
   /** Skew-safe two-phase aggregation: the classic salting pattern — partial
     * aggregate on (key, salt) spreads a hot key over 16 reducers, the final
     * aggregate merges partials. Output is EXACTLY the plain groupBy (decimal

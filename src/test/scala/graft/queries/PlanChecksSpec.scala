@@ -58,6 +58,12 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p.take(2000))
   }
 
+  test("q15: EXISTS/NOT EXISTS plan as semi/anti joins") {
+    val p = plan(RelationalQueries.q15SemiAnti(spark, d))
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti"))
+  }
+
   test("bucketed tables co-locate the join: no Exchange on either side") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force the issue
