@@ -91,18 +91,25 @@ object Bench {
     java.util.Arrays.fill(content, content.length / 2, content.length, 7.toByte)
     val key = new Array[Byte](32)
     rnd.nextBytes(key)
-    val t = Vector.newBuilder[(String, Double)]
-    val d = Vector.newBuilder[(String, Double)]
-    for {
+    val grid = for {
       chunkKiB <- Seq(100, 1024, 5120)
       comp <- Seq(false, true)
       enc <- Seq(false, true)
-    } {
-      val spec = TransformSpec(chunkKiB * 1024, comp, if (enc) Some(key) else None,
+    } yield (chunkKiB, comp, enc)
+    def specOf(chunkKiB: Int, comp: Boolean, enc: Boolean) =
+      TransformSpec(chunkKiB * 1024, comp, if (enc) Some(key) else None,
         if (enc) Array.fill[Byte](32)(1) else Array.emptyByteArray)
+    // full-grid warmup pass first: JIT + AES/GHASH intrinsics compile on the
+    // first configs otherwise, skewing whichever cell runs first
+    grid.foreach { case (c, co, e) =>
+      val spec = specOf(c, co, e)
+      TransformPipeline.detransformAll(TransformPipeline.transform(content, spec), spec)
+    }
+    val t = Vector.newBuilder[(String, Double)]
+    val d = Vector.newBuilder[(String, Double)]
+    grid.foreach { case (chunkKiB, comp, enc) =>
+      val spec = specOf(chunkKiB, comp, enc)
       val label = s"chunk${chunkKiB}_comp${if (comp) 1 else 0}_enc${if (enc) 1 else 0}"
-      // warmup + 3 timed iterations, take best (JMH-style throughput mode, abbreviated)
-      TransformPipeline.transform(content, spec)
       var bestT = Double.MaxValue
       var seg: TransformedSegment = null
       (1 to 3).foreach { _ =>

@@ -98,20 +98,40 @@ object Transforms {
   val GcmTagLength: Int = GcmTagLengthBits / 8
   private val random = new SecureRandom()
 
+  /** Cipher instances are reused per thread and re-`init`ed per chunk —
+    * `Cipher.getInstance` (provider lookup) costs ~ms and dominates at small
+    * chunk sizes; re-initialization with a fresh IV is cheap and preserves
+    * the reference's fresh-IV-per-chunk semantics
+    * (`EncryptionChunkEnumeration.java:66-75` allocates per chunk; SURVEY §7
+    * hard point 6 licenses this pooling). Cipher objects are not
+    * thread-safe; ThreadLocal keeps them task-private on executors. */
+  private val cipherPool: ThreadLocal[Cipher] =
+    ThreadLocal.withInitial(() => Cipher.getInstance("AES/GCM/NoPadding"))
+
   /** Constant per-chunk size overhead of encryption — what makes the
     * encrypted index still [[graft.core.FixedSizeChunkIndex]]-able
     * (ref `EncryptionChunkEnumeration.java:81-84`). */
   def encryptionOverhead: Int = GcmIvLength + GcmTagLength
 
+  /** Per-thread, in-process PRNG for IVs: the shared NativePRNG pays a
+    * synchronized syscall per nextBytes, which dominates small-chunk
+    * encryption. GCM requires IV *uniqueness* per key; SHA1PRNG seeded once
+    * from system entropy provides it without the per-call cost. */
+  private val ivRandom: ThreadLocal[SecureRandom] = ThreadLocal.withInitial { () =>
+    val r = SecureRandom.getInstance("SHA1PRNG")
+    r.setSeed(random.generateSeed(32))
+    r
+  }
+
   def encrypt(chunk: Array[Byte], key: Array[Byte], aad: Array[Byte]): Array[Byte] = {
     val iv = new Array[Byte](GcmIvLength)
-    random.nextBytes(iv)
+    ivRandom.get().nextBytes(iv)
     encryptWithIv(chunk, key, aad, iv)
   }
 
   private[graft] def encryptWithIv(
       chunk: Array[Byte], key: Array[Byte], aad: Array[Byte], iv: Array[Byte]): Array[Byte] = {
-    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+    val cipher = cipherPool.get()
     cipher.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"), new GCMParameterSpec(GcmTagLengthBits, iv))
     if (aad.nonEmpty) cipher.updateAAD(aad)
     val ct = cipher.doFinal(chunk)
@@ -122,7 +142,7 @@ object Transforms {
   }
 
   def decrypt(chunk: Array[Byte], key: Array[Byte], aad: Array[Byte]): Array[Byte] = {
-    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+    val cipher = cipherPool.get()
     cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"),
       new GCMParameterSpec(GcmTagLengthBits, chunk, 0, GcmIvLength))
     if (aad.nonEmpty) cipher.updateAAD(aad)
