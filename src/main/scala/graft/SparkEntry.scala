@@ -37,6 +37,7 @@ object SparkEntry {
     "t02_quality" -> (TextQueries.t02Quality _),
     "t03_langid" -> (TextQueries.t03LangId _),
     "t04_fingerprint" -> (TextQueries.t04Fingerprint _),
+    "t05_ngram_profile" -> (TextQueries.t05NgramProfile _),
     "d01_dedup_groups" -> (TextQueries.d01DedupGroups _),
     "d02_minhash_sig" -> (TextQueries.d02MinHashSig _),
     "d03_minhash_pairs" -> (TextQueries.d03MinHashPairs _),
@@ -204,6 +205,15 @@ object SparkEntry {
          |SELECT doc_id, full_md5, norm_md5, bag_md5,
          |       min(md5(substring(norm, pos, ${TextQueries.ShingleSize}))) AS min_shingle_md5
          |FROM p GROUP BY doc_id, full_md5, norm_md5, bag_md5""".stripMargin,
+    "t05_ngram_profile" ->
+      s"""WITH n AS (SELECT lang, $dNorm AS norm FROM documents),
+         |p AS (SELECT lang, norm,
+         |        unnest(generate_series(1, greatest(length(norm) - 2, 1))) AS pos FROM n),
+         |tri AS (SELECT lang, substring(norm, pos, 3) AS tri FROM p),
+         |cnt AS (SELECT lang, tri, count(*) AS n FROM tri GROUP BY lang, tri),
+         |r AS (SELECT lang, tri, n,
+         |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS rnk FROM cnt)
+         |SELECT lang, tri, n, rnk FROM r WHERE rnk <= 10""".stripMargin,
     "d01_dedup_groups" ->
       s"""WITH b AS (SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($dToks)), ' ')) AS bag_md5 FROM documents)

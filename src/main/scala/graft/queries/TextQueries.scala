@@ -107,6 +107,23 @@ object TextQueries {
       .toDF("doc_id", "full_md5", "norm_md5", "bag_md5", "min_shingle_md5")
   }
 
+  /** t05: per-language character-trigram frequency profile (top 10 with
+    * deterministic tie-break) — the statistical backing of n-gram language
+    * ID; narrow explode + hash aggregate + per-key top-k window. */
+  def t05NgramProfile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tri"))
+    documents(s, d)
+      .selectExpr("lang", s"$normExpr AS norm")
+      .withColumn("pos", explode(expr("sequence(1, greatest(length(norm) - 2, 1))")))
+      .selectExpr("lang", "substring(norm, pos, 3) AS tri")
+      .groupBy("lang", "tri")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .selectExpr("lang", "tri", "n", "CAST(rnk AS BIGINT) AS rnk")
+  }
+
   /** d01: set-semantic dedup groups — documents whose *distinct token sets*
     * are identical (bag fingerprint); keeper = min doc id, the exact
     * hash-groupBy dedup plan that scales to any size. */
