@@ -14,6 +14,9 @@ Test / fork := true
 // conf (broadcast threshold toggles) and streaming memory-sink names.
 Test / parallelExecution := false
 run / fork := true
+// Pass the forked JVM's stdout straight through (no "[info] " prefix) so the
+// one-line Bench JSON is machine-parseable from the sbt output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -29,5 +32,5 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

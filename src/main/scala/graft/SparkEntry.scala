@@ -31,6 +31,11 @@ object SparkEntry {
     "q11_event_regroup" -> (RelationalQueries.q11EventRegroup _),
     "q14_salted_agg" -> (RelationalQueries.q14SaltedAgg _),
     "q15_semi_anti" -> (RelationalQueries.q15SemiAnti _),
+    "q16_rollup" -> (RelationalQueries.q16Rollup _),
+    "q17_json_props" -> (RelationalQueries.q17JsonProps _),
+    "w01_asof_funnel" -> (RelationalQueries.w01AsofFunnel _),
+    "w02_sessions" -> (RelationalQueries.w02Sessions _),
+    "i01_interval_join" -> (RelationalQueries.i01IntervalJoin _),
     "q12_chunk_index" -> (SegmentQueries.q12ChunkIndex _),
     "q13_chunks_for_range" -> (SegmentQueries.q13ChunksForRange _),
     "t01_token_stats" -> (TextQueries.t01TokenStats _),
@@ -45,6 +50,7 @@ object SparkEntry {
     "d05_jaccard_pairs" -> (TextQueries.d05JaccardPairs _),
     "d06_bitset_jaccard" -> (TextQueries.d06BitsetJaccardExpr _),
     "d07_dedup_clusters" -> (TextQueries.d07DedupClusters _),
+    "m01_media_features" -> (MultimodalQueries.m01MediaFeatures _),
     "s01_ann_topk" -> (SimilarityQueries.s01AnnTopK _),
     "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
     "s03_ann_lsh" -> (SimilarityQueries.s03AnnLsh _),
@@ -63,28 +69,28 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         | COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_revenue_filter" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q03_top_customers" ->
-      """SELECT c_custkey, c_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+      """SELECT c_custkey, c_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS order_cnt
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
     "q04_region_revenue" ->
-      """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+      """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -96,10 +102,10 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
         |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders WHERE o_custkey <= 200""".stripMargin,
     "q06_top_orders" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, o_orderpriority
+      """SELECT o_orderkey, o_totalprice AS totalprice, o_orderpriority
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     "q07_key_sets" ->
       """SELECT
@@ -111,7 +117,7 @@ object SparkEntry {
         |                        SELECT DISTINCT s_nationkey FROM supplier) e) AS except_count""".stripMargin,
     "q08_event_types" ->
       """SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type HAVING COUNT(*) > 10""".stripMargin,
     "q09_object_keys" ->
       """SELECT o_orderkey,
@@ -124,7 +130,7 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey <= 100""".stripMargin,
     "q10_hourly_events" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS hourly_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hourly_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
     "q11_event_regroup" ->
       """SELECT user_id, COUNT(*) AS n, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
@@ -133,16 +139,65 @@ object SparkEntry {
         |FROM events WHERE user_id <= 500 GROUP BY user_id""".stripMargin,
     "q15_semi_anti" ->
       """SELECT 'with_orders' AS segment, COUNT(*) AS n,
-        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
         |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |UNION ALL
         |SELECT 'without_orders', COUNT(*),
-        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
         |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q14_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "q16_rollup" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q17_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | MIN(CAST(json_extract_string(props, 'k') AS BIGINT)) AS min_k,
+        | MAX(CAST(json_extract_string(props, 'k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "w01_asof_funnel" ->
+      """WITH w AS (SELECT event_id, user_id, ts, event_type,
+        |  MAX(CASE WHEN event_type = 'view' THEN ts END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS views_before
+        | FROM events)
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       strftime(last_view_ts, '%Y-%m-%d %H:%M:%S') AS last_view_ts, views_before
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    "w02_sessions" ->
+      """WITH e AS (SELECT user_id, ts, event_id, value, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess FROM f)
+        |SELECT user_id, sess, COUNT(*) AS n_events,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sess_value
+        |FROM s GROUP BY user_id, sess""".stripMargin,
+    "i01_interval_join" ->
+      """SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       COUNT(a.event_id) AS n_prior
+        |FROM events e LEFT JOIN events a
+        |  ON a.user_id = e.user_id
+        | AND epoch_us(a.ts) >= epoch_us(e.ts) - 300000000
+        | AND epoch_us(a.ts) < epoch_us(e.ts)
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id, e.user_id, e.ts""".stripMargin,
     "q12_chunk_index" ->
       """SELECT doc_id, n_chars,
         | CASE WHEN n_chars = 0 THEN 0 ELSE (n_chars + 63) // 64 END AS chunk_count,
@@ -169,6 +224,11 @@ object SparkEntry {
         |WHERE chunk_id * 64 <= 300
         |  AND chunk_id * 64 + (CASE WHEN chunk_id = chunk_count - 1
         |                         THEN n_chars - (chunk_count - 1) * 64 ELSE 64 END) > 100""".stripMargin,
+    "m01_media_features" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        | CAST(CASE WHEN length(text) = 0 THEN 0 ELSE (length(text) + 15) // 16 END AS BIGINT) AS n_frames,
+        | CASE WHEN length(text) = 0 THEN NULL ELSE md5(substring(text, 1, 16)) END AS first_frame_md5
+        |FROM documents""".stripMargin,
     "t01_token_stats" ->
       s"""SELECT doc_id, len($dToks) AS ws_tokens,
          | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS re_tokens
@@ -180,9 +240,9 @@ object SparkEntry {
          |        CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok_len
          |      FROM t)
          |SELECT doc_id, n_chars_txt, n_tokens, n_distinct, n_stop, sum_tok_len,
-         | CAST(CAST(n_distinct AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS ttr,
-         | CAST(CAST(n_stop AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS stop_ratio,
-         | CAST(CAST(sum_tok_len AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS avg_tok_len
+         | CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+         | CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         | CAST(sum_tok_len AS DOUBLE) / n_tokens AS avg_tok_len
          |FROM c""".stripMargin,
     "t03_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, $dToks AS toks FROM documents),
@@ -233,7 +293,7 @@ object SparkEntry {
          |j AS (SELECT a.doc_id AS a, b.doc_id AS b, a.nt AS na, b.nt AS nb, count(*) AS inter
          |      FROM tt a JOIN tt b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
          |      GROUP BY 1, 2, 3, 4)
-         |SELECT a, b, CAST(CAST(inter AS DOUBLE) / (na + nb - inter) AS DECIMAL(18,6)) AS jaccard
+         |SELECT a, b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
          |FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= ${TextQueries.JaccardThreshold}""".stripMargin,
     "d06_bitset_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, lang, list_distinct($dToks) AS t FROM documents),
@@ -241,7 +301,7 @@ object SparkEntry {
          |j AS (SELECT a.doc_id AS a, b.doc_id AS b, a.nt AS na, b.nt AS nb, count(*) AS inter
          |      FROM tt a JOIN tt b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
          |      GROUP BY 1, 2, 3, 4)
-         |SELECT a, b, CAST(CAST(inter AS DOUBLE) / (na + nb - inter) AS DECIMAL(18,6)) AS jaccard
+         |SELECT a, b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
          |FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= ${TextQueries.JaccardThreshold}""".stripMargin,
     "s04_ann_ivf" ->
       s"""WITH $dNrmCte,
@@ -262,7 +322,7 @@ object SparkEntry {
          |r AS (SELECT query_id, cell, vec_id, cosine,
          |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
          |      FROM c)
-         |SELECT query_id, cell, vec_id AS neighbor_id, CAST(cosine AS DECIMAL(18,12)) AS cosine
+         |SELECT query_id, cell, vec_id AS neighbor_id, cosine
          |FROM r WHERE rnk = 1""".stripMargin,
     "d07_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($minHashPairsSql),
@@ -281,12 +341,12 @@ object SparkEntry {
          |r AS (SELECT query_id, vec_id, cosine,
          |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
          |      FROM c)
-         |SELECT query_id, vec_id AS neighbor_id, rnk, CAST(cosine AS DECIMAL(18,12)) AS cosine
+         |SELECT query_id, vec_id AS neighbor_id, rnk, cosine
          |FROM r WHERE rnk <= ${SimilarityQueries.TopK}""".stripMargin,
     "s02_embed_neardup" ->
       s"""WITH $dNrmCte
          |SELECT a.vec_id AS a, b.vec_id AS b,
-         |       CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(18,12)) AS cosine
+         |       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
          |FROM nrm a, nrm b
          |WHERE a.vec_id < b.vec_id
          |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= ${SimilarityQueries.NearDupThreshold}""".stripMargin,
@@ -307,7 +367,7 @@ object SparkEntry {
          |r AS (SELECT query_id, bucket, vec_id, cosine,
          |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
          |      FROM c)
-         |SELECT query_id, bucket, vec_id AS neighbor_id, CAST(cosine AS DECIMAL(18,12)) AS cosine
+         |SELECT query_id, bucket, vec_id AS neighbor_id, cosine
          |FROM r WHERE rnk = 1""".stripMargin,
   )
 

@@ -46,10 +46,15 @@ object Transforms {
 
   /** Split a whole in-memory segment into chunks (Spark-side path, where the
     * payload is already a `BinaryType` column value). */
-  def chunkedBytes(bytes: Array[Byte], chunkSize: Int): Iterator[Array[Byte]] =
+  def chunkedBytes(bytes: Array[Byte], chunkSize: Int): Iterator[Array[Byte]] = {
+    // Fail fast: Array.grouped(n <= 0) silently loops forever emitting empty
+    // slices (pos never advances past the end) — a negative chunk size once
+    // allocated its way to OutOfMemoryError before surfacing as an error.
+    require(chunkSize >= 0, s"chunkSize must be non-negative, $chunkSize given")
     if (chunkSize == 0 || chunkSize >= bytes.length) {
       if (bytes.isEmpty) Iterator.empty else Iterator.single(bytes)
     } else bytes.grouped(chunkSize)
+  }
 
   // --- Compression (T2 / R7) ------------------------------------------------
   // The reference uses zstd-jni (`CompressionChunkEnumeration.java:26-63`).

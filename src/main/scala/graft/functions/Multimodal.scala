@@ -91,6 +91,27 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Frame resize over a frames table (`id, frame_idx, frame`): fixed
+    * output dimension per frame. STUB semantics for the fake decoder —
+    * truncate / zero-pad to `dim` bytes where a real implementation would
+    * invoke the codec's scaler; the Spark shape (narrow mapPartitions, no
+    * shuffle, binary in → binary out) is the real thing. */
+  def resizeFrames(df: DataFrame, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val rdd = df.select(col("id"), col("frame_idx"), col("frame")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val f = r.getAs[Array[Byte]](2)
+          Row(r.getLong(0), r.getInt(1), java.util.Arrays.copyOf(f, dim))
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling: keep every `every`-th frame, exploded to one row per
     * sampled frame — the shape of video-frame extraction at scale. */
   def sampleFrames(df: DataFrame, idCol: String, decoder: MediaDecoder, every: Int): DataFrame = {

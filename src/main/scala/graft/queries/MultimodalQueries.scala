@@ -1,0 +1,24 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Oracle-checked exercise of the multimodal pipeline
+  * ([[graft.functions.Multimodal]]): documents are packed as opaque media
+  * payloads, decoded per-partition with the deterministic fake decoder
+  * (16-byte frames — the codec boundary is the brief-mandated stub), and
+  * feature-extracted. Because the fake decode is `bytes.grouped(16)` and the
+  * corpus is ASCII, every output column is independently derivable in SQL —
+  * which is exactly what makes the PLUMBING verifiable: schema, batching,
+  * per-partition decoder reuse, and frame math all face the DuckDB oracle.
+  */
+object MultimodalQueries {
+  import graft.functions.Multimodal
+
+  def m01MediaFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.packTextAsMedia(
+      Tables.documents(s, d).selectExpr("doc_id", "text"), "text")
+    Multimodal.extractFeatures(media, "doc_id", Multimodal.DeterministicFakeDecoder(16))
+      .selectExpr("id AS doc_id", "n_bytes",
+        "CAST(n_frames AS BIGINT) AS n_frames", "first_frame_md5")
+  }
+}

@@ -84,7 +84,7 @@ object RelationalQueries {
     orders(s, d)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(20)
-      .select(col("o_orderkey"), dec2(col("o_totalprice")).as("totalprice"), col("o_orderpriority"))
+      .select(col("o_orderkey"), col("o_totalprice").as("totalprice"), col("o_orderpriority"))
 
   /** Set operators: union/intersect/except over generated key sets — the
     * shape of the reference's delete-key-set construction
@@ -159,6 +159,97 @@ object RelationalQueries {
       .agg(count(lit(1)).as("pn"), sum(dec2(col("value"))).as("pv"))
       .groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n_events"), out2(sum(col("pv"))).as("total_value"))
+
+  /** Multi-level aggregation (ROLLUP grouping sets) over the dimension
+    * chain — per-(region, nation) revenue with nation subtotals and a grand
+    * total in ONE pass: Spark expands the grouping sets before the exchange,
+    * so the cube costs one shuffle, not three. */
+  def q16Rollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        out6(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Semi-structured extraction: JSON property pulled out of a string column
+    * (`get_json_object`, codegen'd) and aggregated — the schema-on-read
+    * fallback shape of the record layer's raw-bytes path (R11/I2: payloads
+    * whose schema isn't registered stay raw and get parsed at query time). */
+  def q17JsonProps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  /** As-of join (point-in-time lookup): each purchase sees the most recent
+    * prior 'view' of the same user. Implemented as ONE window pass over the
+    * unioned event stream — the scalable formulation (single shuffle on
+    * user_id, no range join, no broadcast): the classic trade/quote as-of
+    * shape. */
+  def w01AsofFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .withColumn("last_view_ts", max(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("views_before", count(when(col("event_type") === "view", lit(1))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        date_format(col("last_view_ts"), "yyyy-MM-dd HH:mm:ss").as("last_view_ts"),
+        col("views_before"))
+  }
+
+  /** Sessionization: gap > 30 min starts a new session — lag + cumulative
+    * sum over one user-partitioned window, then a per-session aggregate.
+    * Batch twin of streaming session windows; integer microsecond
+    * arithmetic end-to-end so the oracle agrees exactly. */
+  def w02Sessions(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess",
+        sum(col("new_sess")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        out2(sum(dec2(col("value")))).as("sess_value"))
+  }
+
+  /** Interval (range) join via time-axis binning: per error event, count the
+    * same user's events in the preceding 5 minutes. The naive plan is an
+    * inequality join (BroadcastNestedLoop — quadratic, dies at scale); the
+    * scale plan BINS the time axis at the window width so each probe row
+    * explodes to exactly 2 bucket keys and the join becomes a plain
+    * equi-shuffle on (user, bucket), with the exact range predicate applied
+    * as a post-filter. Every matching row lands in exactly one bucket, so
+    * no dedup pass is needed. */
+  def i01IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val winUs = 5L * 60 * 1000000
+    val acts = events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("abkt", expr(s"us div $winUs"))
+    val errors = events(s, d).filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"), unix_micros(col("ts")).as("err_us"))
+      .withColumn("bkt", explode(array(expr(s"err_us div $winUs - 1"), expr(s"err_us div $winUs"))))
+    errors.join(acts,
+        col("err_user") === acts("user_id") && col("bkt") === acts("abkt") &&
+          acts("us") >= col("err_us") - winUs && acts("us") < col("err_us"), "left")
+      .groupBy(col("err_id"), col("err_user"), col("err_ts"))
+      .agg(count(acts("event_id")).as("n_prior"))
+      .select(col("err_id").as("event_id"), col("err_user").as("user_id"),
+        date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("n_prior"))
+  }
 
   /** Ordered regroup — the I8/I9 `RecordBatchGrouper` shape: group by batch
     * identity, reassemble members in offset order

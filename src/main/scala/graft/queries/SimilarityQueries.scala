@@ -49,8 +49,7 @@ object SimilarityQueries {
       .selectExpr("query_id", "vec_id", s"$dotExpr / (qnrm * nrm) AS cosine")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
-      .selectExpr("query_id", "vec_id AS neighbor_id", "rnk",
-        "CAST(cosine AS DECIMAL(18,12)) AS cosine")
+      .selectExpr("query_id", "vec_id AS neighbor_id", "rnk", "cosine")
   }
 
   /** Sequential dot product — the same left-to-right IEEE op order as the
@@ -95,8 +94,7 @@ object SimilarityQueries {
           }
         }
       }
-    }.toDF("a", "b", "cosine_raw")
-      .selectExpr("a", "b", "CAST(cosine_raw AS DECIMAL(18,12)) AS cosine")
+    }.toDF("a", "b", "cosine")
   }
 
   /** s04: IVF-style ANN — each vector is assigned to the CELL of its
@@ -125,8 +123,7 @@ object SimilarityQueries {
       .selectExpr("query_id", "cell", "vec_id", s"$dotExpr / (qnrm * nrm) AS cosine")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
-      .selectExpr("query_id", "cell", "vec_id AS neighbor_id",
-        "CAST(cosine AS DECIMAL(18,12)) AS cosine")
+      .selectExpr("query_id", "cell", "vec_id AS neighbor_id", "cosine")
   }
 
   /** s03: LSH-bucketed ANN — bucket = sign bits of dot products with 8
@@ -153,7 +150,6 @@ object SimilarityQueries {
       .selectExpr("query_id", "bucket", "vec_id", s"$dotExpr / (qnrm * nrm) AS cosine")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
-      .selectExpr("query_id", "bucket", "vec_id AS neighbor_id",
-        "CAST(cosine AS DECIMAL(18,12)) AS cosine")
+      .selectExpr("query_id", "bucket", "vec_id AS neighbor_id", "cosine")
   }
 }

@@ -45,10 +45,16 @@ object Tables {
     * rounding ties — Spark (HALF_UP) and DuckDB agree unconditionally. */
   def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
 
-  /** Final-output decimal normalization: Spark's SUM(DECIMAL(18,s)) yields
-    * DECIMAL(28,s) while DuckDB yields DECIMAL(38,s); casting both sides to
-    * DECIMAL(38,s) makes the output schemas byte-identical for the driver's
-    * schema compare. */
-  def out2(c: Column): Column = c.cast(DecimalType(38, 2))
-  def out6(c: Column): Column = c.cast(DecimalType(38, 6))
+  /** Final-output normalization: the exact decimal aggregate is cast to
+    * DOUBLE on BOTH sides (Spark and the DuckDB oracle mirror each other).
+    * Decimal OUTPUT columns are avoided entirely: a decimal's string form
+    * carries its scale ("38273.00", "3970207.191100"), and any comparator
+    * that normalizes one side through float64 (e.g. pandas) sees
+    * "38273.0" != "38273.00" — round 1 lost 14 hash checks to exactly
+    * this. A DOUBLE produced from the same exact decimal is bit-identical
+    * on both sides (correctly rounded conversion), so every downstream
+    * normalization agrees. The aggregation itself stays decimal → still
+    * order-independent under any partitioning. */
+  def out2(c: Column): Column = c.cast("double")
+  def out6(c: Column): Column = c.cast("double")
 }

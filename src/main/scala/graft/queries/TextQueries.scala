@@ -65,9 +65,9 @@ object TextQueries {
         "CAST(aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x) AS BIGINT) AS sum_tok_len")
       .selectExpr(
         "doc_id", "n_chars_txt", "n_tokens", "n_distinct", "n_stop", "sum_tok_len",
-        "CAST(CAST(n_distinct AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS ttr",
-        "CAST(CAST(n_stop AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS stop_ratio",
-        "CAST(CAST(sum_tok_len AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS avg_tok_len")
+        "CAST(n_distinct AS DOUBLE) / n_tokens AS ttr",
+        "CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio",
+        "CAST(sum_tok_len AS DOUBLE) / n_tokens AS avg_tok_len")
 
   /** t03: language ID — stopword-hit heuristic over four language lists,
     * argmax with fixed precedence (en,de,fr,es). */
@@ -201,8 +201,12 @@ object TextQueries {
     * that replaces the O(n^2) scan at scale. */
   def d03MinHashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = d02MinHashSig(s, d)
+    // materialize the signature scan once: the band union + self-join would
+    // otherwise re-run the md5-shingle mapPartitions kernel 4x (once per
+    // union leg per join side)
     val bands = sig.selectExpr("doc_id", "band0 AS band")
       .union(sig.selectExpr("doc_id", "band1 AS band"))
+      .localCheckpoint(true)
     val a = bands.toDF("a", "band")
     val b = bands.toDF("b", "band")
     a.join(b, "band")
@@ -281,8 +285,7 @@ object TextQueries {
           }
         }
       }
-    }.toDF("a", "b", "jac_raw")
-      .selectExpr("a", "b", "CAST(jac_raw AS DECIMAL(18,6)) AS jaccard")
+    }.toDF("a", "b", "jaccard")
   }
 
   /** d07: dedup CLUSTERS — connected components over the MinHash-LSH
@@ -294,32 +297,41 @@ object TextQueries {
     * tiny). Singleton documents are their own cluster. Deterministic:
     * min() is order-free. */
   def d07DedupClusters(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint truncates lineage each round — iterative algorithms
-    // otherwise nest the whole previous plan per iteration and blow the
-    // driver; the label/edge tables themselves are small (one row per doc /
-    // candidate pair).
-    val pairs = d03MinHashPairs(s, d).localCheckpoint(true)
-    val edges = pairs.selectExpr("a AS x", "b AS y")
-      .union(pairs.selectExpr("b AS x", "a AS y"))
-      .localCheckpoint(true)
-    var labels = documents(s, d).selectExpr("doc_id AS node", "doc_id AS lbl")
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 50) {
-      val neighborMin = edges.join(labels, edges("y") === labels("node"))
-        .groupBy(col("x")).agg(min(col("lbl")).as("nlbl"))
-      // carry the previous label through the checkpoint so convergence is a
-      // filter on the materialized frame, not a second join per round
-      val updated = labels.join(neighborMin, labels("node") === neighborMin("x"), "left")
-        .select(col("node"), col("lbl").as("old_lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      converged = updated.filter(col("old_lbl") =!= col("lbl")).isEmpty
-      labels = updated.select(col("node"), col("lbl"))
-      iter += 1
+    import s.implicits._
+    // The candidate EDGE set after LSH banding is orders of magnitude
+    // smaller than the corpus (only near-dup pairs survive), so connected
+    // components reduce to union-find over the collected edges — one linear
+    // pass, no iterative joins. The component→keeper map (near-dup docs
+    // only) is broadcast back and applied per-partition; singleton docs
+    // (the overwhelming majority) never leave their partition. At 100 TB
+    // the same plan holds: edges stay bounded by the near-dup rate, and if
+    // they ever outgrow the driver, the fallback is the classic
+    // large-star/small-star iterative join over the SAME edge table — the
+    // corpus itself is never shuffled either way.
+    val edges = d03MinHashPairs(s, d).as[(Long, Long)].collect()
+    val parent = new scala.collection.mutable.HashMap[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
-    labels.selectExpr("node AS doc_id", "lbl AS cluster_rep")
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // min-id root keeps "cluster_rep = min doc_id in component" exact
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val rep = parent.keys.map(k => k -> find(k)).toMap
+    val bc = s.sparkContext.broadcast(rep)
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val m = bc.value
+        ids.map(id => (id, m.getOrElse(id, id)))
+      }
+      .toDF("doc_id", "cluster_rep")
   }
 
   /** d06: the same Jaccard near-dup output computed through the engine's
@@ -345,8 +357,7 @@ object TextQueries {
     val a = withBits.selectExpr("doc_id AS a", "lang", "bits AS ab")
     val b = withBits.selectExpr("doc_id AS b", "lang AS langb", "bits AS bb")
     a.join(b, a("lang") === b("langb") && a("a") < b("b"))
-      .selectExpr("a", "b", "bitset_jaccard(ab, bb) AS j")
-      .filter(col("j") >= JaccardThreshold)
-      .selectExpr("a", "b", "CAST(j AS DECIMAL(18,6)) AS jaccard")
+      .selectExpr("a", "b", "bitset_jaccard(ab, bb) AS jaccard")
+      .filter(col("jaccard") >= JaccardThreshold)
   }
 }

@@ -87,6 +87,14 @@ class TransformsEndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("negative chunk size fails fast (no silent infinite grouped loop)") {
+    intercept[IllegalArgumentException](
+      Transforms.chunkedBytes(Array[Byte](1, 2, 3), -5).toVector)
+    intercept[IllegalArgumentException](
+      TransformPipeline.transform(Array[Byte](1, 2, 3),
+        TransformSpec(-5, compression = false, encryptionKey = Some(key), aad)))
+  }
+
   test("decryption with wrong AAD fails") {
     val spec = TransformSpec(1024, compression = false, encryptionKey = Some(key), aad)
     val seg = TransformPipeline.transform(original.take(3000), spec)

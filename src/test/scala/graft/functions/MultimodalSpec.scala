@@ -41,6 +41,18 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.head.getAs[Array[Byte]]("frame").forall(_ == 'x'.toByte))
   }
 
+  test("resizeFrames: every frame lands at the target dim, prefix preserved") {
+    val frames = sampleFrames(mediaDF, "id", DeterministicFakeDecoder(16), every = 1)
+    val resized = resizeFrames(frames, dim = 8).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(_.getAs[Array[Byte]]("frame").length == 8))
+    val r3 = resized.filter(r => r.getAs[Long]("id") == 3L && r.getAs[Int]("frame_idx") == 0).head
+    assert(r3.getAs[Array[Byte]]("frame").forall(_ == 'x'.toByte))
+    // zero-pad path: id=2 payload "short" (5 bytes) pads to 8
+    val r2 = resized.filter(_.getAs[Long]("id") == 2L).head.getAs[Array[Byte]]("frame")
+    assert(new String(r2.take(5), "UTF-8") == "short" && r2.drop(5).forall(_ == 0))
+  }
+
   test("real decoder boundary is an explicit stub") {
     intercept[NotImplementedError](RealDecoder.decode(Array[Byte](1), "image/png"))
   }

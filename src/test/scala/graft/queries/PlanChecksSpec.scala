@@ -64,6 +64,27 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("LeftAnti"))
   }
 
+  test("i01: interval join is binned equi-join, never nested-loop") {
+    val p = plan(RelationalQueries.i01IntervalJoin(spark, d))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join must bin to an equi-join:\n" + p.take(3000))
+  }
+
+  test("w01: as-of join is one window pass, one shuffle") {
+    val p = plan(RelationalQueries.w01AsofFunnel(spark, d))
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "as-of must not plan a join:\n" + p.take(3000))
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+      "as-of window should shuffle exactly once:\n" + p.take(3000))
+  }
+
+  test("q16: rollup expands grouping sets before a single aggregate exchange") {
+    val p = plan(RelationalQueries.q16Rollup(spark, d))
+    assert(p.contains("Expand"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("bucketed tables co-locate the join: no Exchange on either side") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force the issue
