@@ -36,6 +36,9 @@ object SparkEntry {
     "w01_asof_funnel" -> (RelationalQueries.w01AsofFunnel _),
     "w02_sessions" -> (RelationalQueries.w02Sessions _),
     "i01_interval_join" -> (RelationalQueries.i01IntervalJoin _),
+    // no oracleSql entry: sketch internals are engine-specific (rows-only
+    // gate); accuracy vs exact values is asserted in SketchSpec
+    "a01_sketches" -> (RelationalQueries.a01Sketches _),
     "q12_chunk_index" -> (SegmentQueries.q12ChunkIndex _),
     "q13_chunks_for_range" -> (SegmentQueries.q13ChunksForRange _),
     "t01_token_stats" -> (TextQueries.t01TokenStats _),

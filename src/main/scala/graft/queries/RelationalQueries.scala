@@ -164,16 +164,24 @@ object RelationalQueries {
     * chain — per-(region, nation) revenue with nation subtotals and a grand
     * total in ONE pass: Spark expands the grouping sets before the exchange,
     * so the cube costs one shuffle, not three. */
-  def q16Rollup(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+  def q16Rollup(s: SparkSession, d: String): DataFrame = {
+    // Pre-aggregate per (r_name, n_name) BEFORE the rollup: Expand otherwise
+    // multiplies every fact row by the number of grouping sets ahead of the
+    // exchange. SUM/COUNT re-aggregate exactly over the partials, so the
+    // grouping-set expansion runs over ~|regions × nations| rows instead of
+    // the full fact table — the only rollup plan that survives 100 TB.
+    val base = lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-      .rollup(col("r_name"), col("n_name"))
+      .groupBy(col("r_name"), col("n_name"))
       .agg(
-        out6(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"),
-        count(lit(1)).as("n_items"))
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev"),
+        count(lit(1)).as("cnt"))
+    base.rollup(col("r_name"), col("n_name"))
+      .agg(out6(sum(col("rev"))).as("revenue"), sum(col("cnt")).as("n_items"))
+  }
 
   /** Semi-structured extraction: JSON property pulled out of a string column
     * (`get_json_object`, codegen'd) and aggregated — the schema-on-read
@@ -250,6 +258,26 @@ object RelationalQueries {
       .select(col("err_id").as("event_id"), col("err_user").as("user_id"),
         date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("n_prior"))
   }
+
+  /** Sketch aggregations — the sublinear-memory operators a 100 TB
+    * aggregation actually runs: HyperLogLog++ distinct counts and
+    * approximate percentiles next to their exact counterparts. No DuckDB
+    * oracle (sketch internals differ across engines — driver records a
+    * rows-only check); accuracy is asserted against the exact values in
+    * SketchSpec instead. */
+  def a01Sketches(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        // one sketch for both quantiles — a second approx_percentile would
+        // build (and merge) a second digest per group for the same column
+        expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("approx_users"), col("exact_users"),
+        element_at(col("pcts"), 1).as("p50_value"),
+        element_at(col("pcts"), 2).as("p95_value"), col("n"))
 
   /** Ordered regroup — the I8/I9 `RecordBatchGrouper` shape: group by batch
     * identity, reassemble members in offset order
