@@ -76,6 +76,57 @@ final case class BitsetJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sequential dot product over two ARRAY<DOUBLE> columns — codegen'd
+  * replacement for `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (s,x) -> s+x)`:
+  * higher-order functions evaluate INTERPRETED per row (lambda closures), so
+  * the brute-force ANN scans spent their time in eval overhead rather than
+  * multiply-adds. The fold order is identical (index-ascending multiply,
+  * left-to-right add), so results stay bit-equal to the HOF formulation and
+  * DuckDB's `list_dot_product` — the determinism contract of the similarity
+  * oracle suite. */
+final case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected (array<double>, array<double>), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Build a bitset (BINARY) from an array of tokens and a vocab map
   * (token -> bit index). Eval-mode (the bitmap build is off the hot loop —
   * one per row vs O(n) jaccard comparisons per row). */
@@ -135,6 +186,8 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => BitsetJaccard(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("tokens_to_bitset",
       (exprs: Seq[Expression]) => TokensToBitset(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dot",
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)), "scala_udf")
   }
 }
 
@@ -149,5 +202,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("tokens_to_bitset"),
       new ExpressionInfo(classOf[TokensToBitset].getName, "tokens_to_bitset"),
       (exprs: Seq[Expression]) => TokensToBitset(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
   }
 }

@@ -26,16 +26,19 @@ object SimilarityQueries {
   val AnchorFrom = 100
   val AnchorCount = 8
 
-  /** vec_id, v (double array), nrm (L2 norm). */
-  private def normed(s: SparkSession, d: String): DataFrame =
+  /** vec_id, v (double array), nrm (L2 norm). Dot products go through the
+    * codegen'd [[graft.plans.VecDot]] expression — the HOF formulation
+    * (`aggregate(zip_with(...))`) is bit-identical but evaluates interpreted
+    * lambdas per row; same fold order, same results, compiled loop. */
+  private def normed(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     embeddings(s, d).selectExpr(
       "vec_id",
       "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-      .selectExpr("vec_id", "v",
-        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)) AS nrm")
+      .selectExpr("vec_id", "v", "sqrt(vec_dot(v, v)) AS nrm")
+  }
 
-  private val dotExpr =
-    "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+  private val dotExpr = "vec_dot(qv, v)"
 
   /** s01: brute-force cosine top-k for a broadcast query set. */
   def s01AnnTopK(s: SparkSession, d: String): DataFrame = {
@@ -111,7 +114,7 @@ object SimilarityQueries {
     val wCell = Window.partitionBy(col("vec_id")).orderBy(col("acos").desc, col("anchor_id"))
     val celled = all.crossJoin(anchors)
       .selectExpr("vec_id", "v", "nrm", "anchor_id",
-        "aggregate(zip_with(v, av, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x) / (nrm * anrm) AS acos")
+        "vec_dot(v, av) / (nrm * anrm) AS acos")
       .withColumn("rk", row_number().over(wCell))
       .filter(col("rk") === 1)
       .selectExpr("vec_id", "v", "nrm", "anchor_id AS cell")
@@ -135,7 +138,7 @@ object SimilarityQueries {
         .selectExpr(s"vec_id - $AnchorFrom AS anchor_id", "v AS av"))
     val bucketed = all.crossJoin(anchors)
       .selectExpr("vec_id", "v", "nrm", "anchor_id",
-        "aggregate(zip_with(v, av, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x) AS adot")
+        "vec_dot(v, av) AS adot")
       .groupBy("vec_id")
       .agg(
         first(col("v")).as("v"), first(col("nrm")).as("nrm"),

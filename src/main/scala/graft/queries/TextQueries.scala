@@ -284,15 +284,19 @@ object TextQueries {
       ts.foreach { t => val i = vocabIdx(t); b(i >> 6) |= 1L << (i & 63) }
       b
     }
-    val all = docs.collect().sortBy(_._1).map { case (id, lang, ts) => (id, lang, toBits(ts)) }
+    // group the broadcast side by language: pairs are within-language only,
+    // so each row probes its own language's slice instead of the full corpus
+    val all = docs.collect().sortBy(_._1)
+      .groupBy(_._2)
+      .map { case (lang, ds) => lang -> ds.map { case (id, _, ts) => (id, toBits(ts)) } }
     val bc = s.sparkContext.broadcast(all)
     val threshold = JaccardThreshold
     docs.mapPartitions { rows =>
-      val others = bc.value
+      val byLang = bc.value
       rows.flatMap { case (aid, lang, ts) =>
         val abits = toBits(ts)
-        others.iterator.flatMap { case (bid, blang, bbits) =>
-          if (bid <= aid || blang != lang) Iterator.empty
+        byLang.getOrElse(lang, Array.empty[(Long, Array[Long])]).iterator.flatMap { case (bid, bbits) =>
+          if (bid <= aid) Iterator.empty
           else {
             var inter = 0
             var union = 0

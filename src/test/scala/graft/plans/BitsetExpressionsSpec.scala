@@ -34,6 +34,25 @@ class BitsetExpressionsSpec extends SparkSpec {
     assert(rows(1L) == 0.5) // 0x02 vs 0x03: inter 1, union 2
   }
 
+  test("vec_dot: bit-equal to the HOF fold, codegen'd") {
+    GraftFunctions.register(spark)
+    // range source so constant folding can't pre-evaluate; irrational-ish
+    // values so any fold-order difference would show in the last ulp
+    val df = spark.range(100)
+      .selectExpr("id",
+        "transform(sequence(0, 15), i -> sin(id * 16 + i)) AS a",
+        "transform(sequence(0, 15), i -> cos(id * 16 + i)) AS b")
+      .selectExpr("id",
+        "vec_dot(a, b) AS fast",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x) AS hof")
+    val rows = df.collect()
+    assert(rows.forall(r => r.getDouble(1) == r.getDouble(2)),
+      "vec_dot must be bit-identical to the sequential HOF fold")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      "expected codegen'd plan:\n" + p)
+  }
+
   test("unknown token is ignored by tokens_to_bitset") {
     GraftFunctions.register(spark)
     val j = spark.sql(
