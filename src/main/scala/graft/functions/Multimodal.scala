@@ -67,28 +67,25 @@ object Multimodal {
       (length(col(textCol)) * 10L).as("duration_ms")))
 
   /** Decode + feature-extract: per-partition decoder reuse, one output row
-    * per media row with frame stats and per-frame fingerprints. */
+    * per media row with frame stats and per-frame fingerprints. Typed
+    * Dataset path — the encoder is codegen'd, vs createDataFrame(rdd)'s
+    * per-row runtime Row conversion. */
   def extractFeatures(df: DataFrame, idCol: String, decoder: MediaDecoder): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("n_bytes", LongType, nullable = false),
-      StructField("n_frames", IntegerType, nullable = false),
-      StructField("first_frame_md5", StringType, nullable = true),
-      StructField("frame_md5s", ArrayType(StringType), nullable = false)))
-    val rdd = df.select(col(idCol).cast("long"), col("media.bytes"), col("media.mime")).rdd
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media.bytes"), col("media.mime"))
+      .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
         val d = decoder // one decoder per task
         val md = java.security.MessageDigest.getInstance("MD5")
         def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          val decoded = d.decode(bytes, r.getString(2))
+        rows.map { case (id, bytes, mime) =>
+          val decoded = d.decode(bytes, mime)
           val md5s = decoded.frameBytes.map(f => hex(md.digest(f)))
-          Row(r.getLong(0), bytes.length.toLong, decoded.nFrames, md5s.headOption.orNull, md5s.toSeq)
+          (id, bytes.length.toLong, decoded.nFrames, md5s.headOption.orNull, md5s.toSeq)
         }
       }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF("id", "n_bytes", "n_frames", "first_frame_md5", "frame_md5s")
   }
 
   /** Frame resize over a frames table (`id, frame_idx, frame`): fixed
