@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the
+  * large-star/small-star algorithm (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond"): alternating rounds of
+  *
+  *   large-star: attach every neighbor LARGER than u to the minimum of
+  *               u's neighborhood (incl. u);
+  *   small-star: attach u and its smaller neighbors to that minimum;
+  *
+  * converging (in rounds logarithmic in component diameter) to star graphs
+  * rooted at each component's minimum node id.
+  *
+  * This is the scale path behind [[graft.queries.TextQueries.d07DedupClusters]]:
+  * d07 collects the (small) LSH candidate edge set and union-finds on the
+  * driver, which is optimal while edges fit there; when they don't, this
+  * operator runs the SAME computation as alternating self-joins with no
+  * driver materialization. Both produce identical (node, min-id) labels —
+  * asserted against each other in ConnectedComponentsSpec.
+  */
+object ConnectedComponents {
+
+  /** `edges`: two integral columns (x, y), undirected, self-loops ignored.
+    * Returns (node BIGINT, rep BIGINT) for every node appearing in `edges`,
+    * rep = minimum node id of its component. Deterministic: all steps are
+    * min-aggregations. */
+  def labels(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // canonical pair form (hi > lo); localCheckpoint each round — iterative
+    // self-joins otherwise nest the full lineage per round
+    var e = edges.selectExpr("CAST(x AS BIGINT) AS x", "CAST(y AS BIGINT) AS y")
+      .where(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("hi"), least(col("x"), col("y")).as("lo"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetric neighborhood view
+      val sym = e.select(col("hi").as("a"), col("lo").as("b"))
+        .union(e.select(col("lo").as("a"), col("hi").as("b")))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val large = sym.join(mins, "a").where(col("b") > col("a"))
+        .select(greatest(col("b"), col("m")).as("hi"), least(col("b"), col("m")).as("lo"))
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint(true)
+
+      // small-star on the canonical (hi -> lo) orientation
+      val mins2 = large.groupBy(col("hi")).agg(min(col("lo")).as("mn"))
+      val attached = large.join(mins2, "hi")
+        .where(col("lo") =!= col("mn"))
+        .select(col("lo").as("hi"), col("mn").as("lo"))
+      val next = attached.union(mins2.select(col("hi"), col("mn").as("lo")))
+        .distinct()
+        .localCheckpoint(true)
+
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      iter += 1
+    }
+
+    // converged: e is (node -> component min) stars; roots label themselves
+    e.select(col("hi").as("node"), col("lo").as("rep"))
+      .union(e.select(col("lo").as("node"), col("lo").as("rep")))
+      .distinct()
+  }
+}

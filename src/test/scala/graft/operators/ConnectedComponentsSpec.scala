@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.testkit.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def labelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.labels(edges.toDF("x", "y")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain graph (worst-case diameter) collapses to min root") {
+    val n = 64L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val lbl = labelsOf(chain)
+    assert(lbl.size == n)
+    assert(lbl.values.forall(_ == 0L))
+  }
+
+  test("disjoint components each take their own min; self-loops ignored") {
+    val lbl = labelsOf(Seq((5L, 3L), (3L, 9L), (20L, 21L), (7L, 7L), (40L, 2L)))
+    assert(lbl == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L, 2L -> 2L, 40L -> 2L))
+  }
+
+  test("matches the driver union-find labels on the real LSH candidate graph") {
+    val d = "/root/testdata/sf0.001"
+    val pairs = graft.queries.TextQueries.d03MinHashPairs(spark, d)
+    val distributed = ConnectedComponents.labels(pairs.toDF("x", "y")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // d07 = union-find over the same edges, plus singletons for edgeless docs
+    val unionFind = graft.queries.TextQueries.d07DedupClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed.nonEmpty)
+    distributed.foreach { case (node, rep) =>
+      assert(unionFind(node) == rep, s"node $node: distributed $rep vs union-find ${unionFind(node)}")
+    }
+    // and every non-singleton union-find node is present in the edge graph
+    unionFind.filter { case (n, r) => n != r }.keys.foreach { n =>
+      assert(distributed.contains(n))
+    }
+  }
+}
