@@ -39,6 +39,7 @@ object SparkEntry {
     // no oracleSql entry: sketch internals are engine-specific (rows-only
     // gate); accuracy vs exact values is asserted in SketchSpec
     "a01_sketches" -> (RelationalQueries.a01Sketches _),
+    "q18_exact_quantiles" -> (RelationalQueries.q18ExactQuantiles _),
     "q12_chunk_index" -> (SegmentQueries.q12ChunkIndex _),
     "q13_chunks_for_range" -> (SegmentQueries.q13ChunksForRange _),
     "t01_token_stats" -> (TextQueries.t01TokenStats _),
@@ -227,6 +228,20 @@ object SparkEntry {
         |WHERE chunk_id * 64 <= 300
         |  AND chunk_id * 64 + (CASE WHEN chunk_id = chunk_count - 1
         |                         THEN n_chars - (chunk_count - 1) * 64 ELSE 64 END) > 100""".stripMargin,
+    "q18_exact_quantiles" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |f AS (SELECT event_type, value, n,
+        |    r = CAST(ceil(0.5 * n) AS BIGINT) AS is_p50,
+        |    r = CAST(ceil(0.95 * n) AS BIGINT) AS is_p95
+        |  FROM r WHERE r = CAST(ceil(0.5 * n) AS BIGINT) OR r = CAST(ceil(0.95 * n) AS BIGINT))
+        |SELECT event_type,
+        |  MAX(CASE WHEN is_p50 THEN value END) AS p50_value,
+        |  MAX(CASE WHEN is_p95 THEN value END) AS p95_value,
+        |  MAX(n) AS n
+        |FROM f GROUP BY event_type""".stripMargin,
     "m01_media_features" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         | CAST(CASE WHEN length(text) = 0 THEN 0 ELSE (length(text) + 15) // 16 END AS BIGINT) AS n_frames,

@@ -279,6 +279,26 @@ object RelationalQueries {
         element_at(col("pcts"), 1).as("p50_value"),
         element_at(col("pcts"), 2).as("p95_value"), col("n"))
 
+  /** Exact quantiles via rank — the deterministic counterpart to a01's
+    * sketches: value-at-rank ceil(q·n) (lower quantile-disc semantics) from
+    * one sort shuffle per group, identical integer rank math on both sides
+    * (built-in percentile functions interpolate differently across
+    * engines, so the rank formula IS the portable definition). */
+  def q18ExactQuantiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    events(s, d)
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("is_p50", col("r") === expr("CAST(ceil(0.5 * n) AS BIGINT)"))
+      .withColumn("is_p95", col("r") === expr("CAST(ceil(0.95 * n) AS BIGINT)"))
+      .filter(col("is_p50") || col("is_p95"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("is_p50"), col("value"))).as("p50_value"),
+        max(when(col("is_p95"), col("value"))).as("p95_value"),
+        max(col("n")).as("n"))
+  }
+
   /** Ordered regroup — the I8/I9 `RecordBatchGrouper` shape: group by batch
     * identity, reassemble members in offset order
     * (`RecordBatchGrouper.java:42-75`). Here: per user, events in
