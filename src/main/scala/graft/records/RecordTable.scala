@@ -40,6 +40,31 @@ final class RecordTable(tableDir: String) {
   private def dataDir = Paths.get(tableDir, "data")
   private def manifestDir = Paths.get(tableDir, "manifests")
   private def schemaPath = Paths.get(tableDir, "_schema.json")
+  private def listPath = Paths.get(tableDir, "_manifests.json")
+
+  // --- snapshot (manifest list) --------------------------------------------
+
+  /** Active manifest names (without .json). The `_manifests.json` rename is
+    * the table's snapshot-commit point (one atomic swap can retire N
+    * manifests and introduce 1 — what compaction needs); tables written
+    * before the list file existed fall back to a manifest-dir scan. */
+  private def activeNames: Vector[String] =
+    if (Files.exists(listPath)) {
+      val n = mapper.readTree(Files.readString(listPath))
+      (0 until n.size()).map(n.get(_).asText()).toVector
+    } else if (Files.exists(manifestDir)) {
+      Files.list(manifestDir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json")).toVector
+    } else Vector.empty
+
+  private def commitList(names: Vector[String]): Unit = {
+    val arr = mapper.createArrayNode()
+    names.foreach(arr.add)
+    val tmp = Files.createTempFile(Paths.get(tableDir), ".manifests-", ".tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(arr))
+    Files.move(tmp, listPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 
   // --- schema evolution (I5) ----------------------------------------------
 
@@ -107,12 +132,80 @@ final class RecordTable(tableDir: String) {
       stats.getLong(0), stats.getLong(1), stats.getInt(2), stats.getInt(3), stats.getLong(4))
 
     commitSchema(newSchema)
-    // manifest rename = the visibility/commit point
+    // manifest rename then list update = the visibility/commit point
     val tmp = Files.createTempFile(manifestDir, s".m-$segmentName-", ".tmp")
     Files.writeString(tmp, metaToJson(meta))
     Files.move(tmp, manifestDir.resolve(s"$segmentName.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    commitList((activeNames :+ segmentName).distinct)
     meta
+  }
+
+  // --- compaction (small-file maintenance) ---------------------------------
+
+  /** Bin-pack small adjacent data files into ~`targetBytes` files — the
+    * maintenance job any per-segment-append table needs at scale (one file
+    * per Kafka segment = millions of small parquet files at 100 TB; scan
+    * cost is dominated by file open/footer overhead, not bytes).
+    *
+    * Commit protocol: each group writes its merged data file + manifest,
+    * then ONE `_manifests.json` rename atomically retires the N old
+    * manifests and introduces the new one; old files are GC'd after the
+    * swap. Readers planned before the swap keep their (still-existing at
+    * plan time) file handles; single-writer discipline covers concurrent
+    * appends. NB: `readStream` consumes the raw data dir and would see
+    * compacted rows again — compact batch tables, not live stream sources.
+    *
+    * Returns the new metas (empty = nothing worth compacting). */
+  def compact(spark: SparkSession, targetBytes: Long = 128L << 20, minFiles: Int = 2): Vector[DataFileMeta] = {
+    val metas = listManifests()
+    val sized = metas.map(m => m -> Files.size(Paths.get(tableDir).resolve(m.file)))
+    // greedy: consecutive (offset-ordered) runs of small files up to target
+    val groups = Vector.newBuilder[Vector[DataFileMeta]]
+    var cur = Vector.empty[DataFileMeta]
+    var curBytes = 0L
+    sized.foreach { case (m, sz) =>
+      if (sz >= targetBytes) { if (cur.nonEmpty) { groups += cur; cur = Vector.empty; curBytes = 0 } }
+      else if (curBytes + sz > targetBytes && cur.nonEmpty) {
+        groups += cur; cur = Vector(m); curBytes = sz
+      } else { cur = cur :+ m; curBytes += sz }
+    }
+    if (cur.nonEmpty) groups += cur
+    val todo = groups.result().filter(_.length >= minFiles)
+
+    todo.map { group =>
+      val schema = currentSchema.getOrElse(RowSchema.rawSchema)
+      val files = group.map(m => Paths.get(tableDir).resolve(m.file).toString)
+      val merged = spark.read.schema(schema).parquet(files: _*)
+        .coalesce(1).sortWithinPartitions(col("kafka.offset"))
+      val name = s"compact-${group.head.minOffset}-${group.last.maxOffset}"
+      val staging = Files.createTempDirectory(Paths.get(tableDir), s".stage-$name-")
+      merged.write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala.find(_.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("no parquet output"))
+      Files.move(part, dataDir.resolve(s"$name.parquet"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      Files.walk(staging).iterator().asScala.toVector.reverse.foreach(Files.deleteIfExists(_))
+
+      val meta = DataFileMeta(s"data/$name.parquet", name,
+        group.map(_.minOffset).min, group.map(_.maxOffset).max,
+        group.map(_.startByteOffset).min, group.map(_.endByteOffset).max,
+        group.map(_.rowCount).sum)
+      val tmp = Files.createTempFile(manifestDir, s".m-$name-", ".tmp")
+      Files.writeString(tmp, metaToJson(meta))
+      Files.move(tmp, manifestDir.resolve(s"$name.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+
+      // THE commit: one rename swaps the group for its replacement
+      val retired = group.map(_.segment).toSet
+      commitList(activeNames.filterNot(retired) :+ name)
+      // GC retired files (post-commit; safe under single-writer)
+      group.foreach { m =>
+        Files.deleteIfExists(manifestDir.resolve(s"${m.segment}.json"))
+        Files.deleteIfExists(Paths.get(tableDir).resolve(m.file))
+      }
+      meta
+    }
   }
 
   /** Project/cast `rows` to the table schema: missing columns become nulls,
@@ -126,11 +219,9 @@ final class RecordTable(tableDir: String) {
   }
 
   def listManifests(): Vector[DataFileMeta] =
-    if (!Files.exists(manifestDir)) Vector.empty
-    else Files.list(manifestDir).iterator().asScala
-      .filter(_.toString.endsWith(".json"))
-      .map(p => metaFromJson(Files.readString(p)))
-      .toVector.sortBy(_.minOffset)
+    activeNames
+      .map(n => metaFromJson(Files.readString(manifestDir.resolve(s"$n.json"))))
+      .sortBy(_.minOffset)
 
   // --- read (S10/I7/I10) ----------------------------------------------------
 
