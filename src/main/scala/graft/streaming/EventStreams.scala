@@ -54,6 +54,18 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact-dedup — the streaming twin of the batch d01 query:
+    * rows keyed by content fingerprint, first-wins across micro-batches.
+    * `dropDuplicatesWithinWatermark` evicts fingerprints once the event-time
+    * watermark passes them, which is the contract that keeps dedup state
+    * BOUNDED on an unbounded stream (plain dropDuplicates grows state
+    * forever — a 100 TB/day ingest kills it in hours). */
+  def dedupByFingerprint(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Output mode for [[hourlyCounts]] in tests: Update with watermark. */
   val DefaultOutputMode: OutputMode = OutputMode.Update()
 }

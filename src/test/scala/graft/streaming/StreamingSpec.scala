@@ -129,6 +129,27 @@ class StreamingSpec extends SparkSpec {
     assert(table.read(spark).count() == 10)
   }
 
+  test("streaming dedup: duplicate fingerprints dropped across micro-batches, state bounded by watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts_s")
+      .selectExpr("doc_id", "text", "CAST(ts_s AS TIMESTAMP) AS ts")
+    val deduped = EventStreams.dedupByFingerprint(docs, watermarkDelay = "10 seconds")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    input.addData((1L, "alpha", 100L), (2L, "beta", 101L), (3L, "alpha", 102L))
+    q.processAllAvailable()
+    input.addData((4L, "alpha", 103L), (5L, "gamma", 104L)) // dup within watermark
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.sql("SELECT doc_id FROM dedup").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(2L) && kept.contains(5L))
+    assert(!kept.contains(3L) && !kept.contains(4L),
+      s"duplicate 'alpha' docs must be dropped within the watermark, got $kept")
+  }
+
   test("mapGroupsWithState user sessions accumulate per-key state across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
