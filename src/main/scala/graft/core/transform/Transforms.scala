@@ -58,18 +58,33 @@ object Transforms {
 
   // --- Compression (T2 / R7) ------------------------------------------------
   // The reference uses zstd-jni (`CompressionChunkEnumeration.java:26-63`).
-  // zstd is not resolvable offline; the codec is pluggable and we use the
-  // JDK Deflater with the same contract: per-chunk independent compression,
-  // self-describing content size (we prepend the original size as int32 the
-  // way zstd embeds the content size via `Zstd.getFrameContentSize`).
+  // zstd is not resolvable offline; the codec is pluggable with the same
+  // contract: per-chunk independent compression, self-describing content
+  // size (int32 prefix, the way zstd embeds it via
+  // `Zstd.getFrameContentSize`), plus a codec tag byte. Default codec is
+  // the in-repo LZ4 block implementation ([[Lz4]]) — zlib caps the write
+  // path near ~80 MB/s at any level, the wrong speed class for a
+  // throughput-bound, rate-limited tiering path; Deflate stays readable
+  // and selectable for ratio-sensitive cold data.
 
-  def compress(chunk: Array[Byte], level: Int = Deflater.DEFAULT_COMPRESSION): Array[Byte] = {
+  private final val CodecDeflate: Byte = 0
+  private final val CodecLz4: Byte = 1
+
+  def compress(chunk: Array[Byte]): Array[Byte] = {
+    val packed = Lz4.compress(chunk)
+    val out = new Array[Byte](5 + packed.length)
+    ByteBuffer.wrap(out).putInt(chunk.length).put(CodecLz4)
+    System.arraycopy(packed, 0, out, 5, packed.length)
+    out
+  }
+
+  def compressDeflate(chunk: Array[Byte], level: Int = Deflater.BEST_SPEED): Array[Byte] = {
     val deflater = new Deflater(level)
     try {
       deflater.setInput(chunk)
       deflater.finish()
       val out = new ByteArrayOutputStream(math.max(chunk.length / 2, 64))
-      out.write(ByteBuffer.allocate(4).putInt(chunk.length).array())
+      out.write(ByteBuffer.allocate(5).putInt(chunk.length).put(CodecDeflate).array())
       val buf = new Array[Byte](8192)
       while (!deflater.finished()) {
         val n = deflater.deflate(buf)
@@ -81,17 +96,22 @@ object Transforms {
 
   def decompress(chunk: Array[Byte]): Array[Byte] = {
     val contentSize = ByteBuffer.wrap(chunk, 0, 4).getInt()
-    val inflater = new Inflater()
-    try {
-      inflater.setInput(chunk, 4, chunk.length - 4)
-      val out = new Array[Byte](contentSize)
-      var off = 0
-      while (off < contentSize && !inflater.finished()) {
-        off += inflater.inflate(out, off, contentSize - off)
-      }
-      require(off == contentSize, s"decompressed $off bytes, expected $contentSize")
-      out
-    } finally inflater.end()
+    chunk(4) match {
+      case CodecLz4 => Lz4.decompress(chunk, 5, chunk.length, contentSize)
+      case CodecDeflate =>
+        val inflater = new Inflater()
+        try {
+          inflater.setInput(chunk, 5, chunk.length - 5)
+          val out = new Array[Byte](contentSize)
+          var off = 0
+          while (off < contentSize && !inflater.finished()) {
+            off += inflater.inflate(out, off, contentSize - off)
+          }
+          require(off == contentSize, s"decompressed $off bytes, expected $contentSize")
+          out
+        } finally inflater.end()
+      case other => throw new IllegalArgumentException(s"unknown codec tag $other")
+    }
   }
 
   // --- Encryption (T3 / R6) -------------------------------------------------

@@ -1,0 +1,77 @@
+package graft.core.transform
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.testkit.Props
+
+class Lz4Spec extends AnyFunSuite {
+
+  private def roundTrip(src: Array[Byte]): Unit = {
+    val c = Lz4.compress(src)
+    assert(c.length <= Lz4.maxCompressedLength(src.length))
+    val back = Lz4.decompress(c, 0, c.length, src.length)
+    assert(java.util.Arrays.equals(back, src),
+      s"round trip failed for ${src.length} bytes")
+  }
+
+  test("edge sizes: empty, 1, and everything below the 13-byte match floor") {
+    (0 to 16).foreach(n => roundTrip(Array.tabulate(n)(_.toByte)))
+  }
+
+  test("constant runs compress hard and round trip (overlap-copy path)") {
+    Seq(13, 100, 65535, 1 << 20).foreach { n =>
+      val src = Array.fill(n)(7.toByte)
+      val c = Lz4.compress(src)
+      roundTrip(src)
+      assert(c.length < n / 50 + 32, s"constant run of $n compressed to ${c.length}")
+    }
+  }
+
+  test("long literal runs (>255 extension bytes) round trip") {
+    val rnd = new java.util.Random(1)
+    val src = new Array[Byte](300000) // incompressible -> one huge literal run
+    rnd.nextBytes(src)
+    roundTrip(src)
+  }
+
+  test("short-period patterns exercise offset < matchLen replication") {
+    (1 to 8).foreach { period =>
+      val src = Array.tabulate(10000)(i => (i % period).toByte)
+      roundTrip(src)
+    }
+  }
+
+  test("property: arbitrary byte arrays round trip") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 5000)
+      mode <- Gen.oneOf(0, 1, 2)
+      bytes <- mode match {
+        case 0 => Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
+        case 1 => Gen.containerOfN[Array, Byte](n, Gen.oneOf(0.toByte, 1.toByte, 2.toByte)) // highly repetitive
+        case 2 => Gen.const(Array.tabulate(n)(i => ((i * 31) ^ (i >> 3)).toByte))
+      }
+    } yield bytes
+    Props.forAllN(gen, n = 200)(roundTrip)
+  }
+
+  test("half-random half-constant (the bench content shape)") {
+    val rnd = new java.util.Random(42)
+    val src = new Array[Byte](1 << 20)
+    rnd.nextBytes(src)
+    java.util.Arrays.fill(src, src.length / 2, src.length, 7.toByte)
+    val c = Lz4.compress(src)
+    roundTrip(src)
+    assert(c.length < src.length, "half-constant content must shrink")
+  }
+
+  test("deflate stays readable through the codec tag") {
+    val rnd = new java.util.Random(3)
+    val src = new Array[Byte](50000)
+    rnd.nextBytes(src)
+    java.util.Arrays.fill(src, 0, 25000, 1.toByte)
+    val viaDeflate = Transforms.compressDeflate(src)
+    assert(java.util.Arrays.equals(Transforms.decompress(viaDeflate), src))
+    val viaLz4 = Transforms.compress(src)
+    assert(java.util.Arrays.equals(Transforms.decompress(viaLz4), src))
+  }
+}
