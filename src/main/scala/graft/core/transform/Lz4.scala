@@ -63,6 +63,10 @@ object Lz4 {
     val matchLimit = n - 5 // last 5 bytes stay literals
     var anchor = 0
     var i = 0
+    // skip-acceleration (as in LZ4 fast): every 64 consecutive misses the
+    // step grows by one, so incompressible regions are skimmed instead of
+    // probed byte-by-byte — they cost literals either way
+    var misses = 1 << 6
     while (i < mfLimit) {
       val v = read32(src, i)
       val h = hash(v)
@@ -74,7 +78,11 @@ object Lz4 {
         emit(anchor, i, i - ref, mlen)
         i += mlen
         anchor = i
-      } else i += 1
+        misses = 1 << 6
+      } else {
+        i += (misses >> 6)
+        misses += 1
+      }
     }
     emit(anchor, n, 0, -1)
     java.util.Arrays.copyOf(dst, d)
