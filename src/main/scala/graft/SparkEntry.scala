@@ -54,6 +54,7 @@ object SparkEntry {
     "d05_jaccard_pairs" -> (TextQueries.d05JaccardPairs _),
     "d06_bitset_jaccard" -> (TextQueries.d06BitsetJaccardExpr _),
     "d07_dedup_clusters" -> (TextQueries.d07DedupClusters _),
+    "p01_clean_corpus" -> (TextQueries.p01CleanCorpus _),
     "m01_media_features" -> (MultimodalQueries.m01MediaFeatures _),
     "s01_ann_topk" -> (SimilarityQueries.s01AnnTopK _),
     "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
@@ -251,29 +252,14 @@ object SparkEntry {
       s"""SELECT doc_id, len($dToks) AS ws_tokens,
          | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS re_tokens
          |FROM documents""".stripMargin,
-    "t02_quality" ->
-      s"""WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_txt, $dToks AS toks FROM documents),
-         |c AS (SELECT doc_id, n_chars_txt, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
-         |        ${dStop(TextQueries.StopEn)} AS n_stop,
-         |        CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok_len
-         |      FROM t)
-         |SELECT doc_id, n_chars_txt, n_tokens, n_distinct, n_stop, sum_tok_len,
-         | CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
-         | CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-         | CAST(sum_tok_len AS DOUBLE) / n_tokens AS avg_tok_len
-         |FROM c""".stripMargin,
-    "t03_langid" ->
-      s"""WITH t AS (SELECT doc_id, lang, $dToks AS toks FROM documents),
-         |h AS (SELECT doc_id, lang,
-         |        ${dStop(TextQueries.StopEn)} AS en_hits, ${dStop(TextQueries.StopDe)} AS de_hits,
-         |        ${dStop(TextQueries.StopFr)} AS fr_hits, ${dStop(TextQueries.StopEs)} AS es_hits
-         |      FROM t)
-         |SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
-         | CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
-         |      WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
-         |      WHEN fr_hits >= es_hits THEN 'fr'
-         |      ELSE 'es' END AS pred_lang
-         |FROM h""".stripMargin,
+    "t02_quality" -> t02Sql,
+    "t03_langid" -> t03Sql,
+    "p01_clean_corpus" ->
+      s"""WITH q AS ($t02Sql), l AS ($t03Sql), c AS ($d07Sql)
+         |SELECT q.doc_id, l.lang, q.n_tokens, q.ttr
+         |FROM c JOIN q ON c.doc_id = q.doc_id JOIN l ON c.doc_id = l.doc_id
+         |WHERE c.doc_id = c.cluster_rep AND l.pred_lang = l.lang
+         |  AND q.n_tokens >= ${TextQueries.CleanMinTokens} AND q.ttr >= ${TextQueries.CleanMinTtr}""".stripMargin,
     "t04_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, text, $dNorm AS norm FROM documents),
          |p AS (SELECT doc_id, norm, md5(text) AS full_md5, md5(norm) AS norm_md5,
@@ -342,14 +328,7 @@ object SparkEntry {
          |      FROM c)
          |SELECT query_id, cell, vec_id AS neighbor_id, cosine
          |FROM r WHERE rnk = 1""".stripMargin,
-    "d07_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($minHashPairsSql),
-         |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.src, e.y FROM reach r JOIN edges e ON e.x = r.dst)
-         |SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src""".stripMargin,
+    "d07_dedup_clusters" -> d07Sql,
     "s01_ann_topk" ->
       s"""WITH $dNrmCte,
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nrm
@@ -388,6 +367,41 @@ object SparkEntry {
          |SELECT query_id, bucket, vec_id AS neighbor_id, cosine
          |FROM r WHERE rnk = 1""".stripMargin,
   )
+
+  /** Shared oracle fragments (also composed into p01_clean_corpus). */
+  private def t02Sql: String =
+    s"""WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_txt, $dToks AS toks FROM documents),
+       |c AS (SELECT doc_id, n_chars_txt, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+       |        ${dStop(TextQueries.StopEn)} AS n_stop,
+       |        CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok_len
+       |      FROM t)
+       |SELECT doc_id, n_chars_txt, n_tokens, n_distinct, n_stop, sum_tok_len,
+       | CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+       | CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       | CAST(sum_tok_len AS DOUBLE) / n_tokens AS avg_tok_len
+       |FROM c""".stripMargin
+
+  private def t03Sql: String =
+    s"""WITH t AS (SELECT doc_id, lang, $dToks AS toks FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |        ${dStop(TextQueries.StopEn)} AS en_hits, ${dStop(TextQueries.StopDe)} AS de_hits,
+       |        ${dStop(TextQueries.StopFr)} AS fr_hits, ${dStop(TextQueries.StopEs)} AS es_hits
+       |      FROM t)
+       |SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
+       | CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       |      WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       |      WHEN fr_hits >= es_hits THEN 'fr'
+       |      ELSE 'es' END AS pred_lang
+       |FROM h""".stripMargin
+
+  private def d07Sql: String =
+    s"""WITH RECURSIVE pairs AS ($minHashPairsSql),
+       |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.y FROM reach r JOIN edges e ON e.x = r.dst)
+       |SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src""".stripMargin
 
   /** DuckDB mirror of [[graft.queries.TextQueries.d03MinHashPairs]]. */
   private def minHashPairsSql: String =

@@ -360,6 +360,29 @@ object TextQueries {
       .toDF("doc_id", "cluster_rep")
   }
 
+  val CleanMinTokens = 30L
+  val CleanMinTtr = 0.35
+
+  /** p01: the corpus-cleaning PIPELINE — the composition a training-data
+    * run actually executes, as one plan: keep only documents that are
+    * (a) their dedup cluster's keeper (d07), (b) above quality thresholds
+    * (t02), and (c) language-consistent (t03 heuristic agrees with the
+    * label). Each stage is independently oracle-checked; this checks their
+    * composition. All joins key on doc_id — co-partitioned after the first
+    * shuffle; at scale the d07 keeper set is the (small) broadcast side. */
+  def p01CleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val keepers = d07DedupClusters(s, d)
+      .filter(col("doc_id") === col("cluster_rep")).select("doc_id")
+    val quality = t02Quality(s, d).select("doc_id", "n_tokens", "ttr")
+    val lang = t03LangId(s, d)
+      .filter(col("pred_lang") === col("lang")).select("doc_id", "lang")
+    keepers
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .filter(col("n_tokens") >= CleanMinTokens && col("ttr") >= CleanMinTtr)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("ttr"))
+  }
+
   /** d06: the same Jaccard near-dup output computed through the engine's
     * custom Catalyst expressions (`tokens_to_bitset` builds the bitmap
     * column, codegen'd `bitset_jaccard` runs popcount AND/OR inside
