@@ -174,15 +174,31 @@ object SegmentFetchJob {
       m.encryption.map(_.aad).getOrElse(Array.emptyByteArray))
   }
 
+  /** Serving-path manifest cache mirroring the reference's
+    * `MemorySegmentManifestCache` (C6/R10, default 1000 entries): segments
+    * are immutable, so (parsed manifest + RSA-unwrapped data key) are
+    * cacheable forever — re-parsing JSON and, worse, an RSA private-key op
+    * per point read otherwise dominates small-range latency. */
+  private final val ManifestCacheEntries = 1000
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (SegmentManifest, TransformSpec)]()
+
+  private def cachedManifestSpec(cfg: SegmentJobConfig, segKey: String): (SegmentManifest, TransformSpec) =
+    manifestCache.computeIfAbsent((cfg.storageRoot, segKey), { _ =>
+      if (manifestCache.size() >= ManifestCacheEntries) manifestCache.clear()
+      val m = loadManifest(FileSystemStorage(cfg.storageRoot), segKey)
+      (m, specOf(m, cfg))
+    })
+
   /** Serving path: fetch original bytes [from, to] of one segment. The range
     * is clamped to the segment size (ref `RemoteStorageManager.java:141-144`). */
   def fetchRange(cfg: SegmentJobConfig, segKey: String, range: BytesRange): Array[Byte] = {
     val storage = FileSystemStorage(cfg.storageRoot)
-    val m = loadManifest(storage, segKey)
+    val (m, cachedSpec) = cachedManifestSpec(cfg, segKey)
     val clamped = BytesRange(range.from, math.min(range.to, m.chunkIndex.originalFileSize - 1L))
     val chunks = m.chunkIndex.chunksForRange(clamped)
     if (chunks.isEmpty) return Array.emptyByteArray
-    val spec = specOf(m, cfg)
+    val spec = cachedSpec
     val logKey = s"$segKey.${ObjectKey.Suffix.Log.value}"
     val fetched = chunks.iterator.map(c => storage.fetchRangeBytes(logKey, c.transformedRange))
     val out = new java.io.ByteArrayOutputStream(clamped.size.toInt)

@@ -90,14 +90,19 @@ object RelationalQueries {
     * shape of the reference's delete-key-set construction
     * (`KafkaRemoteStorageManager.java:601-606`). */
   def q07KeySets(s: SparkSession, d: String): DataFrame = {
-    val customerNations = customer(s, d).select(col("c_nationkey").cast("int").as("nk")).distinct()
-    val supplierNations = supplier(s, d).select(col("s_nationkey").cast("int").as("nk")).distinct()
-    val u = customerNations.union(supplierNations).distinct().agg(count(lit(1)).as("n")).select(col("n"))
-    val i = customerNations.intersect(supplierNations).agg(count(lit(1)).as("n")).select(col("n"))
-    val e = customerNations.except(supplierNations).agg(count(lit(1)).as("n")).select(col("n"))
-    u.withColumnRenamed("n", "union_count")
-      .crossJoin(i.withColumnRenamed("n", "intersect_count"))
-      .crossJoin(e.withColumnRenamed("n", "except_count"))
+    // one full-outer join over the two distinct key sets answers all three
+    // set operations at once — the separate union/intersect/except plans
+    // cost 13 exchanges where this costs the two distincts (whose
+    // hash-partitioning the join then reuses) plus the final global agg
+    val customerNations = customer(s, d).select(col("c_nationkey").cast("int").as("nk"))
+      .distinct().withColumn("in_c", lit(1))
+    val supplierNations = supplier(s, d).select(col("s_nationkey").cast("int").as("nk"))
+      .distinct().withColumn("in_s", lit(1))
+    customerNations.join(supplierNations, Seq("nk"), "full_outer")
+      .agg(
+        count(lit(1)).as("union_count"),
+        count(when(col("in_c") === 1 && col("in_s") === 1, 1)).as("intersect_count"),
+        count(when(col("in_c") === 1 && col("in_s").isNull, 1)).as("except_count"))
   }
 
   /** Group-by + HAVING + distinct aggregation. */
