@@ -200,9 +200,19 @@ object SegmentFetchJob {
     if (chunks.isEmpty) return Array.emptyByteArray
     val spec = cachedSpec
     val logKey = s"$segKey.${ObjectKey.Suffix.Log.value}"
-    val fetched = chunks.iterator.map(c => storage.fetchRangeBytes(logKey, c.transformedRange))
+    // Interruption-as-cancellation (ref KafkaRemoteStorageManager.java:
+    // 470-480, 532-546): the broker cancels in-flight fetches by
+    // interrupting the serving thread — that is a RESULT (empty stream),
+    // not an error. Checked between chunks so a cancelled multi-chunk
+    // fetch stops paying for decrypt/decompress it will throw away.
+    val fetched = chunks.iterator.map { c =>
+      if (Thread.currentThread().isInterrupted)
+        throw new InterruptedException("fetch cancelled")
+      storage.fetchRangeBytes(logKey, c.transformedRange)
+    }
     val out = new java.io.ByteArrayOutputStream(clamped.size.toInt)
-    TransformPipeline.detransform(fetched, chunks, spec).foreach(out.write)
+    try TransformPipeline.detransform(fetched, chunks, spec).foreach(out.write)
+    catch { case _: InterruptedException => return Array.emptyByteArray }
     val joined = out.toByteArray
     val skip = (clamped.from - chunks.head.originalPosition).toInt
     java.util.Arrays.copyOfRange(joined, skip, skip + clamped.size.toInt)

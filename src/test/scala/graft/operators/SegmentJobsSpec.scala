@@ -87,6 +87,24 @@ class SegmentJobsSpec extends SparkSpec {
     }
   }
 
+  test("interrupted fetch returns an empty result, not an error (R3 cancellation)") {
+    val in = tmpDir("graft-segs-in5")
+    val store = tmpDir("graft-store5")
+    val segs = makeSegments(in, 1, 30000)
+    val cfg = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 4096)
+    SegmentUploadJob.run(spark, in, cfg).collect()
+    val segKey = segs.head._1
+    // sanity: uninterrupted fetch returns bytes
+    assert(SegmentFetchJob.fetchRange(cfg, segKey, BytesRange(0, 999)).length == 1000)
+    Thread.currentThread().interrupt()
+    try {
+      val r = SegmentFetchJob.fetchRange(cfg, segKey, BytesRange(0, 999))
+      assert(r.isEmpty, "cancelled fetch must yield an empty stream, not data or an exception")
+    } finally {
+      Thread.interrupted() // clear the flag for subsequent tests
+    }
+  }
+
   test("upload failure leaves no partial objects (compensating delete)") {
     val store = tmpDir("graft-store4")
     val cfg = SegmentJobConfig.withGeneratedKeys(store)
