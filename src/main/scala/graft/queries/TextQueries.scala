@@ -322,19 +322,35 @@ object TextQueries {
     * graph-diameter rounds (near-dup components are dense, so diameter is
     * tiny). Singleton documents are their own cluster. Deterministic:
     * min() is order-free. */
-  def d07DedupClusters(s: SparkSession, d: String): DataFrame = {
+  /** Edge count above which d07 stops collecting to the driver and runs
+    * the distributed large-star/small-star instead (~5M pairs ≈ 80 MB of
+    * longs — comfortably under driver limits, far above any real LSH
+    * candidate set at these SFs). */
+  val MaxDriverEdges = 5000000L
+
+  def d07DedupClusters(s: SparkSession, d: String): DataFrame =
+    d07DedupClusters(s, d, MaxDriverEdges)
+
+  def d07DedupClusters(s: SparkSession, d: String, maxDriverEdges: Long): DataFrame = {
     import s.implicits._
     // The candidate EDGE set after LSH banding is orders of magnitude
     // smaller than the corpus (only near-dup pairs survive), so connected
     // components reduce to union-find over the collected edges — one linear
     // pass, no iterative joins. The component→keeper map (near-dup docs
     // only) is broadcast back and applied per-partition; singleton docs
-    // (the overwhelming majority) never leave their partition. At 100 TB
-    // the same plan holds: edges stay bounded by the near-dup rate, and if
-    // they ever outgrow the driver, the fallback is the classic
-    // large-star/small-star iterative join over the SAME edge table — the
-    // corpus itself is never shuffled either way.
-    val edges = d03MinHashPairs(s, d).as[(Long, Long)].collect()
+    // (the overwhelming majority) never leave their partition. The guard is
+    // SELF-ACTUATING: past [[MaxDriverEdges]] the same edge table routes
+    // through the distributed large-star/small-star operator
+    // ([[graft.operators.ConnectedComponents]], label-equivalent by spec) —
+    // the corpus itself is never shuffled either way.
+    val pairs = d03MinHashPairs(s, d).localCheckpoint(true)
+    if (pairs.count() > maxDriverEdges) {
+      val labels = graft.operators.ConnectedComponents.labels(pairs.toDF("x", "y"))
+      return documents(s, d).select(col("doc_id"))
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+    }
+    val edges = pairs.as[(Long, Long)].collect()
     val parent = new scala.collection.mutable.HashMap[Long, Long]
     def find(x: Long): Long = {
       var r = x

@@ -41,4 +41,14 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(distributed.contains(n))
     }
   }
+
+  test("d07's self-actuating fallback route produces identical labels") {
+    val d = "/root/testdata/sf0.001"
+    val viaDriver = graft.queries.TextQueries.d07DedupClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // maxDriverEdges = 0 forces the distributed large-star/small-star route
+    val viaDistributed = graft.queries.TextQueries.d07DedupClusters(spark, d, maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDistributed == viaDriver)
+  }
 }
