@@ -52,11 +52,22 @@ object TextQueries {
       s"CAST(size($toksExpr) AS BIGINT) AS ws_tokens",
       "CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT) AS re_tokens")
 
+  /** One normalization + tokenization pass shared by the text signals —
+    * p01 materializes this once and derives quality, language and minhash
+    * from it instead of re-tokenizing the corpus per signal. */
+  private def normToks(s: SparkSession, d: String): DataFrame =
+    documents(s, d).selectExpr("doc_id", "lang",
+      "CAST(length(text) AS BIGINT) AS n_chars_txt",
+      s"$normExpr AS norm", s"$toksExpr AS toks")
+
   /** t02: quality scoring — length, lexical diversity (type-token ratio),
     * stopword ratio, mean token length. */
   def t02Quality(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS n_chars_txt", s"$toksExpr AS toks")
+    t02From(normToks(s, d))
+
+  private[queries] def t02From(tok: DataFrame): DataFrame =
+    tok
+      .selectExpr("doc_id", "n_chars_txt", "toks")
       .selectExpr(
         "doc_id", "n_chars_txt",
         "CAST(size(toks) AS BIGINT) AS n_tokens",
@@ -72,8 +83,11 @@ object TextQueries {
   /** t03: language ID — stopword-hit heuristic over four language lists,
     * argmax with fixed precedence (en,de,fr,es). */
   def t03LangId(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .selectExpr("doc_id", "lang", s"$toksExpr AS toks")
+    t03From(normToks(s, d))
+
+  private[queries] def t03From(tok: DataFrame): DataFrame =
+    tok
+      .selectExpr("doc_id", "lang", "toks")
       .selectExpr(
         "doc_id", "lang",
         s"CAST(size(filter(toks, x -> array_contains(array(${sqlList(StopEn)}), x))) AS BIGINT) AS en_hits",
@@ -192,10 +206,13 @@ object TextQueries {
     * exploded+groupBy formulation moved ~300 rows/doc through an exchange
     * for the same answer. Hash values are identical to the SQL/oracle
     * formulation. */
-  def d02MinHashSig(s: SparkSession, d: String): DataFrame = {
+  def d02MinHashSig(s: SparkSession, d: String): DataFrame =
+    d02From(s, documents(s, d).selectExpr("doc_id", s"$normExpr AS norm"))
+
+  private[queries] def d02From(s: SparkSession, normDf: DataFrame): DataFrame = {
     import s.implicits._
-    documents(s, d)
-      .selectExpr("doc_id", s"$normExpr AS norm")
+    normDf
+      .selectExpr("doc_id", "norm")
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -221,8 +238,10 @@ object TextQueries {
   /** d03: MinHash+LSH candidate pairs — docs sharing any band key. The
     * band-key equi-join is the shuffle-friendly O(n) candidate generation
     * that replaces the O(n^2) scan at scale. */
-  def d03MinHashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = d02MinHashSig(s, d)
+  def d03MinHashPairs(s: SparkSession, d: String): DataFrame =
+    d03From(d02MinHashSig(s, d))
+
+  private[queries] def d03From(sig: DataFrame): DataFrame = {
     // materialize the signature scan once: the band union + self-join would
     // otherwise re-run the md5-shingle mapPartitions kernel 4x (once per
     // union leg per join side)
@@ -331,7 +350,12 @@ object TextQueries {
   def d07DedupClusters(s: SparkSession, d: String): DataFrame =
     d07DedupClusters(s, d, MaxDriverEdges)
 
-  def d07DedupClusters(s: SparkSession, d: String, maxDriverEdges: Long): DataFrame = {
+  def d07DedupClusters(s: SparkSession, d: String, maxDriverEdges: Long): DataFrame =
+    clusterLabels(s, d03MinHashPairs(s, d).localCheckpoint(true),
+      documents(s, d).select(col("doc_id")), maxDriverEdges)
+
+  private[queries] def clusterLabels(
+      s: SparkSession, pairs: DataFrame, docIds: DataFrame, maxDriverEdges: Long): DataFrame = {
     import s.implicits._
     // The candidate EDGE set after LSH banding is orders of magnitude
     // smaller than the corpus (only near-dup pairs survive), so connected
@@ -343,10 +367,9 @@ object TextQueries {
     // through the distributed large-star/small-star operator
     // ([[graft.operators.ConnectedComponents]], label-equivalent by spec) —
     // the corpus itself is never shuffled either way.
-    val pairs = d03MinHashPairs(s, d).localCheckpoint(true)
     if (pairs.count() > maxDriverEdges) {
       val labels = graft.operators.ConnectedComponents.labels(pairs.toDF("x", "y"))
-      return documents(s, d).select(col("doc_id"))
+      return docIds
         .join(labels, col("doc_id") === col("node"), "left")
         .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
     }
@@ -368,7 +391,7 @@ object TextQueries {
     }
     val rep = parent.keys.map(k => k -> find(k)).toMap
     val bc = s.sparkContext.broadcast(rep)
-    documents(s, d).select(col("doc_id")).as[Long]
+    docIds.select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         val m = bc.value
         ids.map(id => (id, m.getOrElse(id, id)))
@@ -387,10 +410,18 @@ object TextQueries {
     * composition. All joins key on doc_id — co-partitioned after the first
     * shuffle; at scale the d07 keeper set is the (small) broadcast side. */
   def p01CleanCorpus(s: SparkSession, d: String): DataFrame = {
-    val keepers = d07DedupClusters(s, d)
+    // ONE normalization+tokenization pass feeds every signal: the corpus is
+    // scanned and tokenized once (materialized), then quality, language and
+    // the minhash-signature pipeline all derive from it — at 100 TB the
+    // tokenize pass dominates, so running it per-signal would triple the
+    // dominant cost. Expressions are identical to the standalone queries,
+    // so each leg (and the composition) still matches its oracle exactly.
+    val tok = normToks(s, d).localCheckpoint(true)
+    val pairs = d03From(d02From(s, tok)).localCheckpoint(true)
+    val keepers = clusterLabels(s, pairs, tok.select(col("doc_id")), MaxDriverEdges)
       .filter(col("doc_id") === col("cluster_rep")).select("doc_id")
-    val quality = t02Quality(s, d).select("doc_id", "n_tokens", "ttr")
-    val lang = t03LangId(s, d)
+    val quality = t02From(tok).select("doc_id", "n_tokens", "ttr")
+    val lang = t03From(tok)
       .filter(col("pred_lang") === col("lang")).select("doc_id", "lang")
     keepers
       .join(quality, "doc_id")
