@@ -64,6 +64,47 @@ class Lz4Spec extends AnyFunSuite {
     assert(c.length < src.length, "half-constant content must shrink")
   }
 
+  test("decodes handcrafted blocks from the published format spec") {
+    // sequence 1: token 0x34 -> 3 literals 'abc', match offset 3 len 4+4=8
+    // (replicates "abc" periodically); final sequence: 5 literals "hello"
+    val block = Array[Byte](
+      0x34.toByte, 'a', 'b', 'c', 0x03, 0x00, // "abc" + 8-byte overlap match
+      0x50.toByte, 'h', 'e', 'l', 'l', 'o') // trailing literals
+    val out = new String(Lz4.decompress(block, 0, block.length, 16), "UTF-8")
+    assert(out == "abcabcabcab" + "hello", s"got '$out'")
+
+    // 255-extension: 15+255+3 = 273 literals of 'x', then end
+    val lits = Array.fill(273)('x'.toByte)
+    val ext = Array[Byte](0xF0.toByte, 0xFF.toByte, 0x03) ++ lits
+    val back = Lz4.decompress(ext, 0, ext.length, 273)
+    assert(back.length == 273 && back.forall(_ == 'x'.toByte))
+  }
+
+  test("compressed output is itself spec-shaped (token walk terminates exactly)") {
+    // walk the emitted sequences manually with an independent mini-parser
+    val rnd = new java.util.Random(9)
+    val src = new Array[Byte](20000)
+    rnd.nextBytes(src)
+    java.util.Arrays.fill(src, 5000, 15000, 3.toByte)
+    val c = Lz4.compress(src)
+    var s = 0
+    var produced = 0
+    while (s < c.length) {
+      val token = c(s) & 0xFF; s += 1
+      var lit = token >>> 4
+      if (lit == 15) { var b = 0; while ({ b = c(s) & 0xFF; s += 1; b == 255 }) lit += 255; lit += b }
+      s += lit; produced += lit
+      if (s < c.length) {
+        val off = (c(s) & 0xFF) | ((c(s + 1) & 0xFF) << 8); s += 2
+        assert(off > 0 && off <= produced, s"offset $off beyond produced $produced")
+        var ml = (token & 15) + 4
+        if ((token & 15) == 15) { var b = 0; while ({ b = c(s) & 0xFF; s += 1; b == 255 }) ml += 255; ml += b }
+        produced += ml
+      }
+    }
+    assert(produced == src.length, s"token walk produced $produced of ${src.length}")
+  }
+
   test("deflate stays readable through the codec tag") {
     val rnd = new java.util.Random(3)
     val src = new Array[Byte](50000)

@@ -42,6 +42,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("property: random graphs match a local union-find") {
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(0, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n - 1L); b <- Gen.chooseNum(0L, n - 1L)
+      } yield (a, b))
+    } yield edges.filter(e => e._1 != e._2)
+    graft.testkit.Props.forAllN(gen, n = 25) { edges =>
+      if (edges.nonEmpty) {
+        // local reference union-find with min-root
+        val parent = scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+        edges.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        val expected = parent.keys.map(k => k -> find(k)).toMap
+        assert(labelsOf(edges) == expected, s"edges: $edges")
+      }
+    }
+  }
+
   test("d07's self-actuating fallback route produces identical labels") {
     val d = "/root/testdata/sf0.001"
     val viaDriver = graft.queries.TextQueries.d07DedupClusters(spark, d).collect()
