@@ -55,6 +55,7 @@ object SparkEntry {
     "d06_bitset_jaccard" -> (TextQueries.d06BitsetJaccardExpr _),
     "d07_dedup_clusters" -> (TextQueries.d07DedupClusters _),
     "p01_clean_corpus" -> (TextQueries.p01CleanCorpus _),
+    "x01_token_windows" -> (TextQueries.x01TokenWindows _),
     "m01_media_features" -> (MultimodalQueries.m01MediaFeatures _),
     "s01_ann_topk" -> (SimilarityQueries.s01AnnTopK _),
     "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
@@ -203,6 +204,18 @@ object SparkEntry {
         | AND epoch_us(a.ts) < epoch_us(e.ts)
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id, e.user_id, e.ts""".stripMargin,
+    "x01_token_windows" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |e AS (SELECT doc_id, toks,
+         |        unnest(generate_series(0, CAST(floor((len(toks) - 1) / ${TextQueries.WindowTokens - TextQueries.WindowOverlap}) AS INT))) AS window_id
+         |      FROM t),
+         |w AS (SELECT doc_id, window_id,
+         |        list_slice(toks, window_id * ${TextQueries.WindowTokens - TextQueries.WindowOverlap} + 1,
+         |                   window_id * ${TextQueries.WindowTokens - TextQueries.WindowOverlap} + ${TextQueries.WindowTokens}) AS w
+         |      FROM e)
+         |SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+         |       array_to_string(w, ' ') AS chunk_text, CAST(len(w) AS BIGINT) AS n_tokens
+         |FROM w""".stripMargin,
     "q12_chunk_index" ->
       """SELECT doc_id, n_chars,
         | CASE WHEN n_chars = 0 THEN 0 ELSE (n_chars + 63) // 64 END AS chunk_count,

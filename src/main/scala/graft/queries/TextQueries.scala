@@ -399,6 +399,25 @@ object TextQueries {
       .toDF("doc_id", "cluster_rep")
   }
 
+  val WindowTokens = 64
+  val WindowOverlap = 16
+  private val WindowStride = WindowTokens - WindowOverlap
+
+  /** x01: context-window chunking — split each document's token stream into
+    * fixed-size windows with overlap (the sequence-packing step that turns
+    * a cleaned corpus into training examples). Pure narrow explode: window
+    * starts at w·stride while that is inside the document, slices truncate
+    * at the end. Integer/string outputs → exact oracle parity. */
+  def x01TokenWindows(s: SparkSession, d: String): DataFrame =
+    normToks(s, d)
+      .selectExpr("doc_id", "toks",
+        s"explode(sequence(0, CAST(floor((size(toks) - 1) / $WindowStride) AS INT))) AS window_id")
+      .selectExpr("doc_id", "CAST(window_id AS BIGINT) AS window_id",
+        s"slice(toks, window_id * $WindowStride + 1, $WindowTokens) AS w")
+      .selectExpr("doc_id", "window_id",
+        "array_join(w, ' ') AS chunk_text",
+        "CAST(size(w) AS BIGINT) AS n_tokens")
+
   val CleanMinTokens = 30L
   val CleanMinTtr = 0.35
 
