@@ -207,8 +207,8 @@ object SparkEntry {
     "x01_token_windows" ->
       s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
          |e AS (SELECT doc_id, toks,
-         |        unnest(generate_series(0, CAST(floor((len(toks) - 1) / ${TextQueries.WindowTokens - TextQueries.WindowOverlap}) AS INT))) AS window_id
-         |      FROM t),
+         |        unnest(generate_series(0, greatest(CAST(floor((len(toks) - 1) / ${TextQueries.WindowTokens - TextQueries.WindowOverlap}) AS INT), 0))) AS window_id
+         |      FROM t WHERE len(toks) > 0),
          |w AS (SELECT doc_id, window_id,
          |        list_slice(toks, window_id * ${TextQueries.WindowTokens - TextQueries.WindowOverlap} + 1,
          |                   window_id * ${TextQueries.WindowTokens - TextQueries.WindowOverlap} + ${TextQueries.WindowTokens}) AS w
@@ -312,12 +312,17 @@ object SparkEntry {
          |      GROUP BY 1, 2, 3, 4)
          |SELECT a, b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
          |FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= ${TextQueries.JaccardThreshold}""".stripMargin,
+    // d06 = LSH candidates (the d03 pair set) verified by the hashed-bitset
+    // Jaccard: bit = first-5-hex-digits of md5(token) mod HashBits. The
+    // oracle computes the identical function on position SETS (popcount of
+    // AND/OR == intersection/union of distinct hashed positions).
     "d06_bitset_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, lang, list_distinct($dToks) AS t FROM documents),
-         |tt AS (SELECT doc_id, lang, len(t) AS nt, unnest(t) AS tok FROM toks),
-         |j AS (SELECT a.doc_id AS a, b.doc_id AS b, a.nt AS na, b.nt AS nb, count(*) AS inter
-         |      FROM tt a JOIN tt b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
-         |      GROUP BY 1, 2, 3, 4)
+      s"""WITH pairs AS ($minHashPairsSql),
+         |tk AS (SELECT doc_id, list_distinct($dToks) AS t FROM documents),
+         |pos AS (SELECT doc_id, list_distinct(list_transform(t, tok -> $hashPosSql)) AS ps FROM tk),
+         |j AS (SELECT p.a, p.b, len(list_intersect(pa.ps, pb.ps)) AS inter,
+         |             len(pa.ps) AS na, len(pb.ps) AS nb
+         |      FROM pairs p JOIN pos pa ON pa.doc_id = p.a JOIN pos pb ON pb.doc_id = p.b)
          |SELECT a, b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
          |FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= ${TextQueries.JaccardThreshold}""".stripMargin,
     "s04_ann_ivf" ->
@@ -380,6 +385,17 @@ object SparkEntry {
          |SELECT query_id, bucket, vec_id AS neighbor_id, cosine
          |FROM r WHERE rnk = 1""".stripMargin,
   )
+
+  /** DuckDB mirror of [[graft.plans.TokensToHashBitset]]'s bit index: the
+    * first 5 hex digits of md5(tok) as a base-16 integer, mod HashBits —
+    * spelled as hex-digit arithmetic (DuckDB 1.0 has no base-16 conv). */
+  private def hashPosSql: String = {
+    val digits = (0 until 5).map { i =>
+      val weight = 1 << (4 * (4 - i))
+      s"(strpos('0123456789abcdef', substring(md5(tok), ${i + 1}, 1)) - 1) * $weight"
+    }.mkString(" + ")
+    s"($digits) % ${TextQueries.HashBits}"
+  }
 
   /** Shared oracle fragments (also composed into p01_clean_corpus). */
   private def t02Sql: String =

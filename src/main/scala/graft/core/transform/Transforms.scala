@@ -98,20 +98,32 @@ object Transforms {
     val contentSize = ByteBuffer.wrap(chunk, 0, 4).getInt()
     chunk(4) match {
       case CodecLz4 => Lz4.decompress(chunk, 5, chunk.length, contentSize)
-      case CodecDeflate =>
-        val inflater = new Inflater()
-        try {
-          inflater.setInput(chunk, 5, chunk.length - 5)
-          val out = new Array[Byte](contentSize)
-          var off = 0
-          while (off < contentSize && !inflater.finished()) {
-            off += inflater.inflate(out, off, contentSize - off)
-          }
-          require(off == contentSize, s"decompressed $off bytes, expected $contentSize")
-          out
-        } finally inflater.end()
-      case other => throw new IllegalArgumentException(s"unknown codec tag $other")
+      case CodecDeflate => inflate(chunk, 5, contentSize)
+      // Legacy layout (pre-codec-tag builds): 4-byte size prefix, zlib
+      // stream starting AT offset 4 — its first byte is the CMF header,
+      // whose low nibble is always 8 (deflate), never colliding with tags
+      // 0/1. Segments persisted by earlier builds stay readable instead of
+      // failing with "unknown codec tag 120". New segments also carry the
+      // codec in the manifest (`compression_codec`), making the format
+      // self-describing going forward.
+      case cmf if (cmf & 0x0F) == 8 => inflate(chunk, 4, contentSize)
+      case other => throw new IllegalArgumentException(
+        s"unknown codec tag $other (not LZ4=1, Deflate=0, or a legacy zlib header)")
     }
+  }
+
+  private def inflate(chunk: Array[Byte], from: Int, contentSize: Int): Array[Byte] = {
+    val inflater = new Inflater()
+    try {
+      inflater.setInput(chunk, from, chunk.length - from)
+      val out = new Array[Byte](contentSize)
+      var off = 0
+      while (off < contentSize && !inflater.finished()) {
+        off += inflater.inflate(out, off, contentSize - off)
+      }
+      require(off == contentSize, s"decompressed $off bytes, expected $contentSize")
+      out
+    } finally inflater.end()
   }
 
   // --- Encryption (T3 / R6) -------------------------------------------------

@@ -36,6 +36,19 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
+    // Cheap per-round fixed-point detection: (count, hash checksum) in ONE
+    // aggregate job. Differing stats prove the round changed the edge set
+    // (skip the expensive check); matching stats trigger ONE exceptAll for
+    // exact set equality — both sets are distinct, so equal counts plus
+    // next⊆e implies e⊆next, making the second exceptAll of the old
+    // two-per-round formulation redundant. Exactness is preserved: checksum
+    // equality alone is never trusted.
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(hash(col("hi"), col("lo")).cast("long"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var eStats = stats(e)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -59,10 +72,19 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
 
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      val nextStats = stats(next)
+      converged = nextStats == eStats && next.exceptAll(e).isEmpty
       e = next
+      eStats = nextStats
       iter += 1
     }
+
+    // Silent non-convergence would return interior edges as labels — wrong
+    // component reps with no signal (the d07 path promises exact labels).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds " +
+          "(raise maxIter; rounds needed grow with log of component diameter)")
 
     // converged: e is (node -> component min) stars; roots label themselves
     e.select(col("hi").as("node"), col("lo").as("rep"))

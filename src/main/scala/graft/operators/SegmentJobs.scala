@@ -183,12 +183,23 @@ object SegmentFetchJob {
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (SegmentManifest, TransformSpec)]()
 
-  private def cachedManifestSpec(cfg: SegmentJobConfig, segKey: String): (SegmentManifest, TransformSpec) =
-    manifestCache.computeIfAbsent((cfg.storageRoot, segKey), { _ =>
-      if (manifestCache.size() >= ManifestCacheEntries) manifestCache.clear()
-      val m = loadManifest(FileSystemStorage(cfg.storageRoot), segKey)
-      (m, specOf(m, cfg))
-    })
+  /** Mutating the map from inside a `computeIfAbsent` mapping function
+    * violates the ConcurrentHashMap contract (two threads evicting on
+    * different bins can deadlock), so the miss path loads OUTSIDE the map
+    * operation and publishes with `putIfAbsent`. Concurrent misses may load
+    * the same manifest twice — manifests are immutable, so both loads
+    * produce the same value and first-publish wins; a benign trade against
+    * the deadlock. */
+  private def cachedManifestSpec(cfg: SegmentJobConfig, segKey: String): (SegmentManifest, TransformSpec) = {
+    val key = (cfg.storageRoot, segKey)
+    val hit = manifestCache.get(key)
+    if (hit != null) return hit
+    val m = loadManifest(FileSystemStorage(cfg.storageRoot), segKey)
+    val loaded = (m, specOf(m, cfg))
+    if (manifestCache.size() >= ManifestCacheEntries) manifestCache.clear()
+    val prev = manifestCache.putIfAbsent(key, loaded)
+    if (prev != null) prev else loaded
+  }
 
   /** Serving path: fetch original bytes [from, to] of one segment. The range
     * is clamped to the segment size (ref `RemoteStorageManager.java:141-144`). */

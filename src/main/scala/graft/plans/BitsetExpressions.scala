@@ -177,6 +177,55 @@ final case class TokensToBitset(tokens: Expression, vocab: Expression)
     copy(tokens = newLeft, vocab = newRight)
 }
 
+/** Build a fixed-width hashed token fingerprint (BINARY bitset) from an
+  * array of tokens: bit index = first 5 hex digits of md5(token), taken as
+  * a base-16 integer, mod `width`. No vocabulary, no driver state — the
+  * fingerprint of a document is computable anywhere from the tokens alone,
+  * which is what makes the d06 verify path scale-independent of vocabulary
+  * size (vs the map-literal vocab variant, whose plan grew with the
+  * corpus). The identical function is expressible in ANSI SQL (md5 +
+  * hex-digit arithmetic), so the oracle reproduces it bit-for-bit.
+  * Eval-mode ([[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]]):
+  * one build per row, off the O(candidates) jaccard hot loop. */
+final case class TokensToHashBitset(tokens: Expression, width: Expression)
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def left: Expression = tokens
+  override def right: Expression = width
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "tokens_to_hashbits"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (tokens.dataType, width.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected (array<string>, int), got $other")
+    }
+
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+
+  override protected def nullSafeEval(toks: Any, w: Any): Any = {
+    val arr = toks.asInstanceOf[ArrayData]
+    val bits = w.asInstanceOf[Int]
+    require(bits > 0 && bits % 8 == 0, s"width must be a positive multiple of 8, got $bits")
+    val out = new Array[Byte](bits / 8)
+    var t = 0
+    while (t < arr.numElements()) {
+      val d = md5.digest(arr.getUTF8String(t).getBytes)
+      // first 5 hex digits = top 20 bits of the digest, big-endian
+      val hex5 = ((d(0) & 0xFF) << 12) | ((d(1) & 0xFF) << 4) | ((d(2) & 0xF0) >> 4)
+      val idx = hex5 % bits
+      out(idx >> 3) = (out(idx >> 3) | (1 << (idx & 7))).toByte
+      t += 1
+    }
+    out
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(tokens = newLeft, width = newRight)
+}
+
 /** Runtime registration for sessions created without extensions (the
   * driver's Verify/Bench sessions). Idempotent. */
 object GraftFunctions {
@@ -186,6 +235,8 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => BitsetJaccard(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("tokens_to_bitset",
       (exprs: Seq[Expression]) => TokensToBitset(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("tokens_to_hashbits",
+      (exprs: Seq[Expression]) => TokensToHashBitset(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot",
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)), "scala_udf")
   }
@@ -202,6 +253,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("tokens_to_bitset"),
       new ExpressionInfo(classOf[TokensToBitset].getName, "tokens_to_bitset"),
       (exprs: Seq[Expression]) => TokensToBitset(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("tokens_to_hashbits"),
+      new ExpressionInfo(classOf[TokensToHashBitset].getName, "tokens_to_hashbits"),
+      (exprs: Seq[Expression]) => TokensToHashBitset(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

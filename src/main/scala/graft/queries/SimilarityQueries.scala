@@ -6,16 +6,24 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over the embeddings table.
   *
   * Determinism: dot products are computed over `ARRAY<DOUBLE>` with a
-  * sequential left-fold (`aggregate`), which is bit-identical to DuckDB's
-  * `list_dot_product` on `DOUBLE[]` (verified empirically) — float→double
-  * casts are exact and IEEE ops are deterministic given identical operand
-  * order. Ranking ties break on vec_id.
+  * sequential left-fold (the codegen'd [[graft.plans.VecDot]]), which is
+  * bit-identical to DuckDB's `list_dot_product` on `DOUBLE[]` (verified
+  * empirically) — float→double casts are exact and IEEE ops are
+  * deterministic given identical operand order. Ranking ties break on
+  * vec_id.
   *
-  * Scale path: s01 brute force is the O(n·q) baseline (fine when the query
-  * set is small and broadcast). s03 is the LSH-bucketed variant: an 8-bit
-  * sign bucket from anchor hyperplanes turns all-pairs search into a
-  * per-bucket equi-join — the shape that survives 100 TB (bucket count
-  * scales with data, candidates stay bounded).
+  * Scale shape of each query:
+  *  - s01 brute force is the O(n·q) baseline (fine when the query set is
+  *    small and broadcast; the corpus is only scanned, never shuffled).
+  *  - s02 exact near-dup is intrinsically all-pairs; it runs as a
+  *    block-pair join (every unordered block pair is one task holding
+  *    2·n/B vectors) — the standard distributed exact formulation: no
+  *    driver materialization, memory per task bounded by the block size,
+  *    O(n²/B²) work per task across B(B+1)/2 tasks.
+  *  - s03/s04 are the sublinear paths: bucket (LSH sign bits) / cell
+  *    (IVF argmax) are computed NARROWLY per row against the broadcast
+  *    anchor set — the corpus is never shuffled to be assigned; only the
+  *    (small) per-bucket candidate lists move.
   */
 object SimilarityQueries {
   import Tables._
@@ -25,6 +33,12 @@ object SimilarityQueries {
   val NearDupThreshold = 0.45
   val AnchorFrom = 100
   val AnchorCount = 8
+
+  /** Block count for the s02 exact all-pairs join. Sized so one task's two
+    * blocks fit comfortably in executor memory: per task memory is
+    * 2·(n/B)·dim·8 bytes, so at 100 TB you raise B ~ sqrt(n²·dim·8 / mem)
+    * and get B(B+1)/2 evenly-sized tasks. 8 gives 36 tasks at test SFs. */
+  val NearDupBlocks = 8
 
   /** vec_id, v (double array), nrm (L2 norm). Dot products go through the
     * codegen'd [[graft.plans.VecDot]] expression — the HOF formulation
@@ -39,6 +53,17 @@ object SimilarityQueries {
   }
 
   private val dotExpr = "vec_dot(qv, v)"
+
+  /** The anchor set as ONE row (`anchors: array<struct<aid,v,nrm>>`, sorted
+    * by anchor id) — broadcast to every task so bucket/cell assignment is a
+    * narrow projection. Anchor count is a fixed constant (8), so this is
+    * bounded regardless of corpus size. */
+  private def anchorsRow(s: SparkSession, d: String): DataFrame =
+    normed(s, d)
+      .filter(col("vec_id") >= AnchorFrom && col("vec_id") < AnchorFrom + AnchorCount)
+      .selectExpr(s"CAST(vec_id - $AnchorFrom AS BIGINT) AS aid", "v", "nrm")
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("aid"), col("v"), col("nrm")))).as("anchors"))
 
   /** s01: brute-force cosine top-k for a broadcast query set. */
   def s01AnnTopK(s: SparkSession, d: String): DataFrame = {
@@ -57,7 +82,9 @@ object SimilarityQueries {
 
   /** Sequential dot product — the same left-to-right IEEE op order as the
     * SQL `aggregate` fold and DuckDB's `list_dot_product`, so results stay
-    * bit-identical while running as a primitive JVM loop. */
+    * bit-identical while running as a primitive JVM loop. (dot(a,b) is also
+    * bit-equal to dot(b,a): per-element products commute exactly and the
+    * accumulation order is the element order either way.) */
   private def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0
@@ -66,62 +93,91 @@ object SimilarityQueries {
   }
 
   /** s02: embedding-cosine near-duplicate pairs above threshold (the
-    * embedding leg of the dedup family).
+    * embedding leg of the dedup family) — EXACT all-pairs, distributed.
     *
-    * Physical plan: all vectors broadcast (n·dim doubles — MBs for any
-    * reasonable near-dup batch), pairs enumerated per-partition with a
-    * primitive-array kernel — no shuffle, no codegen-unfriendly HOF lambda
-    * in the O(n^2) hot loop. Brute force is the exact baseline; the
-    * LSH-bucketed plan (s03) is the shape that scales past it.
-    */
+    * Physical plan: each vector is assigned block `vec_id % B` and
+    * replicated to the B unordered block pairs containing its block; one
+    * `flatMapGroups` task per block pair enumerates pairs with a primitive
+    * dot-product kernel. Nothing is collected to the driver, each task
+    * holds at most 2·n/B vectors, and every unordered vector pair is
+    * examined in exactly one task. Exact near-dup is intrinsically O(n²);
+    * raising B spreads that work without replicating it (replication factor
+    * is B, work per task n²/B²). The sublinear approximate path is s03. */
   def s02EmbedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val b = NearDupBlocks
+    val threshold = NearDupThreshold
     val vecs = embeddings(s, d)
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
       .as[(Long, Array[Double])]
-    val all = vecs.collect().sortBy(_._1)
-    val ids = all.map(_._1)
-    val arrs = all.map(_._2)
-    val norms = arrs.map(a => math.sqrt(dot(a, a)))
-    val bc = s.sparkContext.broadcast((ids, arrs, norms))
-    val threshold = NearDupThreshold
-    vecs.mapPartitions { rows =>
-      val (ids, arrs, norms) = bc.value
-      rows.flatMap { case (aid, av) =>
-        val an = math.sqrt(dot(av, av))
-        ids.indices.iterator.flatMap { j =>
-          if (ids(j) <= aid) Iterator.empty
-          else {
-            val c = dot(av, arrs(j)) / (an * norms(j))
-            if (c >= threshold) Iterator.single((aid, ids(j), c)) else Iterator.empty
-          }
+    vecs
+      .flatMap { case (id, v) =>
+        val blk = (id % b).toInt
+        (0 until b).iterator.map { o =>
+          val lo = math.min(blk, o)
+          val hi = math.max(blk, o)
+          (lo * b + hi, blk, id, v)
         }
       }
-    }.toDF("a", "b", "cosine")
+      .groupByKey(_._1)
+      .flatMapGroups { (gk: Int, it: Iterator[(Int, Int, Long, Array[Double])]) =>
+        val i = gk / b
+        val j = gk % b
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        it.foreach { case (_, blk, id, v) =>
+          val entry = (id, v, math.sqrt(dot(v, v)))
+          if (blk == i) left += entry else right += entry
+        }
+        def pairs(a: (Long, Array[Double], Double), c: (Long, Array[Double], Double)) = {
+          val cos = dot(a._2, c._2) / (a._3 * c._3)
+          if (cos >= threshold) {
+            if (a._1 < c._1) Iterator.single((a._1, c._1, cos))
+            else Iterator.single((c._1, a._1, cos))
+          } else Iterator.empty
+        }
+        if (i == j)
+          left.indices.iterator.flatMap { x =>
+            (x + 1 until left.length).iterator.flatMap(y => pairs(left(x), left(y)))
+          }
+        else
+          left.iterator.flatMap(a => right.iterator.flatMap(c => pairs(a, c)))
+      }
+      .toDF("a", "b", "cosine")
+  }
+
+  /** LSH bucket = 8 sign bits vs the broadcast anchors — one narrow
+    * projection per row, 8 codegen'd vec_dot calls, zero shuffle. */
+  private def bucketExpr: String =
+    (0 until AnchorCount)
+      .map(k => s"(CASE WHEN vec_dot(v, anchors[$k].v) > 0 THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+
+  /** IVF cell = argmax cosine over the broadcast anchors (first index on
+    * ties — same as `row_number ... ORDER BY acos DESC, anchor_id`). */
+  private def cellExprs: (String, String) = {
+    val scores = (0 until AnchorCount)
+      .map(k => s"vec_dot(v, anchors[$k].v) / (nrm * anchors[$k].nrm)")
+      .mkString("array(", ", ", ")")
+    (scores, "CAST(array_position(acells, array_max(acells)) - 1 AS BIGINT)")
   }
 
   /** s04: IVF-style ANN — each vector is assigned to the CELL of its
     * nearest anchor (argmax cosine over the 8 anchors, the "coarse
-    * quantizer"); search touches only the query's cell. The other classic
-    * scale path next to LSH (s03): cells partition the corpus, so a query
-    * probes 1/k of the data. */
+    * quantizer"); search touches only the query's cell. Cell assignment is
+    * a narrow projection against the broadcast single-row anchor set — the
+    * corpus is never shuffled to be quantized (the crossJoin is a
+    * BroadcastNestedLoopJoin with ONE row on the build side). */
   def s04AnnIvf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val all = normed(s, d)
-    val anchors = broadcast(
-      all.filter(col("vec_id") >= AnchorFrom && col("vec_id") < AnchorFrom + AnchorCount)
-        .selectExpr(s"vec_id - $AnchorFrom AS anchor_id", "v AS av", "nrm AS anrm"))
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("acos").desc, col("anchor_id"))
-    val celled = all.crossJoin(anchors)
-      .selectExpr("vec_id", "v", "nrm", "anchor_id",
-        "vec_dot(v, av) / (nrm * anrm) AS acos")
-      .withColumn("rk", row_number().over(wCell))
-      .filter(col("rk") === 1)
-      .selectExpr("vec_id", "v", "nrm", "anchor_id AS cell")
-    val q = celled.filter(col("vec_id") < QueryCount)
-      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm", "cell")
+    val (scores, cell) = cellExprs
+    val celled = normed(s, d).crossJoin(broadcast(anchorsRow(s, d)))
+      .selectExpr("vec_id", "v", "nrm", s"$scores AS acells")
+      .selectExpr("vec_id", "v", "nrm", s"$cell AS cell")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    q.join(celled.selectExpr("vec_id", "v", "nrm", "cell"), "cell")
+    broadcast(celled.filter(col("vec_id") < QueryCount)
+      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm", "cell"))
+      .join(celled.selectExpr("vec_id", "v", "nrm", "cell"), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .selectExpr("query_id", "cell", "vec_id", s"$dotExpr / (qnrm * nrm) AS cosine")
       .withColumn("rnk", row_number().over(w))
@@ -130,25 +186,18 @@ object SimilarityQueries {
   }
 
   /** s03: LSH-bucketed ANN — bucket = sign bits of dot products with 8
-    * anchor vectors; candidates share the bucket; top-1 within bucket. */
+    * anchor vectors; candidates share the bucket; top-1 within bucket.
+    * Bucket assignment is a narrow projection (no corpus shuffle); the
+    * tiny query side is broadcast into the bucket equi-join, so the only
+    * exchange left is the per-query candidate window. */
   def s03AnnLsh(s: SparkSession, d: String): DataFrame = {
-    val all = normed(s, d)
-    val anchors = broadcast(
-      all.filter(col("vec_id") >= AnchorFrom && col("vec_id") < AnchorFrom + AnchorCount)
-        .selectExpr(s"vec_id - $AnchorFrom AS anchor_id", "v AS av"))
-    val bucketed = all.crossJoin(anchors)
-      .selectExpr("vec_id", "v", "nrm", "anchor_id",
-        "vec_dot(v, av) AS adot")
-      .groupBy("vec_id")
-      .agg(
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        sum(expr("CASE WHEN adot > 0 THEN CAST(pow(2, anchor_id) AS BIGINT) ELSE 0 END")).as("bucket"))
-    val q = bucketed.filter(col("vec_id") < QueryCount)
-      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm", "bucket")
-    val c = bucketed.selectExpr("vec_id", "v", "nrm", "bucket")
+    val bucketed = normed(s, d).crossJoin(broadcast(anchorsRow(s, d)))
+      .selectExpr("vec_id", "v", "nrm", s"($bucketExpr) AS bucket")
+    val q = broadcast(bucketed.filter(col("vec_id") < QueryCount)
+      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm", "bucket"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    q.join(c, "bucket")
+    q.join(bucketed.selectExpr("vec_id", "v", "nrm", "bucket"), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .selectExpr("query_id", "bucket", "vec_id", s"$dotExpr / (qnrm * nrm) AS cosine")
       .withColumn("rnk", row_number().over(w))

@@ -281,56 +281,28 @@ object TextQueries {
   }
 
   /** d05: n-gram Jaccard near-dup pairs — within-language token-set Jaccard
-    * as a broadcast BITSET kernel: the (bounded) token vocabulary indexes
-    * bit positions, every doc's distinct-token set becomes a few machine
-    * words, and Jaccard is `popcount(a AND b) / popcount(a OR b)` — exact
-    * integer arithmetic, so output matches the oracle's full O(n^2) scan
-    * bit-for-bit. Pairs are enumerated per-partition against the broadcast
-    * set (no shuffle). When the vocabulary is unbounded, the MinHash+LSH
-    * path (d02/d03) is the candidate generator that scales instead. */
+    * as a DISTRIBUTED INVERTED-INDEX join (the exact-baseline formulation
+    * that survives scale): explode each document's distinct token set, self
+    * equi-join on (lang, token) so `inter` = count of shared tokens per
+    * pair, then Jaccard = inter / (|a| + |b| − inter). Exact integer
+    * arithmetic + one final division → bit-identical to the oracle's
+    * identical join. Nothing touches the driver; the only exchange carries
+    * the exploded token stream, keyed by (lang, token) — at 100 TB hot
+    * tokens are the known skew axis (AQE skew-join splits them; a
+    * document-frequency cut / prefix filter is the classic exact
+    * mitigation). When thresholds allow, the MinHash+LSH candidates
+    * (d02/d03 → d06) replace the quadratic token join entirely. */
   def d05JaccardPairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = documents(s, d)
+    val tt = documents(s, d)
       .selectExpr("doc_id", "lang", s"array_distinct($toksExpr) AS t")
-      .as[(Long, String, Seq[String])]
-    val vocab = documents(s, d)
-      .selectExpr(s"explode(array_distinct($toksExpr)) AS tok")
-      .distinct().orderBy("tok").as[String].collect()
-    val vocabIdx = vocab.zipWithIndex.toMap
-    val words = (vocab.length + 63) / 64
-    def toBits(ts: Seq[String]): Array[Long] = {
-      val b = new Array[Long](words)
-      ts.foreach { t => val i = vocabIdx(t); b(i >> 6) |= 1L << (i & 63) }
-      b
-    }
-    // group the broadcast side by language: pairs are within-language only,
-    // so each row probes its own language's slice instead of the full corpus
-    val all = docs.collect().sortBy(_._1)
-      .groupBy(_._2)
-      .map { case (lang, ds) => lang -> ds.map { case (id, _, ts) => (id, toBits(ts)) } }
-    val bc = s.sparkContext.broadcast(all)
-    val threshold = JaccardThreshold
-    docs.mapPartitions { rows =>
-      val byLang = bc.value
-      rows.flatMap { case (aid, lang, ts) =>
-        val abits = toBits(ts)
-        byLang.getOrElse(lang, Array.empty[(Long, Array[Long])]).iterator.flatMap { case (bid, bbits) =>
-          if (bid <= aid) Iterator.empty
-          else {
-            var inter = 0
-            var union = 0
-            var w = 0
-            while (w < words) {
-              inter += java.lang.Long.bitCount(abits(w) & bbits(w))
-              union += java.lang.Long.bitCount(abits(w) | bbits(w))
-              w += 1
-            }
-            val j = inter.toDouble / union
-            if (j >= threshold) Iterator.single((aid, bid, j)) else Iterator.empty
-          }
-        }
-      }
-    }.toDF("a", "b", "jaccard")
+      .selectExpr("doc_id", "lang", "CAST(size(t) AS BIGINT) AS nt", "explode(t) AS tok")
+    val a = tt.toDF("a", "lang", "na", "tok")
+    val b = tt.toDF("b", "langb", "nb", "tokb")
+    a.join(b, col("tok") === col("tokb") && col("lang") === col("langb") && col("a") < col("b"))
+      .groupBy("a", "b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .selectExpr("a", "b", "CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard")
+      .filter(col("jaccard") >= JaccardThreshold)
   }
 
   /** d07: dedup CLUSTERS — connected components over the MinHash-LSH
@@ -407,11 +379,18 @@ object TextQueries {
     * fixed-size windows with overlap (the sequence-packing step that turns
     * a cleaned corpus into training examples). Pure narrow explode: window
     * starts at w·stride while that is inside the document, slices truncate
-    * at the end. Integer/string outputs → exact oracle parity. */
+    * at the end. Integer/string outputs → exact oracle parity.
+    * Empty-token-array guard (tokenization always yields ≥1 token today,
+    * but the bound must not depend on that): docs with no tokens emit no
+    * windows on BOTH sides — without the filter, Spark's
+    * `sequence(0, -1)` emits a DESCENDING [0,-1] while DuckDB's
+    * `generate_series(0,-1)` emits nothing. `greatest(…, 0)` keeps the
+    * sequence bound non-negative even if the filter is edited away. */
   def x01TokenWindows(s: SparkSession, d: String): DataFrame =
     normToks(s, d)
+      .filter("size(toks) > 0")
       .selectExpr("doc_id", "toks",
-        s"explode(sequence(0, CAST(floor((size(toks) - 1) / $WindowStride) AS INT))) AS window_id")
+        s"explode(sequence(0, greatest(CAST(floor((size(toks) - 1) / $WindowStride) AS INT), 0))) AS window_id")
       .selectExpr("doc_id", "CAST(window_id AS BIGINT) AS window_id",
         s"slice(toks, window_id * $WindowStride + 1, $WindowTokens) AS w")
       .selectExpr("doc_id", "window_id",
@@ -449,29 +428,32 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("ttr"))
   }
 
-  /** d06: the same Jaccard near-dup output computed through the engine's
-    * custom Catalyst expressions (`tokens_to_bitset` builds the bitmap
-    * column, codegen'd `bitset_jaccard` runs popcount AND/OR inside
-    * whole-stage codegen) — the (b)-tier extension path of the brief,
-    * exercised where built-ins genuinely can't express popcount-over-binary.
-    * Scale note: the per-language pair join keys on few values; at real
-    * scale pair enumeration belongs to the LSH candidates (d03) with this
-    * expression as the verifier. */
+  /** Bit width of the hashed token fingerprint used by d06 (512-byte
+    * bitsets). Fixed width — no global vocabulary exists anywhere in the
+    * plan, so the query is scale-independent of vocabulary size. */
+  val HashBits = 4096
+
+  /** d06: the PRODUCTION dedup-verify shape at scale — LSH candidate pairs
+    * (d03) verified by the engine's custom Catalyst expressions:
+    * `tokens_to_hashbits` builds a fixed-width hashed token fingerprint
+    * (bit = first-5-hex-digits of md5(token) mod [[HashBits]] — no vocab,
+    * no driver state), and the codegen'd `bitset_jaccard` runs popcount
+    * AND/OR inside whole-stage codegen. The verified similarity is the
+    * Jaccard of the hashed position SETS (collisions are part of the
+    * definition; the oracle computes the identical function), which tracks
+    * true token Jaccard to within collision noise at 512 bytes/doc.
+    * Plan: candidate pairs join the fingerprint table twice on doc_id —
+    * candidates, not the corpus, drive the work; every stage is
+    * shuffle-bounded by the candidate count. */
   def d06BitsetJaccardExpr(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    import s.implicits._
-    val vocab = documents(s, d)
-      .selectExpr(s"explode(array_distinct($toksExpr)) AS tok")
-      .distinct().orderBy("tok").as[String].collect()
-    val vocabMap = vocab.zipWithIndex
-      .map { case (t, i) => s"'${t.replace("'", "''")}', $i" }
-      .mkString("map(", ", ", ")")
-    val withBits = documents(s, d)
-      .selectExpr("doc_id", "lang", s"array_distinct($toksExpr) AS t")
-      .selectExpr("doc_id", "lang", s"tokens_to_bitset(t, $vocabMap) AS bits")
-    val a = withBits.selectExpr("doc_id AS a", "lang", "bits AS ab")
-    val b = withBits.selectExpr("doc_id AS b", "lang AS langb", "bits AS bb")
-    a.join(b, a("lang") === b("langb") && a("a") < b("b"))
+    val bits = documents(s, d)
+      .selectExpr("doc_id", s"array_distinct($toksExpr) AS t")
+      .selectExpr("doc_id", s"tokens_to_hashbits(t, $HashBits) AS bits")
+    val cand = d03MinHashPairs(s, d)
+    cand
+      .join(bits.selectExpr("doc_id AS a", "bits AS ab"), "a")
+      .join(bits.selectExpr("doc_id AS b", "bits AS bb"), "b")
       .selectExpr("a", "b", "bitset_jaccard(ab, bb) AS jaccard")
       .filter(col("jaccard") >= JaccardThreshold)
   }

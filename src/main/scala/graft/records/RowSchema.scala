@@ -75,7 +75,9 @@ object SegmentToRows {
     spark.createDataFrame(rows, RowSchema.rawSchema)
   }
 
-  /** Read every `*.log` under `dir` as one segment per file. */
+  /** Read every `*.log` under `dir` as one segment per file. `dir` may also
+    * be a single file path (the streaming ingest path hands segments over
+    * one path at a time so bytes never transit the driver). */
   def fromSegmentDir(spark: SparkSession, dir: String, partition: Int = 0): DataFrame = {
     val rows = spark.read.format("binaryFile").load(dir)
       .select("content").rdd

@@ -32,13 +32,20 @@ object TopicIngestStream {
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val table = new RecordTable(tableDir)
-        // segments are few per micro-batch; parse each on the driver-side
-        // loop but explode/append through Spark (appendSegment is a job)
-        batch.select("path", "content").collect().foreach { row =>
-          val path = row.getString(0)
+        // ONLY paths reach the driver (strings — bounded by
+        // maxFilesPerTrigger). Segment BYTES are read, wire-parsed and
+        // written to parquet executor-side per segment
+        // (SegmentToRows.fromSegmentDir re-reads the file via binaryFile
+        // inside the append job); at the reference's GiB segment sizes the
+        // old collect() of `content` was a driver OOM. The per-segment
+        // append loop stays serial on purpose: appendSegment's
+        // read-merge-commit of schema + manifest list is the single-writer
+        // commit point (SURVEY §7 hard point 3) — the heavy work inside
+        // each iteration (parse + parquet write) is already a distributed
+        // job, the serial part is two file renames.
+        batch.select("path").collect().map(_.getString(0)).sorted.foreach { path =>
           val segName = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".log")
-          val rows = SegmentToRows.fromSegmentBytes(batch.sparkSession,
-            Seq((partition, row.getAs[Array[Byte]](1))))
+          val rows = SegmentToRows.fromSegmentDir(batch.sparkSession, path, partition)
           table.appendSegment(batch.sparkSession, segName, rows)
         }
         ()

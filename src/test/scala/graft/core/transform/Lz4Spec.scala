@@ -115,4 +115,30 @@ class Lz4Spec extends AnyFunSuite {
     val viaLz4 = Transforms.compress(src)
     assert(java.util.Arrays.equals(Transforms.decompress(viaLz4), src))
   }
+
+  test("legacy 4-byte (pre-codec-tag) deflate chunks stay readable") {
+    // Earlier builds wrote [int32 size][zlib stream] with no tag byte; the
+    // zlib CMF byte (low nibble 8, e.g. 0x78) lands where the tag now
+    // lives. decompress must route it through the legacy path.
+    val rnd = new java.util.Random(9)
+    val src = new Array[Byte](20000)
+    rnd.nextBytes(src)
+    java.util.Arrays.fill(src, 0, 10000, 2.toByte)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(src); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(src.length).array())
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) { val n = deflater.deflate(buf); out.write(buf, 0, n) }
+    deflater.end()
+    val legacy = out.toByteArray
+    assert((legacy(4) & 0x0F) == 8, "zlib CMF low nibble must be 8")
+    assert(java.util.Arrays.equals(Transforms.decompress(legacy), src))
+  }
+
+  test("unknown codec tag fails with a clear message") {
+    val bogus = java.nio.ByteBuffer.allocate(6).putInt(1).put(0x55.toByte).put(0.toByte).array()
+    val e = intercept[IllegalArgumentException](Transforms.decompress(bogus))
+    assert(e.getMessage.contains("unknown codec tag"))
+  }
 }

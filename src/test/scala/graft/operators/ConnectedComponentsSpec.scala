@@ -67,6 +67,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("non-convergence within maxIter throws instead of returning bad labels") {
+    import spark.implicits._
+    // a 64-node chain needs several rounds; maxIter = 1 cannot converge
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("x", "y")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.labels(chain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("d07's self-actuating fallback route produces identical labels") {
     val d = "/root/testdata/sf0.001"
     val viaDriver = graft.queries.TextQueries.d07DedupClusters(spark, d).collect()

@@ -53,6 +53,36 @@ class BitsetExpressionsSpec extends SparkSpec {
       "expected codegen'd plan:\n" + p)
   }
 
+  test("tokens_to_hashbits: bit index = first 5 md5 hex digits mod width") {
+    GraftFunctions.register(spark)
+    val width = 4096
+    def expectedBits(toks: Seq[String]): Set[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      toks.map { t =>
+        val hex = md.digest(t.getBytes("UTF-8")).take(3).map(b => f"$b%02x").mkString
+        Integer.parseInt(hex.take(5), 16) % width
+      }.toSet
+    }
+    val toks = Seq("the", "quick", "brown", "fox", "")
+    val bytes = spark.sql(
+      s"SELECT tokens_to_hashbits(array(${toks.map(t => s"'$t'").mkString(",")}), $width) AS b")
+      .head().getAs[Array[Byte]](0)
+    assert(bytes.length == width / 8)
+    val setBits = (0 until width).filter(i => (bytes(i >> 3) & (1 << (i & 7))) != 0).toSet
+    assert(setBits == expectedBits(toks))
+  }
+
+  test("tokens_to_hashbits + bitset_jaccard equals position-set jaccard") {
+    GraftFunctions.register(spark)
+    // dup tokens collapse (set semantics), identical sets give 1.0
+    val j = spark.sql(
+      """SELECT bitset_jaccard(
+        |  tokens_to_hashbits(array('x','y','x'), 4096),
+        |  tokens_to_hashbits(array('y','x'), 4096)) AS j""".stripMargin)
+      .head().getDouble(0)
+    assert(j == 1.0)
+  }
+
   test("unknown token is ignored by tokens_to_bitset") {
     GraftFunctions.register(spark)
     val j = spark.sql(

@@ -129,6 +129,44 @@ class StreamingSpec extends SparkSpec {
     assert(table.read(spark).count() == 10)
   }
 
+  test("topic ingest keeps segment bytes off the driver: no driver action returns a binary column") {
+    import graft.records._
+    val watch = Files.createTempDirectory("graft-nobyte-watch").toString
+    val ckpt = Files.createTempDirectory("graft-nobyte-ckpt").toString
+    val tableDir = Files.createTempDirectory("graft-nobyte-table").toString
+    (0 until 3).foreach { i =>
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(KafkaWireCodec.writeBatch(KafkaWireCodec.buildBatch(i * 5L, i * 15L,
+        (0 until 5).map(j => (s"k$i-$j".getBytes, s"v$i-$j".getBytes, Seq.empty)))))
+      Files.write(java.nio.file.Paths.get(watch, f"seg-$i%03d.log"), out.toByteArray)
+    }
+    // every driver-returning action (collect/head/count/...) during ingest is
+    // recorded with its output schema: segment `content` must never be in one
+    val actions = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        actions.add(funcName + "[" +
+          qe.analyzed.output.map(a => a.name + ":" + a.dataType.simpleString).mkString(",") + "]")
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val q = TopicIngestStream.start(spark, watch, ckpt, tableDir)
+      q.awaitTermination(120000)
+      assert(new RecordTable(tableDir).read(spark).count() == 15)
+      val deadline = System.currentTimeMillis + 10000
+      while (!actions.toArray.exists(_.toString.contains("path:string")) &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+      val snap = actions.toArray.map(_.toString)
+      assert(snap.exists(_.contains("path:string")), s"expected the paths-only collect, saw: ${snap.mkString("; ")}")
+      val withBinary = snap.filter(_.contains(":binary"))
+      assert(withBinary.isEmpty,
+        s"driver-returning action carried binary column(s): ${withBinary.mkString("; ")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("streaming dedup: duplicate fingerprints dropped across micro-batches, state bounded by watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
