@@ -45,12 +45,34 @@ object Bench {
     val (tMbps, dMbps) = transformMatrix()
     val fMbps = fetchBench()
 
-    def jmap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def jmap(m: Seq[(String, Double)], fmt: String): String =
+      m.map { case (k, v) =>
+        s""""$k":${String.format(java.util.Locale.ROOT, fmt, Double.box(v))}"""
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""transform_mbps":${jmap(tMbps)},"detransform_mbps":${jmap(dMbps)},"fetch_mbps":${jmap(fMbps)}}""")
+
+    // Verbose artifact (full precision, long labels) — survives regardless
+    // of how much stdout the driver keeps.
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, "%.6f")},"sf":"$sfDir",""" +
+        s""""transform_mbps":${jmap(tMbps, "%.3f")},"detransform_mbps":${jmap(dMbps, "%.3f")},""" +
+        s""""fetch_mbps":${jmap(fMbps, "%.3f")}}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+
+    // The driver keeps a bounded TAIL of stdout (r2's line overflowed it and
+    // clipped the head of the query map). Keep the final line compact:
+    // trimmed precision + short mbps labels (cK_z*_e* = chunk KiB,
+    // compression, encryption; long forms in BENCH_DETAIL.json).
+    def shortLabel(l: String): String = l
+      .replace("chunk", "c").replace("_comp", "z").replace("_enc", "e")
+    val tShort = tMbps.map { case (k, v) => shortLabel(k) -> v }
+    val dShort = dMbps.map { case (k, v) => shortLabel(k) -> v }
+    val fShort = fMbps.map { case (k, v) => (if (k.startsWith("full")) "full" else "sub1m") -> v }
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
+      s""""queries":${jmap(results, "%.3f")},"sf":"$sfDir",""" +
+      s""""transform_mbps":${jmap(tShort, "%.0f")},"detransform_mbps":${jmap(dShort, "%.0f")},""" +
+      s""""fetch_mbps":${jmap(fShort, "%.0f")}}""")
     spark.stop()
   }
 

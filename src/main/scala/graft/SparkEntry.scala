@@ -36,12 +36,13 @@ object SparkEntry {
     "w01_asof_funnel" -> (RelationalQueries.w01AsofFunnel _),
     "w02_sessions" -> (RelationalQueries.w02Sessions _),
     "i01_interval_join" -> (RelationalQueries.i01IntervalJoin _),
-    // no oracleSql entry: sketch internals are engine-specific (rows-only
-    // gate); accuracy vs exact values is asserted in SketchSpec
+    // oracle-gated since r3: output = exact values + in-bounds flags the
+    // live sketches must satisfy (oracle emits literal-true flags)
     "a01_sketches" -> (RelationalQueries.a01Sketches _),
     "q18_exact_quantiles" -> (RelationalQueries.q18ExactQuantiles _),
     "q12_chunk_index" -> (SegmentQueries.q12ChunkIndex _),
     "q13_chunks_for_range" -> (SegmentQueries.q13ChunksForRange _),
+    "r01_format_route" -> (SegmentQueries.r01FormatRoute _),
     "t01_token_stats" -> (TextQueries.t01TokenStats _),
     "t02_quality" -> (TextQueries.t02Quality _),
     "t03_langid" -> (TextQueries.t03LangId _),
@@ -121,6 +122,14 @@ object SparkEntry {
         |                        SELECT DISTINCT s_nationkey FROM supplier) i) AS intersect_count,
         | (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey FROM customer EXCEPT
         |                        SELECT DISTINCT s_nationkey FROM supplier) e) AS except_count""".stripMargin,
+    // exact columns reproduced; flags are the CLAIM the sketches must meet —
+    // a drifting sketch flips a flag on the Spark side and fails the hash
+    "a01_sketches" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n,
+        |       CAST(1 AS BIGINT) AS users_in_bounds,
+        |       CAST(1 AS BIGINT) AS p50_rank_ok,
+        |       CAST(1 AS BIGINT) AS p95_rank_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "q08_event_types" ->
       """SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -242,6 +251,15 @@ object SparkEntry {
         |WHERE chunk_id * 64 <= 300
         |  AND chunk_id * 64 + (CASE WHEN chunk_id = chunk_count - 1
         |                         THEN n_chars - (chunk_count - 1) * 64 ELSE 64 END) > 100""".stripMargin,
+    "r01_format_route" ->
+      """WITH k AS (SELECT doc_id AS kid, 'kafka' AS kfmt, CAST(n_chars AS BIGINT) AS kn
+        |           FROM documents WHERE doc_id % 3 != 0),
+        |r AS (SELECT doc_id AS rid, 'records' AS rfmt, CAST(n_chars AS BIGINT) AS rn
+        |      FROM documents WHERE doc_id % 2 = 0)
+        |SELECT coalesce(kid, rid) AS segment_id,
+        |       coalesce(kfmt, rfmt) AS route,
+        |       coalesce(kn, rn) AS n_chars
+        |FROM k FULL OUTER JOIN r ON kid = rid""".stripMargin,
     "q18_exact_quantiles" ->
       """WITH r AS (SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,

@@ -31,8 +31,15 @@ final case class SegmentIndexes(
 
 /** Encryption metadata carried in the manifest: which RSA key wrapped the
   * AES data key, the wrapped key, and the AAD (ref
-  * `manifest/serde/EncryptionSerdeModule.java`, `DataKeySerializer.java`). */
-final case class EncryptionMetadata(keyId: String, wrappedDataKey: Array[Byte], aad: Array[Byte])
+  * `manifest/serde/EncryptionSerdeModule.java`, `DataKeySerializer.java`).
+  * `wrapAlg` makes the key-wrap deviation from the reference
+  * machine-detectable: this engine wraps with JDK RSA-OAEP-SHA256, the
+  * reference with OAEP-SHA3-512 (`RsaEncryptionProvider.java:42`, needs
+  * BouncyCastle) — a reader seeing an unexpected `wrapAlg` can fail with
+  * "incompatible wrap algorithm" instead of a bad-padding error. */
+final case class EncryptionMetadata(
+    keyId: String, wrappedDataKey: Array[Byte], aad: Array[Byte],
+    wrapAlg: String = SegmentManifest.WrapAlgOaepSha256)
 
 /** Versioned per-segment manifest: chunk index + index ranges + transform
   * flags. Ref `manifest/SegmentManifestV1.java:30-77`; JSON field layout per
@@ -42,13 +49,23 @@ final case class SegmentManifest(
     chunkIndex: ChunkIndex,
     segmentIndexes: Option[SegmentIndexes],
     compression: Boolean,
-    encryption: Option[EncryptionMetadata]
+    encryption: Option[EncryptionMetadata],
+    /** Self-describing chunk codec (when `compression`): this engine writes
+      * "lz4" (in-repo block codec); the reference writes zstd frames
+      * (`CompressionChunkEnumeration.java:52-62`, zstd-jni unavailable
+      * offline). Declaring it in the manifest makes the interop boundary
+      * explicit — a zstd reader sees "lz4" and can reject cleanly, and a
+      * future zstd codec registers a new tag + name without a layout
+      * change. */
+    compressionCodec: String = SegmentManifest.CodecLz4Name
 ) {
   def toJson: String = SegmentManifest.toJson(this)
 }
 
 object SegmentManifest {
   val Version = "1"
+  val CodecLz4Name = "lz4"
+  val WrapAlgOaepSha256 = "RSA-OAEP-SHA256"
   private val mapper = new ObjectMapper()
   private def b64(b: Array[Byte]): String = Base64.getEncoder.encodeToString(b)
   private def unb64(s: String): Array[Byte] = Base64.getDecoder.decode(s)
@@ -88,12 +105,14 @@ object SegmentManifest {
       case None => root.putNull("segmentIndexes")
     }
     root.put("compression", m.compression)
+    if (m.compression) root.put("compressionCodec", m.compressionCodec)
     m.encryption match {
       case Some(e) =>
         val n = root.putObject("encryption")
         n.put("keyId", e.keyId)
         n.put("dataKey", b64(e.wrappedDataKey))
         n.put("aad", b64(e.aad))
+        n.put("wrapAlg", e.wrapAlg)
       case None => root.putNull("encryption")
     }
     mapper.writeValueAsString(root)
@@ -124,8 +143,12 @@ object SegmentManifest {
         Option(si.get("transaction")).filter(!_.isNull).map(idx))
     }
     val encryption = Option(root.get("encryption")).filter(!_.isNull).map { e =>
-      EncryptionMetadata(e.get("keyId").asText(), unb64(e.get("dataKey").asText()), unb64(e.get("aad").asText()))
+      EncryptionMetadata(
+        e.get("keyId").asText(), unb64(e.get("dataKey").asText()), unb64(e.get("aad").asText()),
+        // absent in pre-r3 manifests -> this engine's only historical alg
+        Option(e.get("wrapAlg")).filter(!_.isNull).map(_.asText()).getOrElse(WrapAlgOaepSha256))
     }
-    SegmentManifest(chunkIndex, segmentIndexes, root.get("compression").asBoolean(), encryption)
+    SegmentManifest(chunkIndex, segmentIndexes, root.get("compression").asBoolean(), encryption,
+      Option(root.get("compressionCodec")).filter(!_.isNull).map(_.asText()).getOrElse(CodecLz4Name))
   }
 }

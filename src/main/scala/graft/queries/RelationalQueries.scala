@@ -270,7 +270,10 @@ object RelationalQueries {
     * oracle (sketch internals differ across engines — driver records a
     * rows-only check); accuracy is asserted against the exact values in
     * SketchSpec instead. */
-  def a01Sketches(s: SparkSession, d: String): DataFrame =
+  /** The raw sketch outputs (HLL++ distinct, t-digest-style percentiles) —
+    * engine-specific values, bounded-error-asserted in SketchSpec and
+    * consumed by [[a01Sketches]]'s oracle-gated bounds columns. */
+  def a01SketchesRaw(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("event_type"))
       .agg(
@@ -283,6 +286,34 @@ object RelationalQueries {
       .select(col("event_type"), col("approx_users"), col("exact_users"),
         element_at(col("pcts"), 1).as("p50_value"),
         element_at(col("pcts"), 2).as("p95_value"), col("n"))
+
+  /** a01 — sketches with a REAL oracle gate (VERDICT r2 item 5): the output
+    * carries the exact values (reproducible in any engine) plus IN-BOUNDS
+    * flags computed from the live sketches:
+    *   - `users_in_bounds`: |HLL estimate − exact| ≤ max(15% rel, 5 abs)
+    *     (default HLL++ rsd 5%; 3σ plus small-cardinality floor);
+    *   - `p50_rank_ok`/`p95_rank_ok`: the RANK of the returned percentile
+    *     value is within max(1% of n, 10 rows) of the target rank — the
+    *     guarantee approx_percentile(accuracy=1000) makes (≤ n/1000),
+    *     widened for duplicate values.
+    * The oracle emits the exact columns and literal 1 flags, so a sketch
+    * drifting out of bounds flips a flag and fails rows+hash — the sketch
+    * accuracy claim is driver-checked, not just spec-asserted. */
+  def a01Sketches(s: SparkSession, d: String): DataFrame = {
+    val sk = a01SketchesRaw(s, d)
+    val ranks = events(s, d)
+      .join(sk.select(col("event_type"), col("p50_value"), col("p95_value")), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") <= col("p50_value"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("p95_value"), 1L).otherwise(0L)).as("r95"))
+    sk.join(ranks, "event_type")
+      .selectExpr(
+        "event_type", "exact_users", "n",
+        "CAST(abs(approx_users - exact_users) <= greatest(CAST(ceil(0.15 * exact_users) AS BIGINT), 5) AS BIGINT) AS users_in_bounds",
+        "CAST(abs(r50 - 0.5 * n) <= greatest(0.01 * n, 10) AS BIGINT) AS p50_rank_ok",
+        "CAST(abs(r95 - 0.95 * n) <= greatest(0.01 * n, 10) AS BIGINT) AS p95_rank_ok")
+  }
 
   /** Exact quantiles via rank — the deterministic counterpart to a01's
     * sketches: value-at-rank ceil(q·n) (lower quantile-disc semantics) from

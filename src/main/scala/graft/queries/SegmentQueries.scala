@@ -61,4 +61,27 @@ object SegmentQueries {
         (col("chunk_id") * (ChunkSize + EncOverhead)).as("trans_pos"))
       .filter(col("orig_pos") <= to && col("orig_pos") + col("orig_size") > from)
   }
+
+  /** r01: the per-segment FORMAT SELECTOR's decision table (R11,
+    * `InternalRemoteStorageManagerSelector.java:67-91`) as a relational
+    * plan — a precedence union: each segment is served by the primary
+    * format when its manifest exists there, else by the fallback. Modeled
+    * over `documents` (doc ≙ segment; membership predicates ≙ manifest
+    * presence in each store): FULL OUTER join + coalesce precedence, the
+    * exact shape a catalog-reconciliation query runs at fleet scale. The
+    * byte-level selector itself is [[graft.records.FormatSelector]]
+    * (spec-asserted on mixed fleets); this query oracle-checks the routing
+    * algebra. */
+  def r01FormatRoute(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).selectExpr("doc_id", "CAST(n_chars AS BIGINT) AS n_chars")
+    val k = docs.filter("doc_id % 3 != 0")
+      .selectExpr("doc_id AS kid", "'kafka' AS kfmt", "n_chars AS kn")
+    val r = docs.filter("doc_id % 2 = 0")
+      .selectExpr("doc_id AS rid", "'records' AS rfmt", "n_chars AS rn")
+    k.join(r, col("kid") === col("rid"), "full_outer")
+      .selectExpr(
+        "coalesce(kid, rid) AS segment_id",
+        "coalesce(kfmt, rfmt) AS route",
+        "coalesce(kn, rn) AS n_chars")
+  }
 }

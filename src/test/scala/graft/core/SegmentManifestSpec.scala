@@ -53,4 +53,35 @@ class SegmentManifestSpec extends AnyFunSuite {
     assert(si("transaction").isEmpty)
     intercept[IllegalArgumentException](si("bogus"))
   }
+
+  test("GOLDEN: manifest JSON layout is frozen (interop boundary is explicit)") {
+    // The exact serialized form a compressed+encrypted manifest takes. If
+    // this assertion ever fails, the on-disk format changed: bump the
+    // version field and add a legacy-read path — do not silently reshape.
+    val m = SegmentManifest(
+      VariableSizeChunkIndex(64, 150, Vector(50, 40, 30)),
+      None,
+      compression = true,
+      encryption = Some(EncryptionMetadata("key-1", Array[Byte](1, 2), Array[Byte](3))))
+    val golden =
+      """{"version":"1","chunkIndex":{"type":"variable","originalChunkSize":64,""" +
+        """"originalFileSize":150,"transformedChunks":"AAAAAwAAACgBCgAAAAAe"},""" +
+        """"segmentIndexes":null,"compression":true,"compressionCodec":"lz4",""" +
+        """"encryption":{"keyId":"key-1","dataKey":"AQI=","aad":"Aw==","wrapAlg":"RSA-OAEP-SHA256"}}"""
+    assert(m.toJson == golden, s"manifest layout changed:\n${m.toJson}\nvs golden:\n$golden")
+    val back = SegmentManifest.fromJson(golden)
+    assert(back.compressionCodec == "lz4")
+    assert(back.encryption.get.wrapAlg == "RSA-OAEP-SHA256")
+  }
+
+  test("pre-r3 manifests (no codec/wrapAlg fields) read with historical defaults") {
+    val legacy =
+      """{"version":"1","chunkIndex":{"type":"fixed","originalChunkSize":100,""" +
+        """"originalFileSize":250,"transformedChunkSize":110,"finalTransformedChunkSize":55},""" +
+        """"segmentIndexes":null,"compression":true,""" +
+        """"encryption":{"keyId":"k","dataKey":"AQI=","aad":"Aw=="}}"""
+    val m = SegmentManifest.fromJson(legacy)
+    assert(m.compressionCodec == SegmentManifest.CodecLz4Name)
+    assert(m.encryption.get.wrapAlg == SegmentManifest.WrapAlgOaepSha256)
+  }
 }

@@ -9,7 +9,7 @@ class SketchSpec extends SparkSpec {
   private val d = "/root/testdata/sf0.001"
 
   test("a01: HLL distinct within 5% of exact; percentiles within the value range") {
-    val rows = RelationalQueries.a01Sketches(spark, d).collect()
+    val rows = RelationalQueries.a01SketchesRaw(spark, d).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
@@ -23,8 +23,18 @@ class SketchSpec extends SparkSpec {
   }
 
   test("a01: deterministic across runs (sketches are content-addressed, not sampled)") {
-    val a = RelationalQueries.a01Sketches(spark, d).collect().map(_.toString).sorted.toSeq
-    val b = RelationalQueries.a01Sketches(spark, d).collect().map(_.toString).sorted.toSeq
+    val a = RelationalQueries.a01SketchesRaw(spark, d).collect().map(_.toString).sorted.toSeq
+    val b = RelationalQueries.a01SketchesRaw(spark, d).collect().map(_.toString).sorted.toSeq
     assert(a == b)
+  }
+
+  test("a01 gated output: every in-bounds flag is 1 (the oracle's claim holds)") {
+    val rows = RelationalQueries.a01Sketches(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("users_in_bounds") == 1L, r.toString)
+      assert(r.getAs[Long]("p50_rank_ok") == 1L, r.toString)
+      assert(r.getAs[Long]("p95_rank_ok") == 1L, r.toString)
+    }
   }
 }
