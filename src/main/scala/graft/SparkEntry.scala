@@ -217,7 +217,7 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
          |e AS (SELECT doc_id, toks,
          |        unnest(generate_series(0, greatest(CAST(floor((len(toks) - 1) / ${TextQueries.WindowTokens - TextQueries.WindowOverlap}) AS INT), 0))) AS window_id
-         |      FROM t WHERE len(toks) > 0),
+         |      FROM t),
          |w AS (SELECT doc_id, window_id,
          |        list_slice(toks, window_id * ${TextQueries.WindowTokens - TextQueries.WindowOverlap} + 1,
          |                   window_id * ${TextQueries.WindowTokens - TextQueries.WindowOverlap} + ${TextQueries.WindowTokens}) AS w

