@@ -132,6 +132,18 @@ final class RecordTable(tableDir: String) {
       stats.getLong(0), stats.getLong(1), stats.getInt(2), stats.getInt(3), stats.getLong(4))
 
     commitSchema(newSchema)
+    // puffin statistics sidecar (S11): the binary twin of the JSON
+    // manifest, in the reference's layout (file-list blob; snapshot id =
+    // min offset, its natural monotonic stand-in here). Written BEFORE the
+    // commit point so a visible segment always has its sidecar.
+    val puffin = SegmentManifestPuffin.write(
+      snapshotId = meta.minOffset, sequenceNumber = meta.rowCount,
+      fileList = SegmentManifestPuffin.fileListJson(
+        Seq((meta.file, None, None, meta.minOffset, meta.startByteOffset.toLong))))
+    val ptmp = Files.createTempFile(manifestDir, s".p-$segmentName-", ".tmp")
+    Files.write(ptmp, puffin)
+    Files.move(ptmp, manifestDir.resolve(s"$segmentName.puffin"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // manifest rename then list update = the visibility/commit point
     val tmp = Files.createTempFile(manifestDir, s".m-$segmentName-", ".tmp")
     Files.writeString(tmp, metaToJson(meta))
@@ -139,6 +151,16 @@ final class RecordTable(tableDir: String) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     commitList((activeNames :+ segmentName).distinct)
     meta
+  }
+
+  /** Read a segment's puffin statistics sidecar (S11/I11). */
+  def readPuffin(segmentName: String): Option[(Puffin.FileMetadata, Array[Byte])] = {
+    val p = manifestDir.resolve(s"$segmentName.puffin")
+    if (!Files.exists(p)) None
+    else {
+      val bytes = Files.readAllBytes(p)
+      Some((Puffin.readMetadata(bytes), bytes))
+    }
   }
 
   // --- compaction (small-file maintenance) ---------------------------------
