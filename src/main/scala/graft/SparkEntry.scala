@@ -57,6 +57,9 @@ object SparkEntry {
     "d07_dedup_clusters" -> (TextQueries.d07DedupClusters _),
     "p01_clean_corpus" -> (TextQueries.p01CleanCorpus _),
     "x01_token_windows" -> (TextQueries.x01TokenWindows _),
+    "x02_pack_bins" -> (TextQueries.x02PackBins _),
+    "t06_stratified_sample" -> (TextQueries.t06StratifiedSample _),
+    "t07_vocab_mask" -> (TextQueries.t07VocabMask _),
     "m01_media_features" -> (MultimodalQueries.m01MediaFeatures _),
     "s01_ann_topk" -> (SimilarityQueries.s01AnnTopK _),
     "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
@@ -225,6 +228,36 @@ object SparkEntry {
          |SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
          |       array_to_string(w, ' ') AS chunk_text, CAST(len(w) AS BIGINT) AS n_tokens
          |FROM w""".stripMargin,
+    "x02_pack_bins" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($dToks) AS BIGINT) AS n_tokens FROM documents),
+         |w AS (SELECT doc_id, lang, n_tokens,
+         |        coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tokens
+         |      FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         |       CAST(floor(prev_tokens / ${TextQueries.PackBudget}.0) AS BIGINT) AS bin_id
+         |FROM w""".stripMargin,
+    "t06_stratified_sample" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+         |             row_number() OVER (PARTITION BY lang
+         |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+         |           FROM documents)
+         |SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= ${TextQueries.SampleK}""".stripMargin,
+    "t07_vocab_mask" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $dToks AS toks FROM documents),
+         |t AS (SELECT doc_id, lang, unnest(toks) AS tok,
+         |        generate_subscripts(toks, 1) AS pos FROM tk),
+         |ld AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |d AS (SELECT lang, tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1, 2),
+         |m AS (SELECT t.doc_id, t.pos,
+         |        CASE WHEN d.df < ${TextQueries.MaskDfRatio} * ld.n_docs THEN '<unk>' ELSE t.tok END AS masked,
+         |        CASE WHEN d.df < ${TextQueries.MaskDfRatio} * ld.n_docs THEN 1 ELSE 0 END AS is_m
+         |      FROM t JOIN d ON t.lang = d.lang AND t.tok = d.tok
+         |             JOIN ld ON t.lang = ld.lang)
+         |SELECT doc_id, string_agg(masked, ' ' ORDER BY pos) AS masked_text,
+         |       CAST(SUM(is_m) AS BIGINT) AS n_masked
+         |FROM m GROUP BY doc_id""".stripMargin,
     "q12_chunk_index" ->
       """SELECT doc_id, n_chars,
         | CASE WHEN n_chars = 0 THEN 0 ELSE (n_chars + 63) // 64 END AS chunk_count,

@@ -456,6 +456,79 @@ object TextQueries {
         "array_join(w, ' ') AS chunk_text",
         "CAST(size(w) AS BIGINT) AS n_tokens")
 
+  /** Token budget of one packed training sequence (x02). */
+  val PackBudget = 4096L
+  /** Per-language sample size (t06). */
+  val SampleK = 20
+  /** Rare-token threshold: masked when df < MaskDfRatio · |lang docs| (t07). */
+  val MaskDfRatio = 0.1
+
+  /** x02: CROSS-document sequence packing — assign documents to fixed
+    * token-budget training sequences ("bins") by running prefix sum:
+    * within a language stream, documents are packed in doc_id order and a
+    * document starts bin ⌊prev_tokens / budget⌋. This is the step after
+    * x01's within-document chunking: a corpus becomes numbered training
+    * sequences. Pure window arithmetic (one shuffle per language
+    * partition); integer outputs → exact oracle parity.
+    * Scale note: packing is inherently a per-stream prefix sum — at
+    * 100 TB the stream key is (lang, shard) so each window partition stays
+    * bounded; the bin arithmetic is unchanged. */
+  def x02PackBins(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    normToks(s, d)
+      .selectExpr("doc_id", "lang", "CAST(size(toks) AS BIGINT) AS n_tokens")
+      .withColumn("prev_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .selectExpr("doc_id", "lang", "n_tokens",
+        s"CAST(floor(prev_tokens / $PackBudget.0) AS BIGINT) AS bin_id")
+  }
+
+  /** t06: DETERMINISTIC stratified sampling — the data-mixing primitive
+    * (balance languages/sources in a training mix): rank documents per
+    * language by a content-free hash (md5 of the id) and keep the first
+    * [[SampleK]]. Hash-rank sampling is reproducible across runs and
+    * engines (no RNG), uniform in expectation, and one window per
+    * stratum — the shape that holds at any scale. */
+  def t06StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(expr("md5(CAST(doc_id AS STRING))"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= SampleK)
+  }
+
+  /** t07: rare-token masking (vocabulary truncation / OOV handling) — the
+    * preprocessing step that replaces tokens below a document-frequency
+    * floor with `<unk>` before tokenizer training: per (lang, token) df
+    * from a distributed groupBy, tokens masked when
+    * df < [[MaskDfRatio]] · |docs in lang|, documents re-assembled in
+    * original token order. All joins key on (lang, token) / doc_id; the
+    * df table is corpus-vocabulary-sized (broadcastable when small,
+    * shuffle join when not — Catalyst picks). String + integer outputs →
+    * exact oracle parity. */
+  def t07VocabMask(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .selectExpr("doc_id", "lang", s"$toksExpr AS toks")
+      .selectExpr("doc_id", "lang", "posexplode(toks) AS (pos, tok)")
+    val langDocs = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val dfreq = toks.groupBy("lang", "tok")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    toks
+      .join(dfreq, Seq("lang", "tok"))
+      .join(langDocs, "lang")
+      .selectExpr("doc_id", "pos",
+        s"CASE WHEN df < $MaskDfRatio * n_docs THEN '<unk>' ELSE tok END AS masked",
+        s"CASE WHEN df < $MaskDfRatio * n_docs THEN 1L ELSE 0L END AS is_m")
+      .groupBy("doc_id")
+      .agg(
+        expr("array_join(transform(sort_array(collect_list(struct(pos, masked))), x -> x.masked), ' ')")
+          .as("masked_text"),
+        sum(col("is_m")).as("n_masked"))
+  }
+
   val CleanMinTokens = 30L
   val CleanMinTtr = 0.35
 
