@@ -63,10 +63,14 @@ final class MeteredStorage(inner: StorageBackend, name: String)
   JmxMetrics.register(
     new ObjectName(s"${JmxMetrics.Domain}:type=storage-backend-metrics,name=$name"), this)
 
+  /** Call counters meter ATTEMPTS (incremented before delegating, like
+    * fetch/delete below) so success and failure rates are comparable
+    * across APIs; bytes/time meter completed work only. */
   override def upload(in: InputStream, key: String): Long = {
+    uploads.increment()
     val t0 = System.nanoTime()
     val n = inner.upload(in, key)
-    uploads.increment(); uploadBytes.add(n); uploadNanos.add(System.nanoTime() - t0)
+    uploadBytes.add(n); uploadNanos.add(System.nanoTime() - t0)
     n
   }
 

@@ -168,7 +168,25 @@ object SegmentFetchJob {
     SegmentManifest.fromJson(new String(
       storage.fetchBytes(s"$segKey.${ObjectKey.Suffix.Manifest.value}"), "UTF-8"))
 
+  /** Codec names this engine can decompress (manifest `compressionCodec`);
+    * "deflate" covers both tagged and legacy layouts. */
+  private val ReadableCodecs = Set(SegmentManifest.CodecLz4Name, "deflate")
+
   private def specOf(m: SegmentManifest, cfg: SegmentJobConfig): TransformSpec = {
+    // The self-describing fields exist precisely so incompatibility fails
+    // HERE with a clear message instead of as a BadPaddingException /
+    // unknown-tag error mid-detransform (e.g. a manifest written by the
+    // reference: zstd frames, RSA-OAEP-SHA3-512 wrapped keys).
+    if (m.compression && !ReadableCodecs.contains(m.compressionCodec))
+      throw new IllegalStateException(
+        s"incompatible compression codec '${m.compressionCodec}' " +
+          s"(this engine reads: ${ReadableCodecs.mkString(", ")})")
+    m.encryption.foreach { e =>
+      if (e.wrapAlg != SegmentManifest.WrapAlgOaepSha256)
+        throw new IllegalStateException(
+          s"incompatible key-wrap algorithm '${e.wrapAlg}' " +
+            s"(this engine unwraps: ${SegmentManifest.WrapAlgOaepSha256})")
+    }
     val key = m.encryption.map(e => cfg.ring.unwrapDataKey(e.keyId, e.wrappedDataKey))
     TransformSpec(m.chunkIndex.originalChunkSize, m.compression, key,
       m.encryption.map(_.aad).getOrElse(Array.emptyByteArray))

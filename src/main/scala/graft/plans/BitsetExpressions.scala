@@ -203,16 +203,21 @@ final case class TokensToHashBitset(tokens: Expression, width: Expression)
           s"expected (array<string>, int), got $other")
     }
 
-  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+  // MessageDigest is stateful and not thread-safe; the same expression
+  // instance can be evaluated concurrently (driver-side constant folding
+  // next to task eval in local mode), so the digest is task-thread-local
+  @transient private lazy val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   override protected def nullSafeEval(toks: Any, w: Any): Any = {
     val arr = toks.asInstanceOf[ArrayData]
     val bits = w.asInstanceOf[Int]
     require(bits > 0 && bits % 8 == 0, s"width must be a positive multiple of 8, got $bits")
+    val md = md5.get()
     val out = new Array[Byte](bits / 8)
     var t = 0
     while (t < arr.numElements()) {
-      val d = md5.digest(arr.getUTF8String(t).getBytes)
+      val d = md.digest(arr.getUTF8String(t).getBytes)
       // first 5 hex digits = top 20 bits of the digest, big-endian
       val hex5 = ((d(0) & 0xFF) << 12) | ((d(1) & 0xFF) << 4) | ((d(2) & 0xF0) >> 4)
       val idx = hex5 % bits

@@ -292,10 +292,13 @@ object RelationalQueries {
     * flags computed from the live sketches:
     *   - `users_in_bounds`: |HLL estimate − exact| ≤ max(15% rel, 5 abs)
     *     (default HLL++ rsd 5%; 3σ plus small-cardinality floor);
-    *   - `p50_rank_ok`/`p95_rank_ok`: the RANK of the returned percentile
-    *     value is within max(1% of n, 10 rows) of the target rank — the
-    *     guarantee approx_percentile(accuracy=1000) makes (≤ n/1000),
-    *     widened for duplicate values.
+    *   - `p50_rank_ok`/`p95_rank_ok`: the returned percentile value's RANK
+    *     INTERVAL [count(<v), count(≤v)] must overlap the target rank
+    *     window q·n ± max(1% n, 10) — the guarantee
+    *     approx_percentile(accuracy=1000) makes (rank error ≤ n/1000),
+    *     widened; the interval form is duplicate-robust (a value with
+    *     high multiplicity still has SOME rank inside the window, where
+    *     a plain count(≤v) bound would flip on correct sketches).
     * The oracle emits the exact columns and literal 1 flags, so a sketch
     * drifting out of bounds flips a flag and fails rows+hash — the sketch
     * accuracy claim is driver-checked, not just spec-asserted. */
@@ -305,14 +308,17 @@ object RelationalQueries {
       .join(sk.select(col("event_type"), col("p50_value"), col("p95_value")), "event_type")
       .groupBy(col("event_type"))
       .agg(
-        sum(when(col("value") <= col("p50_value"), 1L).otherwise(0L)).as("r50"),
-        sum(when(col("value") <= col("p95_value"), 1L).otherwise(0L)).as("r95"))
+        sum(when(col("value") < col("p50_value"), 1L).otherwise(0L)).as("lo50"),
+        sum(when(col("value") <= col("p50_value"), 1L).otherwise(0L)).as("hi50"),
+        sum(when(col("value") < col("p95_value"), 1L).otherwise(0L)).as("lo95"),
+        sum(when(col("value") <= col("p95_value"), 1L).otherwise(0L)).as("hi95"))
+    val err = "greatest(0.01 * n, 10)"
     sk.join(ranks, "event_type")
       .selectExpr(
         "event_type", "exact_users", "n",
         "CAST(abs(approx_users - exact_users) <= greatest(CAST(ceil(0.15 * exact_users) AS BIGINT), 5) AS BIGINT) AS users_in_bounds",
-        "CAST(abs(r50 - 0.5 * n) <= greatest(0.01 * n, 10) AS BIGINT) AS p50_rank_ok",
-        "CAST(abs(r95 - 0.95 * n) <= greatest(0.01 * n, 10) AS BIGINT) AS p95_rank_ok")
+        s"CAST(lo50 <= 0.5 * n + $err AND hi50 >= 0.5 * n - $err AS BIGINT) AS p50_rank_ok",
+        s"CAST(lo95 <= 0.95 * n + $err AND hi95 >= 0.95 * n - $err AS BIGINT) AS p95_rank_ok")
   }
 
   /** Exact quantiles via rank — the deterministic counterpart to a01's

@@ -75,6 +75,9 @@ object FormatSelector {
       spark: SparkSession, table: RecordTable, segment: String, range: BytesRange): Array[Byte] = {
     val meta = table.listManifests().find(_.segment == segment)
       .getOrElse(throw SegmentManifestNotFound(RecordsFormat, segment))
+    // short-circuit BEFORE any Spark work: the kafka route returns empty
+    // via chunksForRange without a fetch, this route must match
+    if (range.isEmpty) return Array.emptyByteArray
     val rows = table.read(spark)
       .filter(org.apache.spark.sql.functions.col("kafka.offset").between(meta.minOffset, meta.maxOffset))
     val wire = BatchReserializer.toWireBatches(spark, rows)
@@ -84,9 +87,10 @@ object FormatSelector {
     val out = new java.io.ByteArrayOutputStream()
     wire.foreach(r => out.write(r.getAs[Array[Byte]](0)))
     val all = out.toByteArray
-    if (range.isEmpty) return Array.emptyByteArray
+    // Long-domain bounds check FIRST — a from beyond Int range must not
+    // wrap through toInt (4294967300L.toInt == 4: silently wrong bytes)
+    if (range.from >= all.length.toLong) return Array.emptyByteArray
     val from = range.from.toInt
-    if (from >= all.length) return Array.emptyByteArray
     val to = math.min(range.to, all.length - 1L).toInt
     java.util.Arrays.copyOfRange(all, from, to + 1)
   }

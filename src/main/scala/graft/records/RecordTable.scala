@@ -132,18 +132,7 @@ final class RecordTable(tableDir: String) {
       stats.getLong(0), stats.getLong(1), stats.getInt(2), stats.getInt(3), stats.getLong(4))
 
     commitSchema(newSchema)
-    // puffin statistics sidecar (S11): the binary twin of the JSON
-    // manifest, in the reference's layout (file-list blob; snapshot id =
-    // min offset, its natural monotonic stand-in here). Written BEFORE the
-    // commit point so a visible segment always has its sidecar.
-    val puffin = SegmentManifestPuffin.write(
-      snapshotId = meta.minOffset, sequenceNumber = meta.rowCount,
-      fileList = SegmentManifestPuffin.fileListJson(
-        Seq((meta.file, None, None, meta.minOffset, meta.startByteOffset.toLong))))
-    val ptmp = Files.createTempFile(manifestDir, s".p-$segmentName-", ".tmp")
-    Files.write(ptmp, puffin)
-    Files.move(ptmp, manifestDir.resolve(s"$segmentName.puffin"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    writePuffinSidecar(meta)
     // manifest rename then list update = the visibility/commit point
     val tmp = Files.createTempFile(manifestDir, s".m-$segmentName-", ".tmp")
     Files.writeString(tmp, metaToJson(meta))
@@ -151,6 +140,23 @@ final class RecordTable(tableDir: String) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     commitList((activeNames :+ segmentName).distinct)
     meta
+  }
+
+  /** Puffin statistics sidecar (S11): the binary twin of the JSON
+    * manifest, in the reference's layout (file-list blob; snapshot id =
+    * min offset, its natural monotonic stand-in here). Written BEFORE the
+    * commit point so a visible segment always has its sidecar — on append
+    * AND on compaction (compacted metas get fresh sidecars, retired ones
+    * are GC'd with their manifests). */
+  private def writePuffinSidecar(meta: DataFileMeta): Unit = {
+    val puffin = SegmentManifestPuffin.write(
+      snapshotId = meta.minOffset, sequenceNumber = meta.rowCount,
+      fileList = SegmentManifestPuffin.fileListJson(
+        Seq((meta.file, None, None, meta.minOffset, meta.startByteOffset.toLong))))
+    val ptmp = Files.createTempFile(manifestDir, s".p-${meta.segment}-", ".tmp")
+    Files.write(ptmp, puffin)
+    Files.move(ptmp, manifestDir.resolve(s"${meta.segment}.puffin"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Read a segment's puffin statistics sidecar (S11/I11). */
@@ -213,6 +219,7 @@ final class RecordTable(tableDir: String) {
         group.map(_.minOffset).min, group.map(_.maxOffset).max,
         group.map(_.startByteOffset).min, group.map(_.endByteOffset).max,
         group.map(_.rowCount).sum)
+      writePuffinSidecar(meta)
       val tmp = Files.createTempFile(manifestDir, s".m-$name-", ".tmp")
       Files.writeString(tmp, metaToJson(meta))
       Files.move(tmp, manifestDir.resolve(s"$name.json"),
@@ -224,6 +231,7 @@ final class RecordTable(tableDir: String) {
       // GC retired files (post-commit; safe under single-writer)
       group.foreach { m =>
         Files.deleteIfExists(manifestDir.resolve(s"${m.segment}.json"))
+        Files.deleteIfExists(manifestDir.resolve(s"${m.segment}.puffin"))
         Files.deleteIfExists(Paths.get(tableDir).resolve(m.file))
       }
       meta

@@ -63,8 +63,13 @@ final class RestSchemaRegistry(
     if (hit != null) return Some(hit)
     try {
       val body = transport.get(s"/schemas/ids/$id", headers)
-      val schemaJson = mapper.readTree(body).get("schema").asText()
-      val parsed = AvroLite.parseSchema(schemaJson)
+      // a proxy can return 200 with a non-registry body; fail with the id
+      // and shape instead of an anonymous NPE deep in Jackson
+      val node = mapper.readTree(body).get("schema")
+      if (node == null || node.isNull)
+        throw new RegistryHttpError(502,
+          s"registry response for schema id $id has no 'schema' field: ${body.take(200)}")
+      val parsed = AvroLite.parseSchema(node.asText())
       // evict-all on overflow outside any map callback (same discipline as
       // the manifest cache: never mutate a CHM inside its mapping function)
       if (cache.size() >= maxCachedSchemas) cache.clear()

@@ -75,9 +75,27 @@ object SegmentToRows {
     spark.createDataFrame(rows, RowSchema.rawSchema)
   }
 
-  /** Read every `*.log` under `dir` as one segment per file. `dir` may also
-    * be a single file path (the streaming ingest path hands segments over
-    * one path at a time so bytes never transit the driver). */
+  /** Read ONE segment by exact path, bytes opened executor-side through
+    * the Hadoop filesystem with NO glob expansion — `binaryFile`/`load()`
+    * treat `[`, `{`, `*` in file names as glob metacharacters, so a
+    * legally-named `seg[0].log` handed back from a streaming source would
+    * wedge the stream with "Path does not exist". Only the path string
+    * transits the driver. */
+  def fromSegmentFile(spark: SparkSession, path: String, partition: Int = 0): DataFrame = {
+    val rows = spark.sparkContext.parallelize(Seq(path), 1).flatMap { p =>
+      val hp =
+        try new org.apache.hadoop.fs.Path(new java.net.URI(p))
+        catch { case _: Exception => new org.apache.hadoop.fs.Path(p) }
+      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val in = fs.open(hp)
+      val bytes = try in.readAllBytes() finally in.close()
+      KafkaWireCodec.parseSegment(bytes).iterator.flatMap(b =>
+        b.records.iterator.map(r => RowSchema.recordRow(b, r, partition)))
+    }
+    spark.createDataFrame(rows, RowSchema.rawSchema)
+  }
+
+  /** Read every `*.log` under `dir` as one segment per file. */
   def fromSegmentDir(spark: SparkSession, dir: String, partition: Int = 0): DataFrame = {
     val rows = spark.read.format("binaryFile").load(dir)
       .select("content").rdd

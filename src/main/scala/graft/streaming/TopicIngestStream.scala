@@ -35,17 +35,18 @@ object TopicIngestStream {
         // ONLY paths reach the driver (strings — bounded by
         // maxFilesPerTrigger). Segment BYTES are read, wire-parsed and
         // written to parquet executor-side per segment
-        // (SegmentToRows.fromSegmentDir re-reads the file via binaryFile
-        // inside the append job); at the reference's GiB segment sizes the
-        // old collect() of `content` was a driver OOM. The per-segment
-        // append loop stays serial on purpose: appendSegment's
-        // read-merge-commit of schema + manifest list is the single-writer
-        // commit point (SURVEY §7 hard point 3) — the heavy work inside
-        // each iteration (parse + parquet write) is already a distributed
-        // job, the serial part is two file renames.
+        // (SegmentToRows.fromSegmentFile opens the exact path inside the
+        // append job — no glob expansion, no content column); at the
+        // reference's GiB segment sizes the old collect() of `content`
+        // was a driver OOM. The per-segment append loop stays serial on
+        // purpose: appendSegment's read-merge-commit of schema + manifest
+        // list is the single-writer commit point (SURVEY §7 hard
+        // point 3) — the heavy work inside each iteration (parse +
+        // parquet write) is already a distributed job, the serial part is
+        // two file renames.
         batch.select("path").collect().map(_.getString(0)).sorted.foreach { path =>
           val segName = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".log")
-          val rows = SegmentToRows.fromSegmentDir(batch.sparkSession, path, partition)
+          val rows = SegmentToRows.fromSegmentFile(batch.sparkSession, path, partition)
           table.appendSegment(batch.sparkSession, segName, rows)
         }
         ()

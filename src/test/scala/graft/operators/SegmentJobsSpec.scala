@@ -105,6 +105,39 @@ class SegmentJobsSpec extends SparkSpec {
     }
   }
 
+  test("incompatible manifest fields fail fast with a clear message (wrapAlg / codec)") {
+    import graft.core.SegmentManifest
+    val in = tmpDir("graft-compat-in")
+    val store = tmpDir("graft-compat-store")
+    makeSegments(in, 1, 20000)
+    val cfg = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 4096)
+    assert(SegmentUploadJob.run(spark, in, cfg).collect().forall(_.getAs[Boolean]("success")))
+    val storage = FileSystemStorage(store)
+    val manifestKey = storage.listKeys("").find(_.endsWith(".rsm-manifest")).get
+    val segKey = manifestKey.stripSuffix(".rsm-manifest")
+    val m = SegmentManifest.fromJson(new String(storage.fetchBytes(manifestKey), "UTF-8"))
+
+    // foreign key-wrap algorithm (the reference's SHA3-512) — exercised
+    // via a copied segment under a fresh key (the manifest cache keys by
+    // segment, so the original's cached spec is not consulted)
+    val badWrap = m.copy(encryption = m.encryption.map(_.copy(wrapAlg = "RSA-OAEP-SHA3-512")))
+    storage.uploadBytes(badWrap.toJson.getBytes("UTF-8"), s"$segKey-wrap.rsm-manifest")
+    storage.uploadBytes(storage.fetchBytes(s"$segKey.log"), s"$segKey-wrap.log")
+    val e2 = intercept[IllegalStateException](
+      SegmentFetchJob.fetchRange(cfg, s"$segKey-wrap", BytesRange(0, 10)))
+    assert(e2.getMessage.contains("incompatible key-wrap algorithm"))
+
+    // foreign codec (the reference's zstd)
+    val badCodec = m.copy(compressionCodec = "zstd")
+    storage.uploadBytes(badCodec.toJson.getBytes("UTF-8"), s"$segKey-z.rsm-manifest")
+    storage.uploadBytes(storage.fetchBytes(s"$segKey.log"), s"$segKey-z.log")
+    if (badCodec.compression) {
+      val e3 = intercept[IllegalStateException](
+        SegmentFetchJob.fetchRange(cfg, s"$segKey-z", BytesRange(0, 10)))
+      assert(e3.getMessage.contains("incompatible compression codec"))
+    }
+  }
+
   test("upload failure leaves no partial objects (compensating delete)") {
     val store = tmpDir("graft-store4")
     val cfg = SegmentJobConfig.withGeneratedKeys(store)

@@ -74,6 +74,20 @@ class CompactionSpec extends SparkSpec {
     assert(files.length == 1 && files.head.contains("seg-00020"))
   }
 
+  test("compaction maintains the puffin-sidecar invariant: new metas get sidecars, retired ones GC'd") {
+    val (table, _) = buildTable(nSegments = 4, recsPer = 20)
+    val before = table.listManifests()
+    before.foreach(m => assert(table.readPuffin(m.segment).isDefined, s"${m.segment} sidecar pre-compact"))
+    val newMetas = table.compact(spark, targetBytes = 1L << 20)
+    assert(newMetas.nonEmpty)
+    newMetas.foreach { m =>
+      val (meta, _) = table.readPuffin(m.segment).getOrElse(fail(s"${m.segment} has no sidecar"))
+      assert(meta.blobs.exists(_.blobType == SegmentManifestPuffin.FileList))
+    }
+    before.foreach(m => assert(table.readPuffin(m.segment).isEmpty,
+      s"retired ${m.segment} sidecar must be GC'd"))
+  }
+
   test("target size splits into multiple packed files") {
     val (table, dir) = buildTable(6, 10)
     val firstSize = Files.size(Paths.get(dir).resolve(table.listManifests().head.file))

@@ -77,6 +77,17 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
     assert(remote.encode(5, viaRemote.get._2).toSeq == payload.toSeq)
   }
 
+  test("200 response without a schema field fails with the id, not an NPE") {
+    val rest = new RegistryTransport {
+      override def get(path: String, headers: Map[String, String]): String =
+        """{"error_code":50001,"message":"backend store error"}"""
+    }
+    val reg = new RestSchemaRegistry(rest)
+    val e = intercept[RegistryHttpError](reg.lookup(3))
+    assert(e.statusCode == 502)
+    assert(e.getMessage.contains("schema id 3"))
+  }
+
   test("cache eviction at maxCachedSchemas keeps serving (clear + refill)") {
     val rest = new FakeRest((1 to 5).map(i => i -> schemaJson).toMap)
     val reg = new RestSchemaRegistry(rest, maxCachedSchemas = 2)

@@ -167,6 +167,19 @@ class StreamingSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("segments with glob metacharacters in the file name ingest fine (exact-path read)") {
+    import graft.records._
+    val watch = Files.createTempDirectory("graft-glob-watch").toString
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(KafkaWireCodec.writeBatch(KafkaWireCodec.buildBatch(0L, 1L,
+      (0 until 3).map(i => (s"k$i".getBytes, s"v$i".getBytes, Seq.empty)))))
+    // '[', ']' and spaces are glob/URI traps for load(); legal file names
+    val tricky = java.nio.file.Paths.get(watch, "seg [0].log")
+    Files.write(tricky, out.toByteArray)
+    val rows = SegmentToRows.fromSegmentFile(spark, tricky.toUri.toString)
+    assert(rows.count() == 3)
+  }
+
   test("streaming dedup: duplicate fingerprints dropped across micro-batches, state bounded by watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
