@@ -463,25 +463,45 @@ object TextQueries {
   /** Rare-token threshold: masked when df < MaskDfRatio · |lang docs| (t07). */
   val MaskDfRatio = 0.1
 
+  /** Documents per prefix-sum shard in x02 — bounds every window
+    * partition regardless of corpus size. */
+  val PackShardDocs = 1000L
+
   /** x02: CROSS-document sequence packing — assign documents to fixed
     * token-budget training sequences ("bins") by running prefix sum:
     * within a language stream, documents are packed in doc_id order and a
     * document starts bin ⌊prev_tokens / budget⌋. This is the step after
     * x01's within-document chunking: a corpus becomes numbered training
-    * sequences. Pure window arithmetic (one shuffle per language
-    * partition); integer outputs → exact oracle parity.
-    * Scale note: packing is inherently a per-stream prefix sum — at
-    * 100 TB the stream key is (lang, shard) so each window partition stays
-    * bounded; the bin arithmetic is unchanged. */
+    * sequences.
+    *
+    * Physical plan: the classic DISTRIBUTED two-level prefix sum — a
+    * per-language window would put each whole language in ONE partition
+    * (a wall at 100 TB), so the stream is sharded by doc_id range:
+    * (1) within-(lang, shard) running sums — every window partition holds
+    * ≤ [[PackShardDocs]] rows; (2) per-shard totals get their own (tiny:
+    * one row per shard) cross-shard running sum; (3) prev_tokens = shard
+    * offset + within-shard prefix. Output is IDENTICAL to the single
+    * global window for any shard size — the decomposition is exact
+    * integer arithmetic, which the oracle's global-window formulation
+    * verifies. */
   def x02PackBins(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val docs = normToks(s, d)
+      .selectExpr("doc_id", "lang", "CAST(size(toks) AS BIGINT) AS n_tokens",
+        s"doc_id div $PackShardDocs AS shard")
+    val wIn = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    normToks(s, d)
-      .selectExpr("doc_id", "lang", "CAST(size(toks) AS BIGINT) AS n_tokens")
-      .withColumn("prev_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val inShard = docs.withColumn("prev_in_shard",
+      coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    val wShard = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardOffsets = docs.groupBy("lang", "shard")
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("shard_offset", coalesce(sum(col("shard_tokens")).over(wShard), lit(0L)))
+      .select(col("lang"), col("shard"), col("shard_offset"))
+    inShard.join(shardOffsets, Seq("lang", "shard"))
       .selectExpr("doc_id", "lang", "n_tokens",
-        s"CAST(floor(prev_tokens / $PackBudget.0) AS BIGINT) AS bin_id")
+        s"CAST(floor((shard_offset + prev_in_shard) / $PackBudget.0) AS BIGINT) AS bin_id")
   }
 
   /** t06: DETERMINISTIC stratified sampling — the data-mixing primitive

@@ -40,6 +40,38 @@ class BlockPairSpec extends SparkSpec {
     }
   }
 
+  test("x02 two-level prefix sum == global running sum across shard borders") {
+    // sf0.01 spans one shard; force many shards with gappy ids and check
+    // the sharded decomposition against a local global prefix sum
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 300).map { i =>
+      val id = i * 7L + (if (i % 3 == 0) 1 else 0) // gaps, crosses many 1000-shards? use wide ids
+      (id * 13L, if (i % 2 == 0) "en" else "de", "w " * (rnd.nextInt(80) + 1))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("x02-prop").toString
+    docs.map { case (id, lang, text) => (id, lang, text.trim, 0L) }
+      .toDF("doc_id", "lang", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.x02PackBins(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    // local reference: global per-language prefix sum in doc_id order
+    val byLang = docs.map { case (id, lang, text) =>
+      (id, lang, text.trim.split(' ').length.toLong)
+    }.groupBy(_._2)
+    val expected = byLang.flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (id, _, n) =>
+        val bin = cum / TextQueries.PackBudget
+        cum += n
+        id -> bin
+      }
+    }
+    assert(got == expected)
+    // ids span many shards, so the cross-shard offset path really ran
+    assert(docs.map(_._1 / TextQueries.PackShardDocs).distinct.size > 3)
+  }
+
   test("property: d05 block-pair jaccard == local all-pairs on random token sets") {
     import org.scalacheck.Gen
     import spark.implicits._
