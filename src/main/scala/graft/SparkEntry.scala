@@ -65,6 +65,7 @@ object SparkEntry {
     "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
     "s03_ann_lsh" -> (SimilarityQueries.s03AnnLsh _),
     "s04_ann_ivf" -> (SimilarityQueries.s04AnnIvf _),
+    "s05_quantize" -> (SimilarityQueries.s05Quantize _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -397,6 +398,19 @@ object SparkEntry {
          |      FROM c)
          |SELECT query_id, cell, vec_id AS neighbor_id, cosine
          |FROM r WHERE rnk = 1""".stripMargin,
+    "s05_quantize" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM v),
+         |q AS (SELECT vec_id, v, mn, mx,
+         |        CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+         |             ELSE list_transform(v, x -> CAST(round((x - mn) / (mx - mn) * 255) AS INT)) END AS q
+         |      FROM m)
+         |SELECT vec_id, mn, mx,
+         |       md5(array_to_string(q, ',')) AS q_md5,
+         |       CASE WHEN mx = mn THEN CAST(0 AS DOUBLE)
+         |            ELSE list_max(list_transform(list_zip(q, v),
+         |                   s -> abs(struct_extract(s, 1) / 255.0 * (mx - mn) + mn - struct_extract(s, 2)))) END AS max_err
+         |FROM q""".stripMargin,
     "d07_dedup_clusters" -> d07Sql,
     "s01_ann_topk" ->
       s"""WITH $dNrmCte,

@@ -185,6 +185,34 @@ object SimilarityQueries {
       .selectExpr("query_id", "cell", "vec_id AS neighbor_id", "cosine")
   }
 
+  /** s05: int8 embedding quantization — the storage/bandwidth compression
+    * step of a 100 TB embedding store (fp32 → uint8 per-vector affine
+    * quantization: q_i = round((v_i − min) / (max − min) · 255), 4×
+    * smaller before any codec). Pure narrow projection, zero shuffle; the
+    * quantized codes are fingerprinted (md5 of the comma-joined codes) so
+    * the oracle verifies every code exactly, plus the max absolute
+    * reconstruction error per vector as the quality metric (identical
+    * IEEE sequences both engines; round() is half-away-from-zero for the
+    * non-negative scaled values in both). Constant vectors (max == min)
+    * quantize to all-zero codes by definition. */
+  def s05Quantize(s: SparkSession, d: String): DataFrame = {
+    embeddings(s, d)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .selectExpr("vec_id", "v",
+        "array_min(v) AS mn", "array_max(v) AS mx")
+      .selectExpr("vec_id", "v", "mn", "mx",
+        "CASE WHEN mx = mn THEN transform(v, x -> 0) " +
+          "ELSE transform(v, x -> CAST(round((x - mn) / (mx - mn) * 255) AS INT)) END AS q")
+      .selectExpr(
+        "vec_id", "mn", "mx",
+        "md5(CAST(array_join(q, ',') AS BINARY)) AS q_md5",
+        // 255.0 would parse as a DECIMAL literal in Spark (decimal division
+        // rounds to scale and diverges from the oracle's double division in
+        // the 7th digit) — force the double with a D suffix
+        "CASE WHEN mx = mn THEN CAST(0 AS DOUBLE) " +
+          "ELSE array_max(zip_with(q, v, (a, b) -> abs(a / 255.0D * (mx - mn) + mn - b))) END AS max_err")
+  }
+
   /** s03: LSH-bucketed ANN — bucket = sign bits of dot products with 8
     * anchor vectors; candidates share the bucket; top-1 within bucket.
     * Bucket assignment is a narrow projection (no corpus shuffle); the

@@ -534,8 +534,14 @@ object TextQueries {
       .selectExpr("doc_id", "lang", s"$toksExpr AS toks")
       .selectExpr("doc_id", "lang", "posexplode(toks) AS (pos, tok)")
     val langDocs = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    val dfreq = toks.groupBy("lang", "tok")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df from the distinct-per-doc explode: one row per (doc, token) feeds
+    // a plain count — same value as countDistinct(doc_id) over the full
+    // position stream, without its two-phase distinct shuffle, and the
+    // exploded input is |distinct tokens| per doc instead of |positions|
+    val dfreq = documents(s, d)
+      .selectExpr("lang", s"explode(array_distinct($toksExpr)) AS tok")
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("df"))
     toks
       .join(dfreq, Seq("lang", "tok"))
       .join(langDocs, "lang")
