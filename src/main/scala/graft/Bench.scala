@@ -70,7 +70,7 @@ object Bench {
     val dShort = dMbps.map { case (k, v) => shortLabel(k) -> v }
     val fShort = fMbps.map { case (k, v) => (if (k.startsWith("full")) "full" else "sub1m") -> v }
     println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
-      s""""queries":${jmap(results, "%.3f")},"sf":"$sfDir",""" +
+      s""""queries":${jmap(results, "%.2f")},"sf":"$sfDir",""" +
       s""""transform_mbps":${jmap(tShort, "%.0f")},"detransform_mbps":${jmap(dShort, "%.0f")},""" +
       s""""fetch_mbps":${jmap(fShort, "%.0f")}}""")
     spark.stop()
