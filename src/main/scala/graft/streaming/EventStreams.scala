@@ -66,6 +66,34 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  final case class PackState(nextPos: Long)
+  final case class PackedDoc(doc_id: Long, lang: String, n_tokens: Long, bin_id: Long)
+
+  /** Streaming twin of the batch x02 packing query: documents arrive as a
+    * stream and each is assigned to its fixed token-budget training
+    * sequence ("bin") as it arrives — per-language running token count in
+    * `flatMapGroupsWithState`. Within a micro-batch, documents pack in
+    * doc_id order (sorted per group; cross-batch order is arrival order,
+    * the streaming analogue of the batch query's doc_id order). State per
+    * language is ONE long — bounded forever, no watermark needed. */
+  def packBins(spark: SparkSession, docs: DataFrame, budget: Long = 4096L): Dataset[PackedDoc] = {
+    import spark.implicits._
+    docs.selectExpr("doc_id", "lang", "CAST(n_tokens AS LONG) AS n_tokens")
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[(Long, String, Long)], state: GroupState[PackState]) =>
+          var pos = state.getOption.map(_.nextPos).getOrElse(0L)
+          val out = rows.toVector.sortBy(_._1).map { case (docId, _, n) =>
+            val bin = pos / budget
+            pos += n
+            PackedDoc(docId, lang, n, bin)
+          }
+          state.update(PackState(pos))
+          out.iterator
+      }
+  }
+
   /** Output mode for [[hourlyCounts]] in tests: Update with watermark. */
   val DefaultOutputMode: OutputMode = OutputMode.Update()
 }

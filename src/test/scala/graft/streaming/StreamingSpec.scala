@@ -201,6 +201,34 @@ class StreamingSpec extends SparkSpec {
       s"duplicate 'alpha' docs must be dropped within the watermark, got $kept")
   }
 
+  test("flatMapGroupsWithState packing: bins accumulate per-language across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "lang", "n_tokens")
+    val packed = EventStreams.packBins(spark, docs, budget = 100L)
+    val q = packed.writeStream.format("memory").queryName("packed")
+      .outputMode("append").start()
+    input.addData((1L, "en", 60L), (2L, "en", 60L), (3L, "de", 30L))
+    q.processAllAvailable()
+    input.addData((4L, "en", 90L), (5L, "de", 80L))
+    q.processAllAvailable()
+    q.stop()
+    val bins = spark.sql("SELECT doc_id, bin_id FROM packed").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // en: doc1 starts at 0 -> bin 0; doc2 at 60 -> bin 0; doc4 at 120 -> bin 1
+    assert(bins(1L) == 0L && bins(2L) == 0L && bins(4L) == 1L)
+    // de: doc3 at 0 -> bin 0; doc5 at 30 (state carried across batches) -> bin 0
+    assert(bins(3L) == 0L && bins(5L) == 0L)
+    // matches the batch x02 arithmetic on the same ordered stream
+    var pos = 0L
+    val expectEn = Seq((1L, 60L), (2L, 60L), (4L, 90L)).map { case (id, n) =>
+      val b = pos / 100L; pos += n; id -> b
+    }.toMap
+    expectEn.foreach { case (id, b) => assert(bins(id) == b) }
+  }
+
   test("mapGroupsWithState user sessions accumulate per-key state across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
