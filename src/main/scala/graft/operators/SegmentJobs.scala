@@ -139,17 +139,25 @@ object SegmentUploadJob {
 }
 
 /** T7 — conditional-compression predicate
-  * (`SegmentCompressionChecker.java:37-53`). The reference inspects the
-  * Kafka batch header's compression codec id; for opaque payloads we use the
-  * equivalent content heuristic: deflate a prefix and skip compression when
-  * it doesn't pay. */
+  * (`SegmentCompressionChecker.java:37-53`). Exactly the reference's
+  * decision when the payload IS Kafka v2 wire: read the FIRST batch
+  * header (magic + CRC validated, one header + one CRC pass — no record
+  * parse) and skip re-compression when the producer already compressed
+  * (`batch.compressionType() != NONE`). For payloads that are not valid
+  * Kafka wire — where the reference's check cannot apply — the
+  * content-heuristic fallback: compress a prefix sample and skip when it
+  * doesn't pay. */
 object SegmentCompressionChecker {
   val SampleSize = 64 * 1024
   val MinRatio = 0.9
   def shouldCompress(payload: Array[Byte]): Boolean = {
     if (payload.isEmpty) return false
-    val sample = if (payload.length <= SampleSize) payload else java.util.Arrays.copyOf(payload, SampleSize)
-    Transforms.compress(sample).length < sample.length * MinRatio
+    graft.records.KafkaWireCodec.firstBatchCompressionType(payload) match {
+      case Some(codec) => codec == graft.records.KafkaWireCodec.CodecNone
+      case None =>
+        val sample = if (payload.length <= SampleSize) payload else java.util.Arrays.copyOf(payload, SampleSize)
+        Transforms.compress(sample).length < sample.length * MinRatio
+    }
   }
 }
 

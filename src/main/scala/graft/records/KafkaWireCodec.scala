@@ -48,6 +48,31 @@ object KafkaWireCodec {
   val CodecNone = 0
   val CodecGzip = 1
 
+  /** The FIRST batch's compression codec id, validated the way the
+    * reference's archival predicate validates it
+    * (`SegmentCompressionChecker.java:37-53`: first batch + `ensureValid`,
+    * i.e. magic/CRC) — WITHOUT parsing records or the rest of the segment,
+    * so a multi-GiB segment costs one header read + one CRC pass of its
+    * first batch. None when the payload isn't valid Kafka v2 wire (opaque
+    * payloads fall back to the caller's content heuristic). */
+  def firstBatchCompressionType(segment: Array[Byte]): Option[Int] = {
+    if (segment.length < 12 + HeaderSize - 12) return None
+    try {
+      val buf = ByteBuffer.wrap(segment)
+      buf.getLong() // baseOffset
+      val batchLength = buf.getInt()
+      if (batchLength < HeaderSize - 12 || 12 + batchLength > segment.length) return None
+      buf.getInt() // partitionLeaderEpoch
+      if (buf.get() != 2) return None // magic: v2 only
+      val crc = buf.getInt()
+      val crcStart = buf.position()
+      val c = new CRC32C
+      c.update(segment, crcStart, 12 + batchLength - crcStart)
+      if (crc != c.getValue.toInt) return None
+      Some(buf.getShort() & 0x07)
+    } catch { case _: Exception => None }
+  }
+
   /** Parse all batches of a segment (I1's outer loop). */
   def parseSegment(segment: Array[Byte]): Vector[Batch] = {
     val out = Vector.newBuilder[Batch]

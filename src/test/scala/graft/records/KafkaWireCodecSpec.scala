@@ -97,6 +97,38 @@ class KafkaWireCodecSpec extends AnyFunSuite {
     assert(p.producerId == 1234L && p.producerEpoch == 9.toShort && p.baseSequence == 42)
   }
 
+  test("firstBatchCompressionType: header-only codec sniff with validation (T7)") {
+    import KafkaWireCodec._
+    def seg(compression: Int): Array[Byte] =
+      writeBatch(buildBatch(0L, 1L,
+        (0 until 4).map(i => (s"k$i".getBytes, s"v$i".getBytes, Seq.empty)),
+        compression = compression))
+    assert(firstBatchCompressionType(seg(CodecNone)).contains(CodecNone))
+    assert(firstBatchCompressionType(seg(CodecGzip)).contains(CodecGzip))
+    // corrupted CRC -> not valid wire -> None (heuristic territory)
+    val bad = seg(CodecNone)
+    bad(17) = (bad(17) ^ 0xFF).toByte // inside the CRC field
+    assert(firstBatchCompressionType(bad).isEmpty)
+    // opaque payloads -> None
+    val rnd = new Array[Byte](5000); new java.util.Random(5).nextBytes(rnd)
+    assert(firstBatchCompressionType(rnd).isEmpty)
+    assert(firstBatchCompressionType(Array.emptyByteArray).isEmpty)
+  }
+
+  test("T7 predicate: producer-compressed kafka wire skips re-compression, uncompressed wire compresses") {
+    import KafkaWireCodec._
+    import graft.operators.SegmentCompressionChecker
+    val uncompressed = writeBatch(buildBatch(0L, 1L,
+      (0 until 50).map(i => (s"key-$i".getBytes, ("value " * 20 + i).getBytes, Seq.empty))))
+    assert(SegmentCompressionChecker.shouldCompress(uncompressed),
+      "NONE-codec wire must go through compression")
+    val gzipped = writeBatch(buildBatch(0L, 1L,
+      (0 until 50).map(i => (s"key-$i".getBytes, ("value " * 20 + i).getBytes, Seq.empty)),
+      compression = CodecGzip))
+    assert(!SegmentCompressionChecker.shouldCompress(gzipped),
+      "producer-compressed wire must not be re-compressed (ref predicate)")
+  }
+
   test("varint law: round trip over full int/long range") {
     forAllN(Gen.chooseNum(Int.MinValue, Int.MaxValue)) { v =>
       val out = new java.io.ByteArrayOutputStream()
