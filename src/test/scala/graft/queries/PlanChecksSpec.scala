@@ -85,6 +85,44 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  private def shuffles(p: String): Int =
+    p.sliding("Exchange".length).count(_ == "Exchange") -
+      p.sliding("BroadcastExchange".length).count(_ == "BroadcastExchange") -
+      p.sliding("ReusedExchange".length).count(_ == "ReusedExchange")
+
+  test("r3 scale fixes stay locked: s03 assigns buckets narrowly (no corpus shuffle)") {
+    val p = plan(SimilarityQueries.s03AnnLsh(spark, d))
+    // anchors meet the corpus via a 1-row broadcast nested-loop, the query
+    // set via a broadcast hash join — the corpus itself is never hashed
+    // into an exchange; only the 8-row anchor agg and the per-query
+    // candidate window shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(shuffles(p) <= 3, s"s03 grew shuffles (${shuffles(p)}):\n" + p.take(3000))
+  }
+
+  test("r3 scale fixes stay locked: s02/d05 block-pair joins shuffle exactly once") {
+    val p2 = plan(SimilarityQueries.s02EmbedNearDup(spark, d))
+    assert(shuffles(p2) == 1, s"s02 must shuffle only for the block-pair groupByKey:\n" + p2.take(3000))
+    val p5 = plan(TextQueries.d05JaccardPairs(spark, d))
+    assert(shuffles(p5) == 1, s"d05 must shuffle only for the block-pair groupByKey:\n" + p5.take(3000))
+    assert(!p2.contains("CartesianProduct") && !p5.contains("CartesianProduct"))
+  }
+
+  test("r3 scale fixes stay locked: x02 windows stay shard-bounded") {
+    val p = plan(TextQueries.x02PackBins(spark, d))
+    assert(p.contains("Window"))
+    // within-shard window + shard-offset window + join alignment
+    assert(shuffles(p) <= 4, s"x02 grew shuffles (${shuffles(p)}):\n" + p.take(3000))
+    assert(p.contains("shard"), "two-level prefix sum must partition by shard")
+  }
+
+  test("s05: quantization is a pure narrow projection (zero shuffles)") {
+    val p = plan(SimilarityQueries.s05Quantize(spark, d))
+    assert(shuffles(p) == 0, p.take(3000))
+    assert(!p.contains("Join"))
+  }
+
   test("bucketed tables co-locate the join: no Exchange on either side") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force the issue
