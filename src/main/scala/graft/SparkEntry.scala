@@ -36,6 +36,7 @@ object SparkEntry {
     "w01_asof_funnel" -> (RelationalQueries.w01AsofFunnel _),
     "w02_sessions" -> (RelationalQueries.w02Sessions _),
     "i01_interval_join" -> (RelationalQueries.i01IntervalJoin _),
+    "i02_band_join_auto" -> (RelationalQueries.i02BandJoinAuto _),
     // oracle-gated since r3: output = exact values + in-bounds flags the
     // live sketches must satisfy (oracle emits literal-true flags)
     "a01_sketches" -> (RelationalQueries.a01Sketches _),
@@ -55,6 +56,8 @@ object SparkEntry {
     "d05_jaccard_pairs" -> (TextQueries.d05JaccardPairs _),
     "d06_bitset_jaccard" -> (TextQueries.d06BitsetJaccardExpr _),
     "d07_dedup_clusters" -> (TextQueries.d07DedupClusters _),
+    "d08_decontaminate" -> (TextQueries.d08Decontaminate _),
+    "t08_repetition" -> (TextQueries.t08Repetition _),
     "p01_clean_corpus" -> (TextQueries.p01CleanCorpus _),
     "x01_token_windows" -> (TextQueries.x01TokenWindows _),
     "x02_pack_bins" -> (TextQueries.x02PackBins _),
@@ -66,6 +69,7 @@ object SparkEntry {
     "s03_ann_lsh" -> (SimilarityQueries.s03AnnLsh _),
     "s04_ann_ivf" -> (SimilarityQueries.s04AnnIvf _),
     "s05_quantize" -> (SimilarityQueries.s05Quantize _),
+    "s06_kmeans" -> (SimilarityQueries.s06KMeans _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -214,6 +218,14 @@ object SparkEntry {
         |FROM events e LEFT JOIN events a
         |  ON a.user_id = e.user_id
         | AND epoch_us(a.ts) >= epoch_us(e.ts) - 300000000
+        | AND epoch_us(a.ts) < epoch_us(e.ts)
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id, e.user_id, e.ts""".stripMargin,
+    "i02_band_join_auto" ->
+      """SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       COUNT(*) AS n_window
+        |FROM events e JOIN events a
+        |  ON epoch_us(a.ts) >= epoch_us(e.ts) - 3600000000
         | AND epoch_us(a.ts) < epoch_us(e.ts)
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id, e.user_id, e.ts""".stripMargin,
@@ -411,7 +423,66 @@ object SparkEntry {
          |            ELSE list_max(list_transform(list_zip(q, v),
          |                   s -> abs(struct_extract(s, 1) / 255.0 * (mx - mn) + mn - struct_extract(s, 2)))) END AS max_err
          |FROM q""".stripMargin,
+    "s06_kmeans" ->
+      s"""WITH q AS (SELECT vec_id,
+         |             list_transform(embedding::DOUBLE[],
+         |               x -> CAST(CAST(round(x * ${SimilarityQueries.KMeansQScale}) AS INT) AS DOUBLE)) AS qd
+         |           FROM embeddings),
+         |qn AS (SELECT vec_id, qd, list_dot_product(qd, qd) AS qq FROM q),
+         |c0 AS (SELECT vec_id AS k, qd AS cd, list_dot_product(qd, qd) AS cc
+         |       FROM q WHERE vec_id < ${SimilarityQueries.KMeansK}),
+         |d1 AS (SELECT a.vec_id, c.k, a.qq + c.cc - 2 * list_dot_product(a.qd, c.cd) AS dist
+         |       FROM qn a CROSS JOIN c0 c),
+         |m1 AS (SELECT vec_id, min(dist) AS md FROM d1 GROUP BY 1),
+         |s1 AS (SELECT d1.vec_id, min(d1.k) AS cluster
+         |       FROM d1 JOIN m1 ON d1.vec_id = m1.vec_id AND d1.dist = m1.md GROUP BY 1),
+         |e1 AS (SELECT s1.cluster, unnest(q.qd) AS val, unnest(range(1, len(q.qd) + 1)) AS pos
+         |       FROM q JOIN s1 USING (vec_id)),
+         |u1 AS (SELECT cluster, pos, floor(SUM(val) / COUNT(*)) AS cv FROM e1 GROUP BY 1, 2),
+         |l1 AS (SELECT cluster, list(cv ORDER BY pos) AS cd FROM u1 GROUP BY 1),
+         |c1 AS (SELECT c0.k, COALESCE(l1.cd, c0.cd) AS cd,
+         |              list_dot_product(COALESCE(l1.cd, c0.cd), COALESCE(l1.cd, c0.cd)) AS cc
+         |       FROM c0 LEFT JOIN l1 ON c0.k = l1.cluster),
+         |d2 AS (SELECT a.vec_id, c.k, a.qq + c.cc - 2 * list_dot_product(a.qd, c.cd) AS dist
+         |       FROM qn a CROSS JOIN c1 c),
+         |m2 AS (SELECT vec_id, min(dist) AS md FROM d2 GROUP BY 1),
+         |s2 AS (SELECT d2.vec_id, min(d2.k) AS cluster, min(m2.md) AS dist
+         |       FROM d2 JOIN m2 ON d2.vec_id = m2.vec_id AND d2.dist = m2.md GROUP BY 1)
+         |SELECT cluster, COUNT(*) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS inertia
+         |FROM s2 GROUP BY cluster""".stripMargin,
     "d07_dedup_clusters" -> d07Sql,
+    "d08_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        array_to_string(toks[pos:pos + ${TextQueries.DecontamN - 1}], ' ') AS gram
+         |      FROM (SELECT doc_id, toks,
+         |              unnest(generate_series(1, greatest(len(toks) - ${TextQueries.DecontamN - 1}, 1))) AS pos
+         |            FROM t)),
+         |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % ${TextQueries.BenchmarkMod} = 0),
+         |c AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % ${TextQueries.BenchmarkMod} <> 0)
+         |SELECT c.doc_id, COUNT(*) AS n_overlap,
+         |       COUNT(*) >= ${TextQueries.ContamMin} AS contaminated
+         |FROM c JOIN b USING (gram) GROUP BY c.doc_id""".stripMargin,
+    "t08_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |                CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq FROM t),
+         |g2 AS (SELECT doc_id, array_to_string(toks[pos:pos + 1], ' ') AS gram
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS pos FROM t)),
+         |c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+         |a2 AS (SELECT doc_id, SUM(cnt) AS g2_total, MAX(cnt) AS g2_max FROM c2 GROUP BY 1),
+         |g3 AS (SELECT doc_id, array_to_string(toks[pos:pos + 2], ' ') AS gram
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS pos FROM t)),
+         |c3 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+         |a3 AS (SELECT doc_id, SUM(cnt) AS g3_total,
+         |              SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS g3_dup FROM c3 GROUP BY 1)
+         |SELECT base.doc_id, n_toks, n_uniq,
+         |       CAST(n_uniq AS DOUBLE) / n_toks AS uniq_ratio,
+         |       CAST(g2_max AS DOUBLE) / g2_total AS top2_frac,
+         |       CAST(g3_dup AS DOUBLE) / g3_total AS dup3_frac
+         |FROM base JOIN a2 USING (doc_id) JOIN a3 USING (doc_id)""".stripMargin,
     "s01_ann_topk" ->
       s"""WITH $dNrmCte,
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nrm

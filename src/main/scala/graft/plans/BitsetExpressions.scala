@@ -235,6 +235,11 @@ final case class TokensToHashBitset(tokens: Expression, width: Expression)
   * driver's Verify/Bench sessions). Idempotent. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
+    // band-join auto-binning (see RangeBinJoin) for sessions built without
+    // spark.sql.extensions; idempotent across repeated register() calls
+    if (!spark.experimental.extraOptimizations.contains(RangeBinJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeBinJoin
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("bitset_jaccard",
       (exprs: Seq[Expression]) => BitsetJaccard(exprs(0), exprs(1)), "scala_udf")
@@ -250,6 +255,7 @@ object GraftFunctions {
 /** `--conf spark.sql.extensions=graft.plans.GraftExtensions` wiring. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RangeBinJoin)
     ext.injectFunction((
       FunctionIdentifier("bitset_jaccard"),
       new ExpressionInfo(classOf[BitsetJaccard].getName, "bitset_jaccard"),

@@ -1,0 +1,173 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: rewrite band-predicate joins into binned equi-joins.
+  *
+  * A join whose only cross-side predicate is a band
+  * `x >= y - w AND x < y` (with `x` and `y` long-typed expressions from
+  * opposite sides and `w` a positive literal) has no equi-key, so Spark
+  * plans it as BroadcastNestedLoopJoin — O(|L|·|R|) comparisons, the
+  * classic scale-killer for "events within the preceding window" interval
+  * joins. The i01 query avoids it by hand: bin the time axis at the window
+  * width so membership in the band implies the bins match or are adjacent,
+  * then join on the bin as a plain equi-key with the exact band as a
+  * post-filter (`RelationalQueries.i01IntervalJoin`).
+  *
+  * This rule performs that rewrite automatically, so the NAIVE formulation
+  * — the one every user writes first — gets the scale-correct plan:
+  *
+  *   x ∈ [y−w, y)  ⟹  floor(x/w) ∈ { floor(y/w)−1, floor(y/w) }
+  *
+  *   Join(L, R, x >= y − w && x < y && rest)
+  *     ⇒ Project(originalOutput,
+  *         Join(Project(L* + bin(x)),
+  *              Generate(explode([bin(y)−1, bin(y)]), R*),
+  *              binX = binY && <original condition>))
+  *
+  * Every matching pair lands in exactly one of the two generated bins
+  * (consecutive integers are distinct), so no dedup pass is needed; the
+  * original band conjuncts stay in the join condition as the exact filter.
+  * The equality turns the plan into a shuffled hash/sort-merge join keyed
+  * on the bin — linear shuffle, no quadratic probe.
+  *
+  * Guard rails (deliberately narrow — rewrite only what is provably safe):
+  *  - inner/cross joins only (outer semantics would need the generated
+  *    duplicates collapsed before null-extension);
+  *  - fires only when the join has NO cross-side equality conjunct: with an
+  *    equi-key present Spark already hash-joins and the band is a cheap
+  *    post-filter; this also makes the rule idempotent (the rewrite itself
+  *    introduces an equality, so the output never re-matches);
+  *  - `x`/`y` must be deterministic LongType expressions each referencing
+  *    exactly one side; `w` a foldable positive integral literal;
+  *  - bin arithmetic is floor division built from `pmod` so negative
+  *    axis values bin correctly (integral `div` truncates toward zero).
+  *
+  * Registered via [[GraftExtensions]] (`spark.sql.extensions`) and
+  * [[GraftFunctions.register]] (`spark.experimental.extraOptimizations`
+  * for sessions built without extensions, e.g. the driver's Verify/Bench).
+  * Reference capability anchor: the fetch-path range lookups this
+  * generalizes are `core/.../fetch/RemoteStorageManager` ranged reads; the
+  * analytic shape is SURVEY §2.6 "interval/range join".
+  */
+object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Band `lower <= x − y <= upper-ish`: concretely x >= y − w (or >) and
+    * x < y (or <=). `x` from one side, `y` from the other. */
+  private final case class Band(x: Expression, y: Expression, width: Long)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner | Cross, Some(cond), _)
+        if j.resolved && findBand(j, cond).isDefined =>
+      rewrite(j, findBand(j, cond).get)
+  }
+
+  /** A positive integral literal (int or long). */
+  private def widthOf(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, LongType) if v > 0 => Some(v)
+    case Literal(v: Int, IntegerType) if v > 0 => Some(v.toLong)
+    case _ => None
+  }
+
+  private def sideOf(e: Expression, j: Join): Option[Boolean] = {
+    // Some(true) = expression only references the left side
+    val refs = e.references
+    if (refs.isEmpty || !e.deterministic || e.dataType != LongType) None
+    else if (refs.subsetOf(j.left.outputSet)) Some(true)
+    else if (refs.subsetOf(j.right.outputSet)) Some(false)
+    else None
+  }
+
+  /** Lower conjunct: x >= y − w in any orientation. Returns (x, y, w). */
+  private def asLower(c: Expression, j: Join): Option[(Expression, Expression, Long)] = {
+    def split(x: Expression, ymw: Expression): Option[(Expression, Expression, Long)] =
+      ymw match {
+        case Subtract(y, wl, _) =>
+          for {
+            w <- widthOf(wl)
+            sx <- sideOf(x, j); sy <- sideOf(y, j)
+            if sx != sy
+          } yield (x, y, w)
+        case _ => None
+      }
+    c match {
+      case GreaterThanOrEqual(x, ymw) => split(x, ymw)
+      case GreaterThan(x, ymw) => split(x, ymw)
+      case LessThanOrEqual(ymw, x) => split(x, ymw)
+      case LessThan(ymw, x) => split(x, ymw)
+      case _ => None
+    }
+  }
+
+  /** Upper conjunct for the SAME (x, y): x < y or x <= y. */
+  private def isUpper(c: Expression, x: Expression, y: Expression): Boolean = c match {
+    case LessThan(a, b) => a.semanticEquals(x) && b.semanticEquals(y)
+    case LessThanOrEqual(a, b) => a.semanticEquals(x) && b.semanticEquals(y)
+    case GreaterThan(b, a) => a.semanticEquals(x) && b.semanticEquals(y)
+    case GreaterThanOrEqual(b, a) => a.semanticEquals(x) && b.semanticEquals(y)
+    case _ => false
+  }
+
+  /** A cross-side equality conjunct means Spark already has an equi-key. */
+  private def hasEquiKey(conjuncts: Seq[Expression], j: Join): Boolean =
+    conjuncts.exists {
+      case EqualTo(a, b) =>
+        (for (sa <- sideOf2(a, j); sb <- sideOf2(b, j)) yield sa != sb).getOrElse(false)
+      case EqualNullSafe(a, b) =>
+        (for (sa <- sideOf2(a, j); sb <- sideOf2(b, j)) yield sa != sb).getOrElse(false)
+      case _ => false
+    }
+
+  /** Like sideOf but type-agnostic (equality keys can be any type). */
+  private def sideOf2(e: Expression, j: Join): Option[Boolean] = {
+    val refs = e.references
+    if (refs.isEmpty) None
+    else if (refs.subsetOf(j.left.outputSet)) Some(true)
+    else if (refs.subsetOf(j.right.outputSet)) Some(false)
+    else None
+  }
+
+  private def findBand(j: Join, cond: Expression): Option[Band] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (hasEquiKey(conjuncts, j)) return None
+    // already rewritten plans carry the bin equality and are excluded above
+    conjuncts.iterator.flatMap(asLower(_, j)).collectFirst {
+      case (x, y, w) if conjuncts.exists(isUpper(_, x, y)) => Band(x, y, w)
+    }
+  }
+
+  /** Exact floor(e / w) for any sign: (e − pmod(e, w)) div w. */
+  private def floorDiv(e: Expression, w: Long): Expression = {
+    val wl = Literal(w, LongType)
+    IntegralDivide(Subtract(e, Pmod(e, wl)), wl)
+  }
+
+  private def rewrite(j: Join, band: Band): LogicalPlan = {
+    val xOnLeft = band.x.references.subsetOf(j.left.outputSet)
+    val (xSide, ySide) = if (xOnLeft) (j.left, j.right) else (j.right, j.left)
+
+    // x side: one bin column
+    val binX = Alias(floorDiv(band.x, band.width), "graft_bin")()
+    val newXSide = Project(xSide.output :+ binX, xSide)
+
+    // y side: explode to the two bins a matching x can fall in
+    val binY = floorDiv(band.y, band.width)
+    val gen = Explode(CreateArray(Seq(
+      Subtract(binY, Literal(1L, LongType)), binY)))
+    // nullable: y itself may be nullable (null axis → null bin → the null
+    // band predicate already excludes the row under inner-join semantics)
+    val binYOut = AttributeReference("graft_bin_y", LongType, nullable = true)()
+    val newYSide = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(binYOut), child = ySide)
+
+    val (newLeft, newRight) =
+      if (xOnLeft) (newXSide, newYSide) else (newYSide, newXSide)
+    val newCond = And(EqualTo(binX.toAttribute, binYOut), j.condition.get)
+    val joined = j.copy(left = newLeft, right = newRight, condition = Some(newCond))
+    Project(j.output, joined)
+  }
+}

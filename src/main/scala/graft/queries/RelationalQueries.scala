@@ -264,6 +264,32 @@ object RelationalQueries {
         date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("n_prior"))
   }
 
+  /** i02 — the NAIVE interval join, auto-binned by the optimizer. Unlike
+    * i01 (binned by hand), this is written the way every user writes it
+    * first: a bare band predicate with NO equi-key, which Spark plans as
+    * BroadcastNestedLoopJoin — O(|probe|·|build|) comparisons. The
+    * [[graft.plans.RangeBinJoin]] rule (installed by
+    * `GraftFunctions.register` / `GraftExtensions`) rewrites it into the
+    * same bucket-exploded equi-join i01 builds manually, so the naive
+    * formulation gets the linear-shuffle plan. Semantics: for each error
+    * event, count ALL events platform-wide in the preceding hour (global
+    * window — no per-user key, which is exactly the case where the manual
+    * i01 trick has no equi-key to piggyback on). */
+  def i02BandJoinAuto(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s) // installs RangeBinJoin
+    val winUs = 3600L * 1000000
+    val acts = events(s, d)
+      .select(unix_micros(col("ts")).as("us"), col("event_id").as("act_id"))
+    val errors = events(s, d).filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("err_ts"), unix_micros(col("ts")).as("err_us"))
+    errors.join(acts, col("us") >= col("err_us") - winUs && col("us") < col("err_us"))
+      .groupBy(col("err_id"), col("user_id"), col("err_ts"))
+      .agg(count(col("act_id")).as("n_window"))
+      .select(col("err_id").as("event_id"), col("user_id"),
+        date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("n_window"))
+  }
+
   /** Sketch aggregations — the sublinear-memory operators a 100 TB
     * aggregation actually runs: HyperLogLog++ distinct counts and
     * approximate percentiles next to their exact counterparts. No DuckDB

@@ -195,6 +195,80 @@ object SimilarityQueries {
     * IEEE sequences both engines; round() is half-away-from-zero for the
     * non-negative scaled values in both). Constant vectors (max == min)
     * quantize to all-zero codes by definition. */
+  /** k-means parameters (s06): K centroids seeded from the first K vectors
+    * (deterministic), symmetric integer quantization at QScale, two
+    * assignment rounds around one centroid update — the IVF/PQ codebook
+    * TRAINING step that s04's cell search consumes. */
+  val KMeansK = 8
+  val KMeansQScale = 128
+
+  /** s06: quantized k-means (spherical codebook training) with EXACT
+    * integer arithmetic end-to-end, so the oracle matches bit-for-bit:
+    * vectors are quantized to integer-valued doubles (round(x·128)), all
+    * distances are squared-L2 built from [[graft.plans.VecDot]] dot
+    * products of integer-valued doubles (exact below 2^53), and the
+    * centroid update floors the per-dimension mean — no
+    * floating-point-accumulation ambiguity anywhere, under ANY row or
+    * partition order on either engine.
+    *
+    * Scale shape (the classic distributed Lloyd's): centroids are K·dim
+    * driver-side constants — assignment is a NARROW projection against
+    * literal centroid arrays (corpus never shuffles); the update shuffles
+    * only (cluster, dim) partial sums — K·dim·partitions rows with partial
+    * aggregation, independent of corpus size; the two driver collects are
+    * K·dim = 512 values each, bounded by model size, not data size (the
+    * same bound every distributed k-means — e.g. Spark MLlib's — accepts).
+    * Empty clusters keep their previous centroid. */
+  def s06KMeans(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    import s.implicits._
+    val q = embeddings(s, d).selectExpr(
+      "vec_id",
+      s"transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(CAST(round(x * $KMeansQScale) AS INT) AS DOUBLE)) AS q")
+
+    def arrSql(c: Array[Double]) =
+      s"array(${c.map(v => s"CAST(${v.toLong} AS DOUBLE)").mkString(",")})"
+
+    /** cluster + squared-L2 distance columns for the given centroids:
+      * dist_k = q·q + c_k·c_k − 2·q·c_k, argmin with first-wins tie-break
+      * (= lowest cluster id, matching the oracle's min(k)). */
+    def assign(cents: Array[Array[Double]]): DataFrame = {
+      val distSqls = cents.map { c =>
+        val cc = c.map(v => v * v).sum.toLong
+        s"(vec_dot(q, q) + CAST($cc AS DOUBLE) - 2 * vec_dot(q, ${arrSql(c)}))"
+      }
+      q.selectExpr("vec_id", "q", s"array(${distSqls.mkString(",")}) AS dists")
+        .selectExpr("vec_id", "q",
+          "CAST(array_position(dists, array_min(dists)) - 1 AS BIGINT) AS cluster",
+          "array_min(dists) AS dist")
+    }
+
+    // deterministic init: quantized vectors of vec_id 0..K-1, id order
+    var cents: Array[Array[Double]] = q.filter(col("vec_id") < KMeansK)
+      .orderBy("vec_id").select("q").as[Seq[Double]].collect().map(_.toArray)
+    val dim = cents(0).length
+
+    // one centroid update from the first assignment (floored per-dim mean;
+    // only (cluster, dim) partial sums shuffle — bounded by model size)
+    val sums = assign(cents)
+      .selectExpr("cluster", "posexplode(q) AS (pos, val)")
+      .groupBy("cluster", "pos")
+      .agg(sum("val").as("s"), count(lit(1)).as("n"))
+      .collect()
+    val next = Array.tabulate(KMeansK)(k => cents(k).clone())
+    sums.foreach { r =>
+      val k = r.getLong(0).toInt
+      next(k)(r.getInt(1)) = math.floor(r.getDouble(2) / r.getLong(3))
+    }
+    cents = next
+
+    // second assignment against the updated codebook → cluster census
+    assign(cents)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("dist").cast("long").as("inertia"))
+  }
+
   def s05Quantize(s: SparkSession, d: String): DataFrame = {
     embeddings(s, d)
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")

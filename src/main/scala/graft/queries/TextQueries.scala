@@ -430,6 +430,79 @@ object TextQueries {
       .toDF("doc_id", "cluster_rep")
   }
 
+  /** Decontamination gram size — 3 on the synthetic corpus (short docs over
+    * a tiny vocabulary); production decontamination uses 13-gram overlap. */
+  val DecontamN = 3
+  /** Benchmark membership: doc_id % 50 == 0 is the deterministic stand-in
+    * for the held-out evaluation suite. */
+  val BenchmarkMod = 50L
+  /** Contamination verdict: ≥ this many distinct overlapping grams. */
+  val ContamMin = 2L
+
+  /** d08: benchmark DECONTAMINATION — flag corpus documents sharing token
+    * n-grams with a held-out benchmark set (the step every serious training
+    * pipeline runs so eval data never leaks into training data).
+    *
+    * Scale shape: the benchmark gram set is SMALL by definition (eval
+    * suites are fixed-size, corpus is 100 TB) → distinct benchmark grams
+    * broadcast; the corpus side is a narrow explode filtered by the
+    * broadcast join BEFORE any shuffle, so only grams that actually
+    * overlap reach the distinct/count exchanges (99%+ of corpus grams
+    * never shuffle). Short-doc guard mirrors d05: `greatest(…, 1)` emits
+    * one (possibly truncated) gram so both engines agree on tiny docs. */
+  def d08Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = normToks(s, d)
+      .selectExpr("doc_id",
+        s"explode(sequence(1, greatest(size(toks) - ${DecontamN - 1}, 1))) AS pos",
+        "toks")
+      .selectExpr("doc_id", s"array_join(slice(toks, pos, $DecontamN), ' ') AS gram")
+    val bench = grams.filter(col("doc_id") % BenchmarkMod === 0)
+      .select("gram").distinct()
+    grams.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .join(broadcast(bench), "gram") // narrow pre-filter: no corpus shuffle
+      .select("doc_id", "gram").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .selectExpr("doc_id", "n_overlap",
+        s"n_overlap >= $ContamMin AS contaminated")
+  }
+
+  /** t08: repetition quality filters (the Gopher/MassiveText family) —
+    * per-document top-2-gram fraction (what share of all 2-grams is the
+    * single most frequent one), duplicate-3-gram fraction (share of
+    * 3-grams occurring more than once), and distinct-token ratio. High
+    * values mean boilerplate/spam; pipelines drop docs past thresholds.
+    *
+    * All three are ratios of INTEGER counts (then one double division), so
+    * the oracle matches bit-for-bit; no max-gram string is output, so ties
+    * in "which gram is most frequent" cannot introduce nondeterminism.
+    * Scale shape: narrow explode → two aggregations keyed (doc_id, gram)
+    * then doc_id — uniform keys, partial aggregation on both; the final
+    * joins are co-partitioned on doc_id. */
+  def t08Repetition(s: SparkSession, d: String): DataFrame = {
+    val tok = normToks(s, d)
+    def gramStats(n: Int, pfx: String): DataFrame =
+      tok
+        .selectExpr("doc_id",
+          s"explode(sequence(1, greatest(size(toks) - ${n - 1}, 1))) AS pos",
+          "toks")
+        .selectExpr("doc_id", s"array_join(slice(toks, pos, $n), ' ') AS gram")
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum("cnt").as(s"${pfx}_total"),
+          max("cnt").as(s"${pfx}_max"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as(s"${pfx}_dup"))
+    tok
+      .selectExpr("doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_toks",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_uniq")
+      .join(gramStats(2, "g2"), "doc_id")
+      .join(gramStats(3, "g3"), "doc_id")
+      .selectExpr("doc_id", "n_toks", "n_uniq",
+        "CAST(n_uniq AS DOUBLE) / n_toks AS uniq_ratio",
+        "CAST(g2_max AS DOUBLE) / g2_total AS top2_frac",
+        "CAST(g3_dup AS DOUBLE) / g3_total AS dup3_frac")
+  }
+
   val WindowTokens = 64
   val WindowOverlap = 16
   private val WindowStride = WindowTokens - WindowOverlap
