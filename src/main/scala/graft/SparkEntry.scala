@@ -32,6 +32,7 @@ object SparkEntry {
     "q14_salted_agg" -> (RelationalQueries.q14SaltedAgg _),
     "q15_semi_anti" -> (RelationalQueries.q15SemiAnti _),
     "q16_rollup" -> (RelationalQueries.q16Rollup _),
+    "q19_salted_join" -> (RelationalQueries.q19SaltedJoin _),
     "q17_json_props" -> (RelationalQueries.q17JsonProps _),
     "w01_asof_funnel" -> (RelationalQueries.w01AsofFunnel _),
     "w02_sessions" -> (RelationalQueries.w02Sessions _),
@@ -58,6 +59,7 @@ object SparkEntry {
     "d07_dedup_clusters" -> (TextQueries.d07DedupClusters _),
     "d08_decontaminate" -> (TextQueries.d08Decontaminate _),
     "t08_repetition" -> (TextQueries.t08Repetition _),
+    "t09_salient_terms" -> (TextQueries.t09SalientTerms _),
     "p01_clean_corpus" -> (TextQueries.p01CleanCorpus _),
     "x01_token_windows" -> (TextQueries.x01TokenWindows _),
     "x02_pack_bins" -> (TextQueries.x02PackBins _),
@@ -113,6 +115,12 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    "q19_salted_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q05_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -483,6 +491,16 @@ object SparkEntry {
          |       CAST(g2_max AS DOUBLE) / g2_total AS top2_frac,
          |       CAST(g3_dup AS DOUBLE) / g3_total AS dup3_frac
          |FROM base JOIN a2 USING (doc_id) JOIN a3 USING (doc_id)""".stripMargin,
+    "t09_salient_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($dToks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |r AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |        CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |               ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS BIGINT) AS rnk
+         |      FROM tf JOIN df USING (tok))
+         |SELECT doc_id, rnk, tok, tf, df FROM r
+         |WHERE rnk <= ${TextQueries.SalientK}""".stripMargin,
     "s01_ann_topk" ->
       s"""WITH $dNrmCte,
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nrm

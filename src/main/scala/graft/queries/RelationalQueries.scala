@@ -165,6 +165,35 @@ object RelationalQueries {
       .groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n_events"), out2(sum(col("pv"))).as("total_value"))
 
+  /** Salt replication factor for q19. */
+  val SaltR = 8
+
+  /** q19: SALT-REPLICATED skewed join — the join-side twin of q14's salted
+    * aggregation. When one join key is hot, every matching row lands in ONE
+    * shuffle partition and the stage runs at the speed of that straggler;
+    * salting splits each build key into [[SaltR]] replicas — the probe side
+    * picks a deterministic salt per row (l_linenumber % R), the build side
+    * replicates each row R times — so the hot key's rows spread over R
+    * partitions. Every probe row still meets its key exactly once, so the
+    * result is IDENTICAL to the plain join: the oracle is the unsalted SQL.
+    * (Production salts only detected-hot keys rather than the whole build
+    * side, and AQE skew-join does this adaptively per-partition; the
+    * mechanism — and the correctness argument — is exactly this one.) */
+  def q19SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val probe = lineitem(s, d).select(
+      col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+      pmod(col("l_linenumber"), lit(SaltR)).as("salt"))
+    val build = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("bsalt", explode(sequence(lit(0), lit(SaltR - 1))))
+    probe.join(build,
+        col("l_orderkey") === col("o_orderkey") && col("salt") === col("bsalt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        out6(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Multi-level aggregation (ROLLUP grouping sets) over the dimension
     * chain — per-(region, nation) revenue with nation subtotals and a grand
     * total in ONE pass: Spark expands the grouping sets before the exchange,

@@ -503,6 +503,37 @@ object TextQueries {
         "CAST(g3_dup AS DOUBLE) / g3_total AS dup3_frac")
   }
 
+  /** Salient terms kept per document (t09). */
+  val SalientK = 3
+
+  /** t09: TF-IDF-style salient-term extraction with EXACT arithmetic — per
+    * document, the [[SalientK]] terms ranked by (term frequency DESC,
+    * document frequency ASC, term ASC). That ordering is the rational-form
+    * tf·idf ranking (maximize tf, minimize df) expressed entirely in
+    * integer comparisons: no logarithm, so no libm last-ulp divergence
+    * between JVM and DuckDB — the raw (tf, df) counts are emitted for
+    * downstream scoring with whatever idf curve the consumer wants.
+    *
+    * Scale shape: tf is a (doc_id, tok)-keyed aggregation (uniform), df
+    * re-aggregates tf's already-distinct doc×token rows by token (uniform;
+    * stopword-ish hot tokens are ONE row per doc here, not one per
+    * occurrence, so the token-key skew is capped at |docs|); the window
+    * partitions by doc_id with per-partition rows bounded by per-doc
+    * vocabulary. */
+  def t09SalientTerms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = normToks(s, d)
+      .selectExpr("doc_id", "explode(toks) AS tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+    tf.join(df, "tok")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= SalientK)
+      .select("doc_id", "rnk", "tok", "tf", "df")
+  }
+
   val WindowTokens = 64
   val WindowOverlap = 16
   private val WindowStride = WindowTokens - WindowOverlap

@@ -64,7 +64,81 @@ final class RecordTable(tableDir: String) {
     val tmp = Files.createTempFile(Paths.get(tableDir), ".manifests-", ".tmp")
     Files.writeString(tmp, mapper.writeValueAsString(arr))
     Files.move(tmp, listPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    recordSnapshot(names)
   }
+
+  // --- snapshot history / time travel --------------------------------------
+
+  private def snapshotsDir = Paths.get(tableDir, "_snapshots")
+
+  /** Append the committed manifest list to the snapshot history — the
+    * Iceberg snapshot-log twin (`metadata.json` snapshot list) that makes
+    * `readAsOf` possible. Written AFTER the `_manifests.json` rename: the
+    * current table state never depends on the history (a crash between the
+    * two loses one history entry, never table consistency). */
+  private def recordSnapshot(names: Vector[String]): Unit = {
+    Files.createDirectories(snapshotsDir)
+    val v = snapshots().lastOption.map(_.version + 1).getOrElse(1L)
+    val n = mapper.createObjectNode()
+    n.put("version", v)
+    n.put("ts", System.currentTimeMillis())
+    val arr = n.putArray("manifests")
+    names.foreach(arr.add)
+    val tmp = Files.createTempFile(snapshotsDir, ".snap-", ".tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(n))
+    Files.move(tmp, snapshotsDir.resolve(f"$v%012d.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Committed snapshots, oldest first (empty for pre-history tables). */
+  def snapshots(): Vector[RecordTable.SnapshotInfo] =
+    if (!Files.exists(snapshotsDir)) Vector.empty
+    else
+      Files.list(snapshotsDir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".json")).toVector.sorted
+        .map { f =>
+          val n = mapper.readTree(Files.readString(snapshotsDir.resolve(f)))
+          val ms = (0 until n.get("manifests").size())
+            .map(n.get("manifests").get(_).asText()).toVector
+          RecordTable.SnapshotInfo(n.get("version").asLong(), n.get("ts").asLong(), ms)
+        }
+
+  /** Time-travel scan: the table as of snapshot `version` (same pruning and
+    * pushdown as [[read]]). Snapshots referencing data files since retired
+    * by [[compact]] are expired from the history; asking for one fails with
+    * the missing-file list rather than a partial result. */
+  def readAsOf(spark: SparkSession, version: Long, startOffset: Long = Long.MinValue): DataFrame = {
+    val snap = snapshots().find(_.version == version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot $version (have: ${snapshots().map(_.version).mkString(", ")})"))
+    val missing = snap.manifests.filterNot(n => Files.exists(manifestDir.resolve(s"$n.json")))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot $version references retired segments: ${missing.mkString(", ")}")
+    val files = snap.manifests
+      .map(n => metaFromJson(Files.readString(manifestDir.resolve(s"$n.json"))))
+      .sortBy(_.minOffset)
+      .filter(_.maxOffset >= startOffset)
+      .map(m => Paths.get(tableDir).resolve(m.file).toString)
+    val schema = currentSchema.getOrElse(RowSchema.rawSchema)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(files: _*)
+        .filter(col("kafka.offset") >= startOffset)
+  }
+
+  /** Drop history entries that reference retired manifests — the
+    * `expire_snapshots` maintenance twin, run automatically after
+    * [[compact]] (data files are GC'd there, so those snapshots could
+    * never be read again anyway). */
+  def expireUnreadableSnapshots(): Vector[Long] =
+    snapshots()
+      .filter(_.manifests.exists(n => !Files.exists(manifestDir.resolve(s"$n.json"))))
+      .map { s =>
+        Files.deleteIfExists(snapshotsDir.resolve(f"${s.version}%012d.json"))
+        s.version
+      }
 
   // --- schema evolution (I5) ----------------------------------------------
 
@@ -201,7 +275,7 @@ final class RecordTable(tableDir: String) {
     if (cur.nonEmpty) groups += cur
     val todo = groups.result().filter(_.length >= minFiles)
 
-    todo.map { group =>
+    val out = todo.map { group =>
       val schema = currentSchema.getOrElse(RowSchema.rawSchema)
       val files = group.map(m => Paths.get(tableDir).resolve(m.file).toString)
       val merged = spark.read.schema(schema).parquet(files: _*)
@@ -236,6 +310,10 @@ final class RecordTable(tableDir: String) {
       }
       meta
     }
+    // compaction retires data files → snapshots pinned to them are dead;
+    // expire them (the Iceberg expire_snapshots twin)
+    if (out.nonEmpty) expireUnreadableSnapshots()
+    out
   }
 
   /** Project/cast `rows` to the table schema: missing columns become nulls,
@@ -359,4 +437,11 @@ object BatchReserializer {
     * the first record has delta 0 (true for producer-built batches). */
   private def batchBaseTimestamp(members: Seq[org.apache.spark.sql.Row], baseOffset: Long): Long =
     members.iterator.map(_.getAs[Long]("timestamp")).min
+}
+
+object RecordTable {
+  /** One committed table state: which manifests were active at `version`.
+    * The snapshot-log entry of our Iceberg-twin commit protocol
+    * (reference txn: `IcebergRemoteStorageManager.java:113-151`). */
+  final case class SnapshotInfo(version: Long, tsMillis: Long, manifests: Vector[String])
 }

@@ -66,6 +66,32 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-STREAM interval join with watermarks on both sides: each error
+    * event joined to the same user's events in the preceding `window`. The
+    * time-range join condition plus the two watermarks is what lets Spark
+    * EVICT join state (an activity row can be dropped once the watermark
+    * guarantees no future error can still reach back to it) — without them
+    * stream-stream join state grows without bound, the streaming analogue
+    * of the BNLJ scale wall. Batch twins: i01 (hand-binned) and i02
+    * (auto-binned by [[graft.plans.RangeBinJoin]]). */
+  def errorContextJoin(events: DataFrame, window: String = "10 minutes",
+                       watermarkDelay: String = "30 seconds"): DataFrame = {
+    val acts = events
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+        col("event_id").as("a_id"))
+      .withWatermark("a_ts", watermarkDelay)
+    val errs = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+      .withWatermark("e_ts", watermarkDelay)
+    errs.join(acts,
+      col("e_user") === col("a_user") &&
+        col("a_ts") >= col("e_ts") - expr(s"INTERVAL $window") &&
+        col("a_ts") < col("e_ts"))
+      .select(col("e_id").as("error_id"), col("e_user").as("user_id"),
+        col("e_ts").as("error_ts"), col("a_id").as("prior_id"), col("a_ts").as("prior_ts"))
+  }
+
   final case class PackState(nextPos: Long)
   final case class PackedDoc(doc_id: Long, lang: String, n_tokens: Long, bin_id: Long)
 

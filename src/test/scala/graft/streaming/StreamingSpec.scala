@@ -229,6 +229,32 @@ class StreamingSpec extends SparkSpec {
     expectEn.foreach { case (id, b) => assert(bins(id) == b) }
   }
 
+  test("stream-stream interval join: errors match prior same-user events, cross-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF().toDF("user_id", "event_id", "event_type", "secs")
+      .selectExpr("user_id", "event_id", "event_type",
+        "CAST(secs AS TIMESTAMP) AS ts")
+    val joined = EventStreams.errorContextJoin(events, window = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("errctx")
+      .outputMode("append").start()
+    // batch 1: two prior views for user 1; user 2 noise
+    input.addData((1L, 10L, "view", 100L), (1L, 11L, "view", 200L), (2L, 20L, "view", 300L))
+    q.processAllAvailable()
+    // batch 2: the error arrives later — join state from batch 1 must still match
+    input.addData((1L, 12L, "error", 250L), (2L, 21L, "error", 1300L))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql("SELECT error_id, prior_id FROM errctx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // user 1's error at 250 reaches back to views at 100 and 200;
+    // user 2's error at 1300 is > 10 min after its view at 300 → no match;
+    // the error row itself (a_ts < e_ts strict) never self-joins
+    assert(pairs == Set((12L, 10L), (12L, 11L)), s"got $pairs")
+  }
+
   test("mapGroupsWithState user sessions accumulate per-key state across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
