@@ -60,6 +60,7 @@ object SparkEntry {
     "d08_decontaminate" -> (TextQueries.d08Decontaminate _),
     "t08_repetition" -> (TextQueries.t08Repetition _),
     "t09_salient_terms" -> (TextQueries.t09SalientTerms _),
+    "t10_mix_sample" -> (TextQueries.t10MixSample _),
     "p01_clean_corpus" -> (TextQueries.p01CleanCorpus _),
     "x01_token_windows" -> (TextQueries.x01TokenWindows _),
     "x02_pack_bins" -> (TextQueries.x02PackBins _),
@@ -501,6 +502,14 @@ object SparkEntry {
          |      FROM tf JOIN df USING (tok))
          |SELECT doc_id, rnk, tok, tf, df FROM r
          |WHERE rnk <= ${TextQueries.SalientK}""".stripMargin,
+    "t10_mix_sample" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |             CAST(substring(source, 4) AS INT) AS src_idx,
+         |             md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |b AS (SELECT source, 10 * (1 + src_idx % 9) AS rate_pct,
+         |             (${TextQueries.hex4Sql("strpos")}) % 100 AS bucket FROM h)
+         |SELECT source, CAST(rate_pct AS BIGINT) AS rate_pct, COUNT(*) AS n_kept
+         |FROM b WHERE bucket < rate_pct GROUP BY 1, 2""".stripMargin,
     "s01_ann_topk" ->
       s"""WITH $dNrmCte,
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nrm

@@ -503,6 +503,36 @@ object TextQueries {
         "CAST(g3_dup AS DOUBLE) / g3_total AS dup3_frac")
   }
 
+  /** First-4-hex-digits-of-md5 → integer, as SQL (engine-parameterized on
+    * the strpos function name: Spark `instr`, DuckDB `strpos`). The
+    * deterministic [0, 65536) sampling key both engines compute
+    * identically — the same no-hex-literal trick as the simhash oracle. */
+  def hex4Sql(strposFn: String, col: String = "h"): String =
+    (1 to 4).map(i =>
+      s"(($strposFn('0123456789abcdef', substring($col, $i, 1)) - 1) * ${1 << (4 * (4 - i))})")
+      .mkString(" + ")
+
+  /** t10: SOURCE-MIX sampling — per-source sampling rates (the "data
+    * mixing" step that weights domains when assembling a training corpus),
+    * implemented as a DETERMINISTIC hash split: a document is kept iff
+    * md5(doc_id)'s bucket (0..99) falls under its source's rate. Hash
+    * splitting (vs rand()) is what makes the mix REPRODUCIBLE — the same
+    * document is always in or out, so reruns, retries and incremental
+    * extensions of the corpus agree; no seed plumbing, no RNG-order
+    * dependence on partitioning. Rates here derive from the source index
+    * (10..90%); production supplies a rate table the same way.
+    * Scale: pure narrow projection + filter, one uniform-keyed agg. */
+  def t10MixSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .selectExpr("doc_id", "source",
+        "CAST(substring(source, 4) AS INT) AS src_idx",
+        "md5(CAST(CAST(doc_id AS STRING) AS BINARY)) AS h")
+      .selectExpr("source", "10 * (1 + src_idx % 9) AS rate_pct",
+        s"(${hex4Sql("instr")}) % 100 AS bucket")
+      .filter(col("bucket") < col("rate_pct"))
+      .groupBy("source", "rate_pct").agg(count(lit(1)).as("n_kept"))
+      .selectExpr("source", "CAST(rate_pct AS BIGINT) AS rate_pct", "n_kept")
+
   /** Salient terms kept per document (t09). */
   val SalientK = 3
 

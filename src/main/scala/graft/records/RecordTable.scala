@@ -128,6 +128,37 @@ final class RecordTable(tableDir: String) {
         .filter(col("kafka.offset") >= startOffset)
   }
 
+  /** Incremental scan: rows APPENDED between two snapshots — the manifests
+    * present in `toVersion` but not in `fromVersion` (append-only tables:
+    * compaction rewrites, never changes, rows, and expires the snapshots
+    * it invalidates, so a surviving version pair is always diffable).
+    * `fromVersion = 0` means "from the beginning". This is the
+    * incremental-processing primitive (Iceberg's incremental read /
+    * Delta's CDF for the append-only case): downstream jobs checkpoint a
+    * version and each run processes only the delta. */
+  def readChanges(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    val history = snapshots()
+    def manifestsOf(v: Long): Vector[String] =
+      if (v == 0) Vector.empty
+      else history.find(_.version == v).map(_.manifests)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot $v (have: ${history.map(_.version).mkString(", ")})"))
+    val from = manifestsOf(fromVersion).toSet
+    val added = manifestsOf(toVersion).filterNot(from)
+    val missing = added.filterNot(n => Files.exists(manifestDir.resolve(s"$n.json")))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot $toVersion references retired segments: ${missing.mkString(", ")}")
+    val files = added
+      .map(n => metaFromJson(Files.readString(manifestDir.resolve(s"$n.json"))))
+      .sortBy(_.minOffset)
+      .map(m => Paths.get(tableDir).resolve(m.file).toString)
+    val schema = currentSchema.getOrElse(RowSchema.rawSchema)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
   /** Drop history entries that reference retired manifests — the
     * `expire_snapshots` maintenance twin, run automatically after
     * [[compact]] (data files are GC'd there, so those snapshots could

@@ -70,6 +70,13 @@ class PlanChecksSpec extends SparkSpec {
       "range join must bin to an equi-join:\n" + p.take(3000))
   }
 
+  test("i02: NAIVE band join is auto-binned by RangeBinJoin, never nested-loop") {
+    val p = plan(RelationalQueries.i02BandJoinAuto(spark, d))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "RangeBinJoin must rewrite the naive band join:\n" + p.take(3000))
+    assert(p.contains("graft_bin"), "expected the rule's bin columns:\n" + p.take(3000))
+  }
+
   test("w01: as-of join is one window pass, one shuffle") {
     val p = plan(RelationalQueries.w01AsofFunnel(spark, d))
     assert(p.contains("Window"))

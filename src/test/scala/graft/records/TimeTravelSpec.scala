@@ -53,6 +53,24 @@ class TimeTravelSpec extends SparkSpec {
     assert(e.getMessage.contains("no snapshot 99"))
   }
 
+  test("readChanges returns exactly the rows appended between two snapshots") {
+    val dir = Files.createTempDirectory("graft-tt3").toString
+    val table = new RecordTable(dir)
+    Seq(0L, 20L, 40L).foreach { base =>
+      table.appendSegment(spark, s"seg-$base",
+        SegmentToRows.fromSegmentBytes(spark, Seq((0, segment(base, 20)))))
+    }
+    // delta v1→v3 = segments 2 and 3
+    val delta = table.readChanges(spark, 1, 3)
+    val offs = delta.select("kafka.offset").collect().map(_.getLong(0)).sorted
+    assert(offs.head == 20 && offs.last == 59 && offs.length == 40)
+    // from-the-beginning delta = full table; empty delta for v == v
+    assert(table.readChanges(spark, 0, 3).count() == 60)
+    assert(table.readChanges(spark, 2, 2).count() == 0)
+    val e = intercept[IllegalArgumentException](table.readChanges(spark, 1, 9))
+    assert(e.getMessage.contains("no snapshot 9"))
+  }
+
   test("compaction expires snapshots pinned to retired files; post-compact snapshot readable") {
     val dir = Files.createTempDirectory("graft-tt2").toString
     val table = new RecordTable(dir)
