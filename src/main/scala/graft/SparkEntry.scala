@@ -67,6 +67,7 @@ object SparkEntry {
     "t06_stratified_sample" -> (TextQueries.t06StratifiedSample _),
     "t07_vocab_mask" -> (TextQueries.t07VocabMask _),
     "m01_media_features" -> (MultimodalQueries.m01MediaFeatures _),
+    "m02_frame_sample" -> (MultimodalQueries.m02FrameSample _),
     "s01_ann_topk" -> (SimilarityQueries.s01AnnTopK _),
     "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
     "s03_ann_lsh" -> (SimilarityQueries.s03AnnLsh _),
@@ -334,6 +335,15 @@ object SparkEntry {
         | CAST(CASE WHEN length(text) = 0 THEN 0 ELSE (length(text) + 15) // 16 END AS BIGINT) AS n_frames,
         | CASE WHEN length(text) = 0 THEN NULL ELSE md5(substring(text, 1, 16)) END AS first_frame_md5
         |FROM documents""".stripMargin,
+    "m02_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |             unnest(generate_series(0, CAST(floor((length(text) - 1) / 16) AS INT))) AS frame_idx
+         |           FROM documents WHERE length(text) > 0),
+         |s AS (SELECT doc_id, frame_idx, substring(text, frame_idx * 16 + 1, 16) AS frame
+         |      FROM f WHERE frame_idx % ${MultimodalQueries.SampleEvery} = 0)
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |       md5(frame) AS frame_md5, CAST(length(frame) AS BIGINT) AS frame_len
+         |FROM s""".stripMargin,
     "t01_token_stats" ->
       s"""SELECT doc_id, len($dToks) AS ws_tokens,
          | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS re_tokens

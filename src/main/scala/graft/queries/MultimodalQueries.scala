@@ -21,4 +21,21 @@ object MultimodalQueries {
       .selectExpr("id AS doc_id", "n_bytes",
         "CAST(n_frames AS BIGINT) AS n_frames", "first_frame_md5")
   }
+
+  /** Sampling stride for m02 (every 4th frame — the video-keyframe shape). */
+  val SampleEvery = 4
+
+  /** m02: frame SAMPLING through the decode path — every 4th fake-codec
+    * frame exploded to its own row (id, frame_idx, bytes), fingerprinted.
+    * Verifies the explode/stride plumbing the same way m01 verifies the
+    * batch shape: the fake decoder's frames are byte slices, so the oracle
+    * re-derives every sampled frame with substring arithmetic. */
+  def m02FrameSample(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.packTextAsMedia(
+      Tables.documents(s, d).selectExpr("doc_id", "text"), "text")
+    Multimodal.sampleFrames(media, "doc_id",
+        Multimodal.DeterministicFakeDecoder(16), every = SampleEvery)
+      .selectExpr("id AS doc_id", "CAST(frame_idx AS BIGINT) AS frame_idx",
+        "md5(frame) AS frame_md5", "CAST(length(frame) AS BIGINT) AS frame_len")
+  }
 }
