@@ -33,6 +33,7 @@ object SparkEntry {
     "q15_semi_anti" -> (RelationalQueries.q15SemiAnti _),
     "q16_rollup" -> (RelationalQueries.q16Rollup _),
     "q19_salted_join" -> (RelationalQueries.q19SaltedJoin _),
+    "q20_topk_operator" -> (RelationalQueries.q20TopKOperator _),
     "q17_json_props" -> (RelationalQueries.q17JsonProps _),
     "w01_asof_funnel" -> (RelationalQueries.w01AsofFunnel _),
     "w02_sessions" -> (RelationalQueries.w02Sessions _),
@@ -123,6 +124,13 @@ object SparkEntry {
         |       COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q20_topk_operator" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey,
+        |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |           FROM orders)
+        |SELECT o_orderpriority, o_orderkey, total FROM r WHERE rn <= 3""".stripMargin,
     "q05_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

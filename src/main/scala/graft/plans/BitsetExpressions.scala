@@ -240,6 +240,9 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(RangeBinJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RangeBinJoin
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("bitset_jaccard",
       (exprs: Seq[Expression]) => BitsetJaccard(exprs(0), exprs(1)), "scala_udf")
@@ -256,6 +259,7 @@ object GraftFunctions {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeBinJoin)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("bitset_jaccard"),
       new ExpressionInfo(classOf[BitsetJaccard].getName, "bitset_jaccard"),

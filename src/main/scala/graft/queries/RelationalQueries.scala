@@ -194,6 +194,18 @@ object RelationalQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** q20: the custom TOP-K OPERATOR on real data — 3 most expensive orders
+    * per priority via [[graft.plans.TopKPerGroup]] (custom logical node +
+    * planner strategy + partial/final physical execs; the exchange moves
+    * only groups×k rows). Total order (totalprice DESC, orderkey ASC) →
+    * deterministic; the oracle is the window formulation. */
+  def q20TopKOperator(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerGroup(
+        orders(s, d).select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_orderpriority"),
+        Seq("o_totalprice" -> true, "o_orderkey" -> false), k = 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), out2(dec2(col("o_totalprice"))).as("total"))
+
   /** Multi-level aggregation (ROLLUP grouping sets) over the dimension
     * chain — per-(region, nation) revenue with nation subtotals and a grand
     * total in ONE pass: Spark expands the grouping sets before the exchange,
