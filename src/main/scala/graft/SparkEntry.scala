@@ -75,6 +75,7 @@ object SparkEntry {
     "s04_ann_ivf" -> (SimilarityQueries.s04AnnIvf _),
     "s05_quantize" -> (SimilarityQueries.s05Quantize _),
     "s06_kmeans" -> (SimilarityQueries.s06KMeans _),
+    "s07_pq_encode" -> (SimilarityQueries.s07PqEncode _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -477,6 +478,30 @@ object SparkEntry {
          |       FROM d2 JOIN m2 ON d2.vec_id = m2.vec_id AND d2.dist = m2.md GROUP BY 1)
          |SELECT cluster, COUNT(*) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS inertia
          |FROM s2 GROUP BY cluster""".stripMargin,
+    "s07_pq_encode" -> {
+      val nSub = SimilarityQueries.PqSubspaces
+      val subCtes = (0 until nSub).map { m =>
+        val lo = m * SimilarityQueries.PqSubDim + 1
+        val hi = (m + 1) * SimilarityQueries.PqSubDim
+        s"""d$m AS (SELECT q.vec_id, c.k,
+           |  list_dot_product(q.qd[$lo:$hi], q.qd[$lo:$hi]) + list_dot_product(c.qd[$lo:$hi], c.qd[$lo:$hi])
+           |    - 2 * list_dot_product(q.qd[$lo:$hi], c.qd[$lo:$hi]) AS dist
+           |  FROM q, c0 c),
+           |m$m AS (SELECT vec_id, min(dist) AS md FROM d$m GROUP BY 1),
+           |s$m AS (SELECT d.vec_id, min(d.k) AS code$m, min(m.md) AS err$m
+           |        FROM d$m d JOIN m$m m ON d.vec_id = m.vec_id AND d.dist = m.md GROUP BY 1)""".stripMargin
+      }
+      val joins = (1 until nSub).map(m => s"JOIN s$m USING (vec_id)").mkString(" ")
+      s"""WITH q AS (SELECT vec_id,
+         |             list_transform(embedding::DOUBLE[],
+         |               x -> CAST(CAST(round(x * ${SimilarityQueries.KMeansQScale}) AS INT) AS DOUBLE)) AS qd
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS k, qd FROM q WHERE vec_id < ${SimilarityQueries.PqCodes}),
+         |${subCtes.mkString(",\n")}
+         |SELECT s0.vec_id, ${(0 until nSub).map(m => s"code$m").mkString(", ")},
+         |       CAST(${(0 until nSub).map(m => s"err$m").mkString(" + ")} AS BIGINT) AS recon_err
+         |FROM s0 $joins""".stripMargin
+    },
     "d07_dedup_clusters" -> d07Sql,
     "d08_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),

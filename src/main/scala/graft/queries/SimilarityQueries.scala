@@ -269,6 +269,54 @@ object SimilarityQueries {
         sum("dist").cast("long").as("inertia"))
   }
 
+  /** PQ geometry (s07): 64 dims → 4 subspaces × 16 dims, 4 codes per
+    * subspace seeded from the first 4 vectors' subvectors. */
+  val PqSubspaces = 4
+  val PqSubDim = 16
+  val PqCodes = 4
+
+  /** s07: PRODUCT-QUANTIZATION encode — each vector becomes
+    * [[PqSubspaces]] small codes (argmin centroid per subspace) plus the
+    * exact integer reconstruction error. With s05 (scalar quantization)
+    * and s06 (codebook training) this completes the embedding-compression
+    * family: PQ is how a 100 TB vector store fits RAM (64 floats → 4
+    * bytes here; real deployments use 8–16 subspaces × 256 codes — same
+    * shape, bigger literals). Same exactness contract as s06: integer-
+    * valued doubles end-to-end, so argmin and error match the oracle
+    * bit-for-bit under any partitioning.
+    *
+    * Scale shape: codebooks are model-size constants (subvectors of the
+    * first [[PqCodes]] vectors, quantized) — encoding is ONE narrow
+    * projection against literal centroid arrays; nothing shuffles. */
+  def s07PqEncode(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    import s.implicits._
+    val q = embeddings(s, d).selectExpr(
+      "vec_id",
+      s"transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(CAST(round(x * $KMeansQScale) AS INT) AS DOUBLE)) AS q")
+    // codebooks: PqCodes × PqSubspaces subvectors, driver-side constants
+    val seeds: Array[Array[Double]] = q.filter(col("vec_id") < PqCodes)
+      .orderBy("vec_id").select("q").as[Seq[Double]].collect().map(_.toArray)
+    def arrSql(c: Array[Double]) =
+      s"array(${c.map(v => s"CAST(${v.toLong} AS DOUBLE)").mkString(",")})"
+    val distCols = (0 until PqSubspaces).map { m =>
+      val off = m * PqSubDim
+      val dists = (0 until PqCodes).map { kc =>
+        val c = seeds(kc).slice(off, off + PqSubDim)
+        val cc = c.map(v => v * v).sum.toLong
+        s"(vec_dot(sub$m, sub$m) + CAST($cc AS DOUBLE) - 2 * vec_dot(sub$m, ${arrSql(c)}))"
+      }
+      s"array(${dists.mkString(",")}) AS dists$m"
+    }
+    q.selectExpr(Seq("vec_id") ++
+        (0 until PqSubspaces).map(m => s"slice(q, ${m * PqSubDim + 1}, $PqSubDim) AS sub$m"): _*)
+      .selectExpr(Seq("vec_id") ++ distCols: _*)
+      .selectExpr(Seq("vec_id") ++
+        (0 until PqSubspaces).map(m =>
+          s"CAST(array_position(dists$m, array_min(dists$m)) - 1 AS BIGINT) AS code$m") :+
+        s"CAST(${(0 until PqSubspaces).map(m => s"array_min(dists$m)").mkString(" + ")} AS BIGINT) AS recon_err": _*)
+  }
+
   def s05Quantize(s: SparkSession, d: String): DataFrame = {
     embeddings(s, d)
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
