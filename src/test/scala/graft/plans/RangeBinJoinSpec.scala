@@ -74,6 +74,29 @@ class RangeBinJoinSpec extends SparkSpec {
     assert(sortedRows(q) == expected)
   }
 
+  test("property: random axes/widths — rewrite ≡ nested-loop on both bound styles") {
+    GraftFunctions.register(spark)
+    val gen = for {
+      w <- org.scalacheck.Gen.choose(1L, 50L)
+      n <- org.scalacheck.Gen.choose(5, 60)
+      m <- org.scalacheck.Gen.choose(5, 60)
+      xs <- org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.choose(-300L, 300L))
+      ys <- org.scalacheck.Gen.listOfN(m, org.scalacheck.Gen.choose(-300L, 300L))
+      inclusive <- org.scalacheck.Gen.oneOf(true, false)
+    } yield (w, xs, ys, inclusive)
+    graft.testkit.Props.forAllN(gen, n = 12) { case (w, xs, ys, inclusive) =>
+      val l = xs.toDF("px")
+      val r = ys.toDF("bx")
+      def cond = if (inclusive) $"bx" >= $"px" - w && $"bx" <= $"px"
+                 else $"bx" >= $"px" - w && $"bx" < $"px"
+      val q = l.join(r, cond)
+      assert(physical(q).contains("graft_bin"))
+      val expected = withoutRule(sortedRows(l.join(r, cond)))
+      assert(sortedRows(q) == expected,
+        s"mismatch for w=$w inclusive=$inclusive xs=$xs ys=$ys")
+    }
+  }
+
   test("extra non-equi conjuncts are preserved through the rewrite") {
     GraftFunctions.register(spark)
     def q = probe.join(build,
