@@ -159,6 +159,23 @@ final class RecordTable(tableDir: String) {
     else spark.read.schema(schema).parquet(files: _*)
   }
 
+  /** Roll the CURRENT table state back to snapshot `version` (Iceberg's
+    * rollback_to_snapshot): one `_manifests.json` commit whose list is the
+    * old snapshot's — data files are never touched, so rollback is instant
+    * and itself versioned (a new history entry, so rollback can be rolled
+    * back). Fails if the target snapshot references compaction-retired
+    * segments. */
+  def rollback(spark: SparkSession, version: Long): Unit = {
+    val snap = snapshots().find(_.version == version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot $version (have: ${snapshots().map(_.version).mkString(", ")})"))
+    val missing = snap.manifests.filterNot(n => Files.exists(manifestDir.resolve(s"$n.json")))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot $version references retired segments: ${missing.mkString(", ")}")
+    commitList(snap.manifests)
+  }
+
   /** Drop history entries that reference retired manifests — the
     * `expire_snapshots` maintenance twin, run automatically after
     * [[compact]] (data files are GC'd there, so those snapshots could

@@ -71,6 +71,30 @@ class TimeTravelSpec extends SparkSpec {
     assert(e.getMessage.contains("no snapshot 9"))
   }
 
+  test("rollback restores an old state as a NEW commit; data files untouched") {
+    val dir = Files.createTempDirectory("graft-tt4").toString
+    val table = new RecordTable(dir)
+    Seq(0L, 20L, 40L).foreach { base =>
+      table.appendSegment(spark, s"seg-$base",
+        SegmentToRows.fromSegmentBytes(spark, Seq((0, segment(base, 20)))))
+    }
+    assert(table.read(spark).count() == 60)
+    table.rollback(spark, 1)
+    // current state = snapshot 1's 20 rows; history gained version 4
+    assert(table.read(spark).count() == 20)
+    assert(table.snapshots().map(_.version) == Vector(1L, 2L, 3L, 4L))
+    assert(table.snapshots().last.manifests == table.snapshots().head.manifests)
+    // roll FORWARD again (rollback of the rollback)
+    table.rollback(spark, 3)
+    assert(table.read(spark).count() == 60)
+    // appends after rollback keep committing on top
+    table.appendSegment(spark, "seg-60",
+      SegmentToRows.fromSegmentBytes(spark, Seq((0, segment(60, 10)))))
+    assert(table.read(spark).count() == 70)
+    val e = intercept[IllegalArgumentException](table.rollback(spark, 42))
+    assert(e.getMessage.contains("no snapshot 42"))
+  }
+
   test("compaction expires snapshots pinned to retired files; post-compact snapshot readable") {
     val dir = Files.createTempDirectory("graft-tt2").toString
     val table = new RecordTable(dir)
