@@ -92,6 +92,32 @@ object EventStreams {
         col("e_ts").as("error_ts"), col("a_id").as("prior_id"), col("a_ts").as("prior_ts"))
   }
 
+  final case class TopKState(items: List[(Long, Long)]) // (value desc, id asc)
+  final case class TopKUpdate(user_id: Long, top_ids: Seq[Long], top_values: Seq[Long])
+
+  /** Streaming per-key top-k — the streaming twin of the q20 batch
+    * operator ([[graft.plans.TopKPerGroup]]): per user, the k
+    * highest-value events seen so far, maintained incrementally in
+    * `mapGroupsWithState`. State per key is EXACTLY k pairs (the same
+    * bound that makes the batch operator's shuffle small keeps streaming
+    * state tiny); each micro-batch emits the key's refreshed top-k.
+    * Ordering is total ((value DESC, id ASC)) so results are
+    * deterministic under any batch slicing. */
+  def topEventsPerUser(spark: SparkSession, events: DataFrame, k: Int): Dataset[TopKUpdate] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "event_id", "CAST(value AS LONG) AS v")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[TopKState]) =>
+          val prev = state.getOption.map(_.items).getOrElse(Nil)
+          val merged = (prev.iterator ++ rows.map { case (_, id, v) => (v, id) })
+            .toList.sortBy { case (v, id) => (-v, id) }.take(k)
+          state.update(TopKState(merged))
+          TopKUpdate(userId, merged.map(_._2), merged.map(_._1))
+      }
+  }
+
   final case class PackState(nextPos: Long)
   final case class PackedDoc(doc_id: Long, lang: String, n_tokens: Long, bin_id: Long)
 

@@ -255,6 +255,28 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((12L, 10L), (12L, 11L)), s"got $pairs")
   }
 
+  test("streaming per-key top-k: bounded state refreshed across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Long)]
+    val events = input.toDF().toDF("user_id", "event_id", "value")
+    val topk = EventStreams.topEventsPerUser(spark, events, k = 2)
+    val q = topk.writeStream.format("memory").queryName("topk")
+      .outputMode("update").start()
+    input.addData((1L, 10L, 50L), (1L, 11L, 90L), (1L, 12L, 70L))
+    q.processAllAvailable()
+    input.addData((1L, 13L, 80L), (2L, 20L, 5L))
+    q.processAllAvailable()
+    q.stop()
+    // latest update per user wins (update mode emits one row per batch)
+    val rows = spark.sql("SELECT user_id, top_ids FROM topk").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    // user 1 after batch 2: values 90 (id 11), 80 (id 13) — 70/50 evicted
+    assert(rows.filter(_._1 == 1L).last._2 == Seq(11L, 13L))
+    assert(rows.filter(_._1 == 2L).last._2 == Seq(20L))
+  }
+
   test("mapGroupsWithState user sessions accumulate per-key state across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
