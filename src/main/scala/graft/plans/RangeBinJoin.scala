@@ -61,9 +61,8 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
   private final case class Band(x: Expression, y: Expression, width: Long)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner | Cross, Some(cond), _)
-        if j.resolved && findBand(j, cond).isDefined =>
-      rewrite(j, findBand(j, cond).get)
+    case j @ Join(_, _, Inner | Cross, Some(cond), _) if j.resolved =>
+      findBand(j, cond).map(rewrite(j, _)).getOrElse(j)
   }
 
   /** A positive integral literal (int or long). */

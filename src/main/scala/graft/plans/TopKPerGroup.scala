@@ -79,8 +79,14 @@ final case class TopKExec(
       // better (sort-earlier) row arrives with the heap full
       val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(groupProj(row).copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](ord))
+        // probe with the projection's transient row; copy the key only on
+        // first insert (one allocation per group, not per input row)
+        val key = groupProj(row)
+        val heap = heaps.getOrElse(key, {
+          val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+          heaps.put(key.copy(), h)
+          h
+        })
         if (heap.size < k) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())

@@ -180,9 +180,12 @@ object RelationalQueries {
     * side, and AQE skew-join does this adaptively per-partition; the
     * mechanism — and the correctness argument — is exactly this one.) */
   def q19SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    // salt must COVER 0..R-1: l_linenumber alone is 1..7, which would
+    // leave the bsalt=0 replica dead and spread hot keys over R-1
+    // partitions only — mix in the orderkey so all R buckets are live
     val probe = lineitem(s, d).select(
       col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
-      pmod(col("l_linenumber"), lit(SaltR)).as("salt"))
+      pmod(col("l_orderkey") + col("l_linenumber"), lit(SaltR)).as("salt"))
     val build = orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("bsalt", explode(sequence(lit(0), lit(SaltR - 1))))

@@ -71,17 +71,31 @@ final class RecordTable(tableDir: String) {
 
   private def snapshotsDir = Paths.get(tableDir, "_snapshots")
 
+  /** Snapshot file names, sorted = version order (zero-padded). Stream
+    * closed eagerly (`Files.list` holds a directory FD until closed). */
+  private def snapshotFiles(): Vector[String] =
+    if (!Files.exists(snapshotsDir)) Vector.empty
+    else scala.util.Using.resource(Files.list(snapshotsDir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".json")).toVector.sorted
+    }
+
   /** Append the committed manifest list to the snapshot history — the
     * Iceberg snapshot-log twin (`metadata.json` snapshot list) that makes
     * `readAsOf` possible. Written AFTER the `_manifests.json` rename: the
     * current table state never depends on the history (a crash between the
-    * two loses one history entry, never table consistency). */
+    * two loses one history entry, never table consistency). The schema AT
+    * COMMIT TIME is recorded too, so time travel reproduces the columns of
+    * that version, not today's. Next version comes from the (zero-padded)
+    * file names alone — no per-commit parse of the whole history. */
   private def recordSnapshot(names: Vector[String]): Unit = {
     Files.createDirectories(snapshotsDir)
-    val v = snapshots().lastOption.map(_.version + 1).getOrElse(1L)
+    val v = snapshotFiles().lastOption
+      .map(f => f.stripSuffix(".json").toLong + 1).getOrElse(1L)
     val n = mapper.createObjectNode()
     n.put("version", v)
     n.put("ts", System.currentTimeMillis())
+    currentSchema.foreach(sc => n.put("schema", sc.json))
     val arr = n.putArray("manifests")
     names.foreach(arr.add)
     val tmp = Files.createTempFile(snapshotsDir, ".snap-", ".tmp")
@@ -92,21 +106,21 @@ final class RecordTable(tableDir: String) {
 
   /** Committed snapshots, oldest first (empty for pre-history tables). */
   def snapshots(): Vector[RecordTable.SnapshotInfo] =
-    if (!Files.exists(snapshotsDir)) Vector.empty
-    else
-      Files.list(snapshotsDir).iterator().asScala
-        .map(_.getFileName.toString).filter(_.endsWith(".json")).toVector.sorted
-        .map { f =>
-          val n = mapper.readTree(Files.readString(snapshotsDir.resolve(f)))
-          val ms = (0 until n.get("manifests").size())
-            .map(n.get("manifests").get(_).asText()).toVector
-          RecordTable.SnapshotInfo(n.get("version").asLong(), n.get("ts").asLong(), ms)
-        }
+    snapshotFiles().map { f =>
+      val n = mapper.readTree(Files.readString(snapshotsDir.resolve(f)))
+      val ms = (0 until n.get("manifests").size())
+        .map(n.get("manifests").get(_).asText()).toVector
+      val schema = Option(n.get("schema"))
+        .map(j => DataType.fromJson(j.asText()).asInstanceOf[StructType])
+      RecordTable.SnapshotInfo(n.get("version").asLong(), n.get("ts").asLong(), ms, schema)
+    }
 
   /** Time-travel scan: the table as of snapshot `version` (same pruning and
-    * pushdown as [[read]]). Snapshots referencing data files since retired
-    * by [[compact]] are expired from the history; asking for one fails with
-    * the missing-file list rather than a partial result. */
+    * pushdown as [[read]]), with the SCHEMA that was committed at that
+    * version — columns added later do not bleed into historical reads.
+    * Snapshots referencing data files since retired by [[compact]] are
+    * expired from the history; asking for one fails with the missing-file
+    * list rather than a partial result. */
   def readAsOf(spark: SparkSession, version: Long, startOffset: Long = Long.MinValue): DataFrame = {
     val snap = snapshots().find(_.version == version)
       .getOrElse(throw new IllegalArgumentException(
@@ -120,7 +134,7 @@ final class RecordTable(tableDir: String) {
       .sortBy(_.minOffset)
       .filter(_.maxOffset >= startOffset)
       .map(m => Paths.get(tableDir).resolve(m.file).toString)
-    val schema = currentSchema.getOrElse(RowSchema.rawSchema)
+    val schema = snap.schema.orElse(currentSchema).getOrElse(RowSchema.rawSchema)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
@@ -135,7 +149,13 @@ final class RecordTable(tableDir: String) {
     * `fromVersion = 0` means "from the beginning". This is the
     * incremental-processing primitive (Iceberg's incremental read /
     * Delta's CDF for the append-only case): downstream jobs checkpoint a
-    * version and each run processes only the delta. */
+    * version and each run processes only the delta.
+    *
+    * A [[rollback]] between the two versions breaks append-only: segments
+    * present at `fromVersion` may be GONE at `toVersion`, and an
+    * added-manifests diff would silently omit the removals — so that case
+    * throws instead of returning a wrong delta (re-baseline the consumer
+    * from a full read). */
   def readChanges(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
     val history = snapshots()
     def manifestsOf(v: Long): Vector[String] =
@@ -144,7 +164,13 @@ final class RecordTable(tableDir: String) {
         .getOrElse(throw new IllegalArgumentException(
           s"no snapshot $v (have: ${history.map(_.version).mkString(", ")})"))
     val from = manifestsOf(fromVersion).toSet
-    val added = manifestsOf(toVersion).filterNot(from)
+    val to = manifestsOf(toVersion)
+    val removed = from -- to
+    if (removed.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshots $fromVersion..$toVersion are not append-only (a rollback removed: " +
+          s"${removed.mkString(", ")}); incremental read is undefined — re-baseline from read()")
+    val added = to.filterNot(from)
     val missing = added.filterNot(n => Files.exists(manifestDir.resolve(s"$n.json")))
     if (missing.nonEmpty)
       throw new IllegalStateException(
@@ -164,8 +190,8 @@ final class RecordTable(tableDir: String) {
     * old snapshot's — data files are never touched, so rollback is instant
     * and itself versioned (a new history entry, so rollback can be rolled
     * back). Fails if the target snapshot references compaction-retired
-    * segments. */
-  def rollback(spark: SparkSession, version: Long): Unit = {
+    * segments. Pure metadata — no Spark session involved. */
+  def rollback(version: Long): Unit = {
     val snap = snapshots().find(_.version == version)
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot $version (have: ${snapshots().map(_.version).mkString(", ")})"))
@@ -488,8 +514,11 @@ object BatchReserializer {
 }
 
 object RecordTable {
-  /** One committed table state: which manifests were active at `version`.
-    * The snapshot-log entry of our Iceberg-twin commit protocol
-    * (reference txn: `IcebergRemoteStorageManager.java:113-151`). */
-  final case class SnapshotInfo(version: Long, tsMillis: Long, manifests: Vector[String])
+  /** One committed table state: which manifests (and which schema) were
+    * active at `version`. The snapshot-log entry of our Iceberg-twin
+    * commit protocol (reference txn:
+    * `IcebergRemoteStorageManager.java:113-151`). `schema` is None only
+    * for history written before schemas were recorded. */
+  final case class SnapshotInfo(version: Long, tsMillis: Long,
+      manifests: Vector[String], schema: Option[StructType] = None)
 }

@@ -79,20 +79,28 @@ class TimeTravelSpec extends SparkSpec {
         SegmentToRows.fromSegmentBytes(spark, Seq((0, segment(base, 20)))))
     }
     assert(table.read(spark).count() == 60)
-    table.rollback(spark, 1)
+    table.rollback(1)
     // current state = snapshot 1's 20 rows; history gained version 4
     assert(table.read(spark).count() == 20)
     assert(table.snapshots().map(_.version) == Vector(1L, 2L, 3L, 4L))
     assert(table.snapshots().last.manifests == table.snapshots().head.manifests)
+    // every snapshot carries its committed schema (time travel reads it)
+    assert(table.snapshots().forall(_.schema.isDefined))
     // roll FORWARD again (rollback of the rollback)
-    table.rollback(spark, 3)
+    table.rollback(3)
     assert(table.read(spark).count() == 60)
     // appends after rollback keep committing on top
     table.appendSegment(spark, "seg-60",
       SegmentToRows.fromSegmentBytes(spark, Seq((0, segment(60, 10)))))
     assert(table.read(spark).count() == 70)
-    val e = intercept[IllegalArgumentException](table.rollback(spark, 42))
+    val e = intercept[IllegalArgumentException](table.rollback(42))
     assert(e.getMessage.contains("no snapshot 42"))
+    // incremental reads across a rollback are refused, not silently wrong:
+    // v2 = {seg-0, seg-20} but v4 (the rollback commit) = {seg-0} — B gone
+    val e2 = intercept[IllegalStateException](table.readChanges(spark, 2, 4))
+    assert(e2.getMessage.contains("not append-only"))
+    // while spans with no removals still diff fine (v1 -> v6)
+    assert(table.readChanges(spark, 1, 6).count() == 50)
   }
 
   test("compaction expires snapshots pinned to retired files; post-compact snapshot readable") {
