@@ -66,12 +66,20 @@ final case class TopKExec(
   override def outputPartitioning = child.outputPartitioning
   override def nodeName: String = if (partial) "GraftTopKPartial" else "GraftTopKFinal"
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of groups"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else if (grouping.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(grouping) :: Nil
 
-  protected override def doExecute(): RDD[InternalRow] =
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numGroups = longMetric("numGroups")
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(grouping, child.output)
       val ord = RowOrdering.create(ordering, child.output)
@@ -92,8 +100,10 @@ final case class TopKExec(
           heap.dequeue(); heap.enqueue(row.copy())
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      numGroups += heaps.size
+      heaps.valuesIterator.flatMap { h => numOutputRows += h.size; h.iterator }
     }
+  }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
