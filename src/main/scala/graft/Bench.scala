@@ -69,7 +69,8 @@ object Bench {
     val tShort = tMbps.map { case (k, v) => shortLabel(k) -> v }
     val dShort = dMbps.map { case (k, v) => shortLabel(k) -> v }
     val fShort = fMbps.map { case (k, v) => (if (k.startsWith("full")) "full" else "sub1m") -> v }
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
+    val totalStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec",""" +
       s""""queries":${jmap(results, "%.2f")},"sf":"$sfDir",""" +
       s""""transform_mbps":${jmap(tShort, "%.0f")},"detransform_mbps":${jmap(dShort, "%.0f")},""" +
       s""""fetch_mbps":${jmap(fShort, "%.0f")}}""")

@@ -373,7 +373,12 @@ object RelationalQueries {
     * drifting out of bounds flips a flag and fails rows+hash — the sketch
     * accuracy claim is driver-checked, not just spec-asserted. */
   def a01Sketches(s: SparkSession, d: String): DataFrame = {
-    val sk = a01SketchesRaw(s, d)
+    // pin ONE evaluation of the sketch subtree: it feeds both the rank
+    // counts and the final join, and an un-checkpointed plan would rebuild
+    // the sketches per branch — cost, plus a bound-straddling percentile
+    // could differ between evaluations and flip a flag (same reason
+    // d03From checkpoints the signature scan)
+    val sk = a01SketchesRaw(s, d).localCheckpoint(true)
     val ranks = events(s, d)
       .join(sk.select(col("event_type"), col("p50_value"), col("p95_value")), "event_type")
       .groupBy(col("event_type"))

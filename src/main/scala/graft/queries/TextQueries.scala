@@ -646,12 +646,21 @@ object TextQueries {
     * stratum — the shape that holds at any scale. */
   def t06StratifiedSample(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(expr("md5(CAST(doc_id AS STRING))"), col("doc_id"))
-    documents(s, d)
+    // Scale shape (fixed r3b): a bare per-lang row_number window would put
+    // each whole language stratum in ONE partition — the wall x02's
+    // prefix sum was decomposed to avoid. The top-k operator bounds the
+    // shuffle to SampleK rows per stratum first; the rank window then
+    // runs over ≤ SampleK rows per language, so no partition ever exceeds
+    // the (fixed) sample size regardless of corpus scale.
+    val ranked = documents(s, d)
       .select(col("doc_id"), col("lang"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= SampleK)
+      .withColumn("h", expr("md5(CAST(doc_id AS STRING))"))
+    val top = graft.plans.TopKPerGroup(ranked, Seq("lang"),
+      Seq("h" -> false, "doc_id" -> false), SampleK)
+    top
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select("doc_id", "lang", "rnk")
   }
 
   /** t07: rare-token masking (vocabulary truncation / OOV handling) — the

@@ -95,6 +95,8 @@ object Puffin {
     require(magicAt(payloadStart - 4), "corrupt puffin footer (no footer magic)")
     val root = mapper.readTree(new String(file, payloadStart, payloadSize, StandardCharsets.UTF_8))
     val blobs = Vector.newBuilder[BlobMetadata]
+    require(root.has("blobs") && root.get("blobs").isArray,
+      "corrupt puffin footer (no blobs array)")
     root.get("blobs").forEach { b =>
       val fields = Vector.newBuilder[Int]
       if (b.has("fields")) b.get("fields").forEach(f => fields += f.asInt())
@@ -110,8 +112,16 @@ object Puffin {
     FileMetadata(blobs.result(), props.toMap)
   }
 
-  def readBlob(file: Array[Byte], meta: BlobMetadata): Array[Byte] =
+  /** Blob extraction with explicit bounds checks — offsets come from the
+    * parsed (untrusted) footer JSON, and a silent `.toInt` wrap on a
+    * corrupt 2^32-scale offset would slice the wrong bytes instead of
+    * failing loudly like every other corrupt-file path here. */
+  def readBlob(file: Array[Byte], meta: BlobMetadata): Array[Byte] = {
+    require(meta.offset >= 0 && meta.length >= 0 &&
+      meta.offset + meta.length <= file.length,
+      s"corrupt puffin blob range [${meta.offset}, +${meta.length}) in ${file.length}-byte file")
     java.util.Arrays.copyOfRange(file, meta.offset.toInt, (meta.offset + meta.length).toInt)
+  }
 }
 
 /** The reference's segment-statistics puffin layout: one blob per Kafka

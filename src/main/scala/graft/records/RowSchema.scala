@@ -82,11 +82,16 @@ object SegmentToRows {
     * wedge the stream with "Path does not exist". Only the path string
     * transits the driver. */
   def fromSegmentFile(spark: SparkSession, path: String, partition: Int = 0): DataFrame = {
+    // ship the SESSION's Hadoop conf to the executor — a fresh
+    // Configuration() would drop fs credentials/scheme settings
+    // (spark.hadoop.*, fs.s3a.*, …) and fail on any configured filesystem
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val rows = spark.sparkContext.parallelize(Seq(path), 1).flatMap { p =>
       val hp =
         try new org.apache.hadoop.fs.Path(new java.net.URI(p))
         catch { case _: Exception => new org.apache.hadoop.fs.Path(p) }
-      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = hp.getFileSystem(conf.value)
       val in = fs.open(hp)
       val bytes = try in.readAllBytes() finally in.close()
       KafkaWireCodec.parseSegment(bytes).iterator.flatMap(b =>

@@ -50,13 +50,15 @@ final class GcsStorage(api: GcsApi, chunkSize: Int = 4 * GcsStorage.ChunkQuantum
 
   override def upload(in: InputStream, key: String): Long = {
     val session = api.startResumableUpload(key)
-    val buf = new Array[Byte](chunkSize)
+    // double-buffered peek: two chunk buffers SWAPPED each iteration — no
+    // per-chunk allocation and no re-copy of every byte on the hot path
+    var buf = new Array[Byte](chunkSize)
+    var next = new Array[Byte](chunkSize)
     var offset = 0L
     var filled = fill(in, buf)
     var more = filled == chunkSize
     while (more) {
       // can't know yet whether this is the final chunk: peek one more fill
-      val next = new Array[Byte](chunkSize)
       val nextFilled = fill(in, next)
       if (nextFilled == 0) {
         api.putChunk(session, offset, java.util.Arrays.copyOf(buf, filled), Some(offset + filled))
@@ -64,7 +66,7 @@ final class GcsStorage(api: GcsApi, chunkSize: Int = 4 * GcsStorage.ChunkQuantum
       }
       api.putChunk(session, offset, java.util.Arrays.copyOf(buf, filled), None)
       offset += filled
-      System.arraycopy(next, 0, buf, 0, nextFilled)
+      val t = buf; buf = next; next = t
       filled = nextFilled
       more = filled == chunkSize
     }

@@ -92,10 +92,8 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  private def shuffles(p: String): Int =
-    p.sliding("Exchange".length).count(_ == "Exchange") -
-      p.sliding("BroadcastExchange".length).count(_ == "BroadcastExchange") -
-      p.sliding("ReusedExchange".length).count(_ == "ReusedExchange")
+  // the one shuffle-counting rule, shared with the PLANS.md generator
+  private def shuffles(p: String): Int = graft.tools.PlanAudit.countShuffles(p)
 
   test("r3 scale fixes stay locked: s03 assigns buckets narrowly (no corpus shuffle)") {
     val p = plan(SimilarityQueries.s03AnnLsh(spark, d))
