@@ -119,25 +119,29 @@ object Bench {
     java.util.Arrays.fill(content, content.length / 2, content.length, 7.toByte)
     val key = new Array[Byte](32)
     rnd.nextBytes(key)
-    val grid = for {
+    // Grid labels are stable across rounds; the zstd cells (reference's
+    // wire codec, via Spark's bundled zstd-jni) are additional lanes.
+    val grid = (for {
       chunkKiB <- Seq(100, 1024, 5120)
       comp <- Seq(false, true)
       enc <- Seq(false, true)
-    } yield (chunkKiB, comp, enc)
-    def specOf(chunkKiB: Int, comp: Boolean, enc: Boolean) =
+    } yield (chunkKiB, comp, enc, Transforms.CodecNameLz4)) ++
+      Seq((1024, true, false, Transforms.CodecNameZstd), (1024, true, true, Transforms.CodecNameZstd))
+    def specOf(chunkKiB: Int, comp: Boolean, enc: Boolean, codec: String) =
       TransformSpec(chunkKiB * 1024, comp, if (enc) Some(key) else None,
-        if (enc) Array.fill[Byte](32)(1) else Array.emptyByteArray)
+        if (enc) Array.fill[Byte](32)(1) else Array.emptyByteArray, codec)
     // full-grid warmup pass first: JIT + AES/GHASH intrinsics compile on the
     // first configs otherwise, skewing whichever cell runs first
-    grid.foreach { case (c, co, e) =>
-      val spec = specOf(c, co, e)
+    grid.foreach { case (c, co, e, cod) =>
+      val spec = specOf(c, co, e, cod)
       TransformPipeline.detransformAll(TransformPipeline.transform(content, spec), spec)
     }
     val t = Vector.newBuilder[(String, Double)]
     val d = Vector.newBuilder[(String, Double)]
-    grid.foreach { case (chunkKiB, comp, enc) =>
-      val spec = specOf(chunkKiB, comp, enc)
-      val label = s"chunk${chunkKiB}_comp${if (comp) 1 else 0}_enc${if (enc) 1 else 0}"
+    grid.foreach { case (chunkKiB, comp, enc, codec) =>
+      val spec = specOf(chunkKiB, comp, enc, codec)
+      val codecSuffix = if (codec == Transforms.CodecNameLz4) "" else s"_$codec"
+      val label = s"chunk${chunkKiB}_comp${if (comp) 1 else 0}_enc${if (enc) 1 else 0}$codecSuffix"
       var bestT = Double.MaxValue
       var seg: TransformedSegment = null
       (1 to 3).foreach { _ =>

@@ -51,12 +51,12 @@ final case class SegmentManifest(
     compression: Boolean,
     encryption: Option[EncryptionMetadata],
     /** Self-describing chunk codec (when `compression`): this engine writes
-      * "lz4" (in-repo block codec); the reference writes zstd frames
-      * (`CompressionChunkEnumeration.java:52-62`, zstd-jni unavailable
-      * offline). Declaring it in the manifest makes the interop boundary
-      * explicit — a zstd reader sees "lz4" and can reject cleanly, and a
-      * future zstd codec registers a new tag + name without a layout
-      * change. */
+      * "lz4" by default (in-repo block codec) and, selectably, "zstd" —
+      * raw frames byte-compatible with the reference's write path
+      * (`CompressionChunkEnumeration.java:52-62`, via the zstd-jni that
+      * ships with Spark). Declaring the codec in the manifest makes the
+      * boundary explicit: a reader without a codec sees its name and can
+      * reject cleanly instead of failing mid-detransform. */
     compressionCodec: String = SegmentManifest.CodecLz4Name
 ) {
   def toJson: String = SegmentManifest.toJson(this)
@@ -65,6 +65,8 @@ final case class SegmentManifest(
 object SegmentManifest {
   val Version = "1"
   val CodecLz4Name = "lz4"
+  val CodecZstdName = "zstd"
+  val CodecDeflateName = "deflate"
   val WrapAlgOaepSha256 = "RSA-OAEP-SHA256"
   private val mapper = new ObjectMapper()
   private def b64(b: Array[Byte]): String = Base64.getEncoder.encodeToString(b)

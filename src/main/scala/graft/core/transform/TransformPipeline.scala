@@ -9,7 +9,11 @@ final case class TransformSpec(
     chunkSize: Int,
     compression: Boolean,
     encryptionKey: Option[Array[Byte]],
-    aad: Array[Byte] = Array.emptyByteArray
+    aad: Array[Byte] = Array.emptyByteArray,
+    /** Write-path codec (manifest `compressionCodec` name). The read path
+      * ignores it — compressed chunks are self-describing (tag byte / zstd
+      * frame magic, [[Transforms.decompress]]). */
+    codec: String = Transforms.CodecNameLz4
 ) {
   def identity: Boolean = !compression && encryptionKey.isEmpty
 }
@@ -41,7 +45,7 @@ object TransformPipeline {
 
   def transformChunk(chunk: Array[Byte], spec: TransformSpec): Array[Byte] = {
     var c = chunk
-    if (spec.compression) c = Transforms.compress(c)
+    if (spec.compression) c = Transforms.compressWith(c, spec.codec)
     spec.encryptionKey.foreach { key => c = Transforms.encrypt(c, key, spec.aad) }
     c
   }

@@ -7,6 +7,8 @@ import javax.crypto.Cipher
 import javax.crypto.spec.{GCMParameterSpec, SecretKeySpec}
 import java.security.SecureRandom
 
+import com.github.luben.zstd.{Zstd, ZstdCompressCtx}
+
 /** Write-path / read-path chunk transforms, as idiomatic Scala `Iterator`
   * pipelines (the reference composes Java `Enumeration` decorators —
   * `core/.../transform/..ChunkEnumeration.java`). Each stage is a pure
@@ -57,20 +59,75 @@ object Transforms {
   }
 
   // --- Compression (T2 / R7) ------------------------------------------------
-  // The reference uses zstd-jni (`CompressionChunkEnumeration.java:26-63`).
-  // zstd is not resolvable offline; the codec is pluggable with the same
-  // contract: per-chunk independent compression, self-describing content
-  // size (int32 prefix, the way zstd embeds it via
-  // `Zstd.getFrameContentSize`), plus a codec tag byte. Default codec is
-  // the in-repo LZ4 block implementation ([[Lz4]]) — zlib caps the write
-  // path near ~80 MB/s at any level, the wrong speed class for a
-  // throughput-bound, rate-limited tiering path; Deflate stays readable
-  // and selectable for ratio-sensitive cold data.
+  // The reference uses zstd-jni (`CompressionChunkEnumeration.java:26-63`);
+  // the same zstd-jni ships with Spark's jars, so "zstd" below is WIRE-
+  // COMPATIBLE with reference-written chunks: a raw zstd frame, content size
+  // embedded in the frame header (no graft prefix), discriminated on read by
+  // the zstd magic number. The in-repo codecs (LZ4 block, Deflate) keep the
+  // graft layout: int32 content-size prefix + codec tag byte. Default codec
+  // is LZ4 — zlib caps the write path near ~80 MB/s at any level, the wrong
+  // speed class for a throughput-bound, rate-limited tiering path; Deflate
+  // stays readable and selectable for ratio-sensitive cold data; zstd is
+  // selectable for interop and near-LZ4 speed at better ratios.
 
   private final val CodecDeflate: Byte = 0
   private final val CodecLz4: Byte = 1
 
+  /** Manifest codec names (`SegmentManifest.compressionCodec`). */
+  final val CodecNameLz4 = "lz4"
+  final val CodecNameDeflate = "deflate"
+  final val CodecNameZstd = "zstd"
+
+  /** First 4 bytes of every zstd frame (RFC 8878 §3.1.1, little-endian magic
+    * 0xFD2FB528). A graft-prefixed chunk starting with these bytes would
+    * declare a 0x28B52FFD-byte (651 MiB) content size — far beyond any real
+    * chunk; [[compress]]/[[compressDeflate]] still reject that one aliasing
+    * size outright so the discrimination is exact, not probabilistic. */
+  private final val ZstdMagicAliasSize = 0x28B52FFD
+  private def isZstdFrame(c: Array[Byte]): Boolean =
+    c.length >= 4 && c(0) == 0x28.toByte && c(1) == 0xB5.toByte &&
+      c(2) == 0x2F.toByte && c(3) == 0xFD.toByte
+
+  private def requireUnambiguousSize(n: Int): Unit =
+    require(n != ZstdMagicAliasSize,
+      s"chunk content size $n aliases the zstd frame magic; " +
+        "use the zstd codec (or a different chunk size) for this payload")
+
+  /** Dispatch by manifest codec name (write path). The read path needs no
+    * codec argument: [[decompress]] is self-describing via tag byte / zstd
+    * magic. */
+  def compressWith(chunk: Array[Byte], codec: String): Array[Byte] = codec match {
+    case CodecNameLz4 => compress(chunk)
+    case CodecNameZstd => compressZstd(chunk)
+    case CodecNameDeflate => compressDeflate(chunk)
+    case other => throw new IllegalArgumentException(
+      s"unknown compression codec '$other' (expected $CodecNameLz4, $CodecNameZstd or $CodecNameDeflate)")
+  }
+
+  /** Per-thread context reuse — same rationale as [[cipherPool]]: the context
+    * allocates window + workspace buffers once; `compress` emits one complete
+    * frame per call, so reuse across chunks is safe and keeps small-chunk
+    * throughput off the allocator. The reference allocates per chunk
+    * (`CompressionChunkEnumeration.java:52`) — output bytes are identical. */
+  private val zstdCtxPool: ThreadLocal[ZstdCompressCtx] = ThreadLocal.withInitial { () =>
+    val ctx = new ZstdCompressCtx()
+    // Embed the content size in the frame header so the read side can
+    // allocate exactly (ref `CompressionChunkEnumeration.java:60`).
+    ctx.setContentSize(true)
+    ctx
+  }
+
+  /** Raw zstd frame, byte-compatible with the reference's write path
+    * (`CompressionChunkEnumeration.java:50-63`): pledged source size +
+    * embedded content size, default compression level. */
+  def compressZstd(chunk: Array[Byte]): Array[Byte] = {
+    val ctx = zstdCtxPool.get()
+    ctx.setPledgedSrcSize(chunk.length.toLong)
+    ctx.compress(chunk)
+  }
+
   def compress(chunk: Array[Byte]): Array[Byte] = {
+    requireUnambiguousSize(chunk.length)
     val packed = Lz4.compress(chunk)
     val out = new Array[Byte](5 + packed.length)
     ByteBuffer.wrap(out).putInt(chunk.length).put(CodecLz4)
@@ -79,6 +136,7 @@ object Transforms {
   }
 
   def compressDeflate(chunk: Array[Byte], level: Int = Deflater.BEST_SPEED): Array[Byte] = {
+    requireUnambiguousSize(chunk.length)
     val deflater = new Deflater(level)
     try {
       deflater.setInput(chunk)
@@ -95,6 +153,15 @@ object Transforms {
   }
 
   def decompress(chunk: Array[Byte]): Array[Byte] = {
+    if (isZstdFrame(chunk)) {
+      // Reference-written (or our zstd-codec) chunk: content size from the
+      // frame header, exact-size one-shot decompress — the same read the
+      // reference does (`DecompressionChunkEnumeration.java:42-46`).
+      val declared = Zstd.decompressedSize(chunk)
+      require(declared >= 0 && declared <= Int.MaxValue,
+        s"invalid zstd decompressed size: $declared")
+      return Zstd.decompress(chunk, declared.toInt)
+    }
     val contentSize = ByteBuffer.wrap(chunk, 0, 4).getInt()
     chunk(4) match {
       case CodecLz4 => Lz4.decompress(chunk, 5, chunk.length, contentSize)

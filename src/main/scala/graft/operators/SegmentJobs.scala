@@ -22,7 +22,10 @@ final case class SegmentJobConfig(
     keyId: String = "k1",
     rsaPublicKey: Array[Byte] = Array.emptyByteArray,
     rsaPrivateKey: Array[Byte] = Array.emptyByteArray,
-    uploadRateBytesPerSec: Option[Long] = None
+    uploadRateBytesPerSec: Option[Long] = None,
+    /** Chunk codec for the write path: "lz4" (default), "zstd" (raw frames,
+      * byte-compatible with reference-written segments) or "deflate". */
+    compressionCodec: String = SegmentManifest.CodecLz4Name
 ) {
   def keyPair: java.security.KeyPair = RsaKeyRing.deserialize(rsaPublicKey, rsaPrivateKey)
   def ring: RsaKeyRing = new RsaKeyRing(Map(keyId -> keyPair), keyId)
@@ -113,7 +116,8 @@ object SegmentUploadJob {
           val (kid, wrapped) = ring.wrapDataKey(k.dataKey)
           (Some(k), Some(EncryptionMetadata(kid, wrapped, k.aad)))
         } else (None, None)
-      val spec = TransformSpec(cfg.chunkSize, doCompress, dk.map(_.dataKey), dk.map(_.aad).getOrElse(Array.emptyByteArray))
+      val spec = TransformSpec(cfg.chunkSize, doCompress, dk.map(_.dataKey),
+        dk.map(_.aad).getOrElse(Array.emptyByteArray), cfg.compressionCodec)
       val seg = TransformPipeline.transform(payload, spec)
       val body = seg.concatenated
       limiter.foreach(_.acquire(body.length.toLong))
@@ -124,7 +128,8 @@ object SegmentUploadJob {
           dk.map(_.aad).getOrElse(Array.emptyByteArray)))
       // Manifest last = commit point.
       storage.uploadBytes(
-        SegmentManifest(seg.index, segmentIndexes, doCompress, encMeta).toJson.getBytes("UTF-8"), manifestKey)
+        SegmentManifest(seg.index, segmentIndexes, doCompress, encMeta,
+          cfg.compressionCodec).toJson.getBytes("UTF-8"), manifestKey)
       UploadResult(segKey, payload.length.toLong, seg.index.transformedFileSize,
         seg.index.chunkCount, doCompress, cfg.encryption, success = true, error = "")
     } catch {
@@ -177,8 +182,10 @@ object SegmentFetchJob {
       storage.fetchBytes(s"$segKey.${ObjectKey.Suffix.Manifest.value}"), "UTF-8"))
 
   /** Codec names this engine can decompress (manifest `compressionCodec`);
-    * "deflate" covers both tagged and legacy layouts. */
-  private val ReadableCodecs = Set(SegmentManifest.CodecLz4Name, "deflate")
+    * "deflate" covers both tagged and legacy layouts; "zstd" covers raw
+    * frames, including segments written by the reference. */
+  private val ReadableCodecs = Set(
+    SegmentManifest.CodecLz4Name, SegmentManifest.CodecDeflateName, SegmentManifest.CodecZstdName)
 
   private def specOf(m: SegmentManifest, cfg: SegmentJobConfig): TransformSpec = {
     // The self-describing fields exist precisely so incompatibility fails
@@ -197,7 +204,7 @@ object SegmentFetchJob {
     }
     val key = m.encryption.map(e => cfg.ring.unwrapDataKey(e.keyId, e.wrappedDataKey))
     TransformSpec(m.chunkIndex.originalChunkSize, m.compression, key,
-      m.encryption.map(_.aad).getOrElse(Array.emptyByteArray))
+      m.encryption.map(_.aad).getOrElse(Array.emptyByteArray), m.compressionCodec)
   }
 
   /** Serving-path manifest cache mirroring the reference's

@@ -127,14 +127,37 @@ class SegmentJobsSpec extends SparkSpec {
       SegmentFetchJob.fetchRange(cfg, s"$segKey-wrap", BytesRange(0, 10)))
     assert(e2.getMessage.contains("incompatible key-wrap algorithm"))
 
-    // foreign codec (the reference's zstd)
-    val badCodec = m.copy(compressionCodec = "zstd")
+    // foreign codec this engine genuinely has no decoder for ("zstd" used to
+    // live here — it is now a first-class readable codec, tested below)
+    val badCodec = m.copy(compressionCodec = "snappy")
     storage.uploadBytes(badCodec.toJson.getBytes("UTF-8"), s"$segKey-z.rsm-manifest")
     storage.uploadBytes(storage.fetchBytes(s"$segKey.log"), s"$segKey-z.log")
     if (badCodec.compression) {
       val e3 = intercept[IllegalStateException](
         SegmentFetchJob.fetchRange(cfg, s"$segKey-z", BytesRange(0, 10)))
       assert(e3.getMessage.contains("incompatible compression codec"))
+    }
+  }
+
+  test("zstd-codec segments upload and serve ranged fetches byte-identically") {
+    val in = tmpDir("graft-zstd-in")
+    val store = tmpDir("graft-zstd-store")
+    val segs = makeSegments(in, 2, 30000)
+    val cfg = SegmentJobConfig.withGeneratedKeys(store)
+      .copy(chunkSize = 4096, compressionCodec = graft.core.SegmentManifest.CodecZstdName)
+    assert(SegmentUploadJob.run(spark, in, cfg).collect().forall(_.getAs[Boolean]("success")))
+    val storage = FileSystemStorage(store)
+    // Compressed manifests must declare zstd (seg 0 is the compressible one).
+    val codecs = storage.listKeys("").filter(_.endsWith(".rsm-manifest")).map { k =>
+      graft.core.SegmentManifest.fromJson(new String(storage.fetchBytes(k), "UTF-8"))
+    }.filter(_.compression).map(_.compressionCodec)
+    assert(codecs.nonEmpty && codecs.forall(_ == graft.core.SegmentManifest.CodecZstdName))
+    // Byte-identity against the original payloads across range shapes.
+    segs.foreach { case (segKey, payload) =>
+      val full = SegmentFetchJob.fetchRange(cfg, segKey, BytesRange(0, payload.length - 1L))
+      assert(java.util.Arrays.equals(full, payload))
+      val mid = SegmentFetchJob.fetchRange(cfg, segKey, BytesRange(1000, 9999))
+      assert(java.util.Arrays.equals(mid, java.util.Arrays.copyOfRange(payload, 1000, 10000)))
     }
   }
 
