@@ -32,11 +32,14 @@ final case class SegmentIndexes(
 /** Encryption metadata carried in the manifest: which RSA key wrapped the
   * AES data key, the wrapped key, and the AAD (ref
   * `manifest/serde/EncryptionSerdeModule.java`, `DataKeySerializer.java`).
-  * `wrapAlg` makes the key-wrap deviation from the reference
-  * machine-detectable: this engine wraps with JDK RSA-OAEP-SHA256, the
-  * reference with OAEP-SHA3-512 (`RsaEncryptionProvider.java:42`, needs
-  * BouncyCastle) — a reader seeing an unexpected `wrapAlg` can fail with
-  * "incompatible wrap algorithm" instead of a bad-padding error. */
+  * `wrapAlg` selects the unwrap cipher per segment: since r3 this engine
+  * wraps with the reference's OAEP-SHA3-512 parameters
+  * (`RsaEncryptionProvider.java:42`, replicated via JDK OAEPParameterSpec)
+  * and still unwraps the pre-r3 RSA-OAEP-SHA256 blobs; a reader seeing an
+  * unknown `wrapAlg` fails with "incompatible wrap algorithm" instead of a
+  * bad-padding error. The case-class default stays SHA256 so that manifests
+  * parsed from pre-r3 JSON (no field) claim what those builds wrapped with;
+  * write paths pass the ring's algorithm explicitly. */
 final case class EncryptionMetadata(
     keyId: String, wrappedDataKey: Array[Byte], aad: Array[Byte],
     wrapAlg: String = SegmentManifest.WrapAlgOaepSha256)
@@ -67,7 +70,8 @@ object SegmentManifest {
   val CodecLz4Name = "lz4"
   val CodecZstdName = "zstd"
   val CodecDeflateName = "deflate"
-  val WrapAlgOaepSha256 = "RSA-OAEP-SHA256"
+  val WrapAlgOaepSha256: String = security.RsaKeyRing.WrapAlgSha256
+  val WrapAlgOaepSha3512: String = security.RsaKeyRing.WrapAlgSha3512
   private val mapper = new ObjectMapper()
   private def b64(b: Array[Byte]): String = Base64.getEncoder.encodeToString(b)
   private def unb64(s: String): Array[Byte] = Base64.getDecoder.decode(s)

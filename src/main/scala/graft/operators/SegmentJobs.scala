@@ -25,10 +25,13 @@ final case class SegmentJobConfig(
     uploadRateBytesPerSec: Option[Long] = None,
     /** Chunk codec for the write path: "lz4" (default), "zstd" (raw frames,
       * byte-compatible with reference-written segments) or "deflate". */
-    compressionCodec: String = SegmentManifest.CodecLz4Name
+    compressionCodec: String = SegmentManifest.CodecLz4Name,
+    /** Key-wrap algorithm for NEW segments (reads follow each manifest's
+      * declared `wrapAlg`): the reference's SHA3-512 by default. */
+    wrapAlg: String = SegmentManifest.WrapAlgOaepSha3512
 ) {
   def keyPair: java.security.KeyPair = RsaKeyRing.deserialize(rsaPublicKey, rsaPrivateKey)
-  def ring: RsaKeyRing = new RsaKeyRing(Map(keyId -> keyPair), keyId)
+  def ring: RsaKeyRing = new RsaKeyRing(Map(keyId -> keyPair), keyId, wrapAlg)
 }
 
 object SegmentJobConfig {
@@ -114,7 +117,7 @@ object SegmentUploadJob {
         if (cfg.encryption) {
           val k = AesEncryptionProvider.createDataKeyAndAAD()
           val (kid, wrapped) = ring.wrapDataKey(k.dataKey)
-          (Some(k), Some(EncryptionMetadata(kid, wrapped, k.aad)))
+          (Some(k), Some(EncryptionMetadata(kid, wrapped, k.aad, ring.wrapAlg)))
         } else (None, None)
       val spec = TransformSpec(cfg.chunkSize, doCompress, dk.map(_.dataKey),
         dk.map(_.aad).getOrElse(Array.emptyByteArray), cfg.compressionCodec)
@@ -187,6 +190,11 @@ object SegmentFetchJob {
   private val ReadableCodecs = Set(
     SegmentManifest.CodecLz4Name, SegmentManifest.CodecDeflateName, SegmentManifest.CodecZstdName)
 
+  /** Key-wrap algorithms this engine can unwrap: the reference's SHA3-512
+    * parameters (default since r3) plus pre-r3 SHA-256 blobs. */
+  private val ReadableWrapAlgs = Set(
+    SegmentManifest.WrapAlgOaepSha3512, SegmentManifest.WrapAlgOaepSha256)
+
   private def specOf(m: SegmentManifest, cfg: SegmentJobConfig): TransformSpec = {
     // The self-describing fields exist precisely so incompatibility fails
     // HERE with a clear message instead of as a BadPaddingException /
@@ -197,12 +205,12 @@ object SegmentFetchJob {
         s"incompatible compression codec '${m.compressionCodec}' " +
           s"(this engine reads: ${ReadableCodecs.mkString(", ")})")
     m.encryption.foreach { e =>
-      if (e.wrapAlg != SegmentManifest.WrapAlgOaepSha256)
+      if (!ReadableWrapAlgs.contains(e.wrapAlg))
         throw new IllegalStateException(
           s"incompatible key-wrap algorithm '${e.wrapAlg}' " +
-            s"(this engine unwraps: ${SegmentManifest.WrapAlgOaepSha256})")
+            s"(this engine unwraps: ${ReadableWrapAlgs.mkString(", ")})")
     }
-    val key = m.encryption.map(e => cfg.ring.unwrapDataKey(e.keyId, e.wrappedDataKey))
+    val key = m.encryption.map(e => cfg.ring.unwrapDataKey(e.keyId, e.wrappedDataKey, e.wrapAlg))
     TransformSpec(m.chunkIndex.originalChunkSize, m.compression, key,
       m.encryption.map(_.aad).getOrElse(Array.emptyByteArray), m.compressionCodec)
   }

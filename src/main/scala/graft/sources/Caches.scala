@@ -152,9 +152,9 @@ final class CachingChunkFetcher(
     manifests.computeIfAbsent(segKey, k => SegmentFetchJob.loadManifest(storage, k))
 
   private def spec(m: SegmentManifest): TransformSpec = {
-    val key = m.encryption.map(e => cfg.ring.unwrapDataKey(e.keyId, e.wrappedDataKey))
+    val key = m.encryption.map(e => cfg.ring.unwrapDataKey(e.keyId, e.wrappedDataKey, e.wrapAlg))
     TransformSpec(m.chunkIndex.originalChunkSize, m.compression, key,
-      m.encryption.map(_.aad).getOrElse(Array.emptyByteArray))
+      m.encryption.map(_.aad).getOrElse(Array.emptyByteArray), m.compressionCodec)
   }
 
   /** Detransformed chunk bytes, cached; triggers prefetch of the following

@@ -35,6 +35,47 @@ class CryptoSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ring.unwrapDataKey("missing", Array[Byte](1)))
   }
 
+  test("default wrap is the reference's OAEP-SHA3-512; pre-r3 SHA-256 blobs still unwrap") {
+    val gen = java.security.KeyPairGenerator.getInstance("RSA")
+    gen.initialize(2048)
+    val kp = gen.generateKeyPair()
+    val dk = AesEncryptionProvider.createDataKeyAndAAD()
+
+    val ring = new RsaKeyRing(Map("k" -> kp), "k")
+    assert(ring.wrapAlg == RsaKeyRing.WrapAlgSha3512)
+    val (_, w3) = ring.wrapDataKey(dk.dataKey)
+    assert(ring.unwrapDataKey("k", w3).toSeq == dk.dataKey.toSeq)
+
+    // A blob wrapped by a pre-r3 build (SHA-256 ring) unwraps on the new
+    // default ring when the manifest declares its algorithm:
+    val oldRing = new RsaKeyRing(Map("k" -> kp), "k", RsaKeyRing.WrapAlgSha256)
+    val (_, w2) = oldRing.wrapDataKey(dk.dataKey)
+    assert(ring.unwrapDataKey("k", w2, RsaKeyRing.WrapAlgSha256).toSeq == dk.dataKey.toSeq)
+
+    // Mismatched algorithm must not silently succeed.
+    intercept[Exception](ring.unwrapDataKey("k", w2, RsaKeyRing.WrapAlgSha3512))
+    intercept[IllegalArgumentException](ring.unwrapDataKey("k", w3, "RSA-OAEP-SHA1"))
+  }
+
+  test("SHA3-512 wrap matches the reference's OAEP parameters (digest and MGF1)") {
+    // The reference's BC transformation "RSA/NONE/OAEPWithSHA3-512AndMGF1
+    // Padding" uses SHA3-512 for BOTH the OAEP digest and the MGF1 mask.
+    // Decrypting our blob with an explicitly-parameterized cipher pins that
+    // our wrap used exactly those parameters.
+    val gen = java.security.KeyPairGenerator.getInstance("RSA")
+    gen.initialize(2048)
+    val kp = gen.generateKeyPair()
+    val dk = AesEncryptionProvider.createDataKeyAndAAD()
+    val ring = new RsaKeyRing(Map("k" -> kp), "k")
+    val (_, wrapped) = ring.wrapDataKey(dk.dataKey)
+    val c = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPPadding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE, kp.getPrivate,
+      new javax.crypto.spec.OAEPParameterSpec("SHA3-512", "MGF1",
+        new java.security.spec.MGF1ParameterSpec("SHA3-512"),
+        javax.crypto.spec.PSource.PSpecified.DEFAULT))
+    assert(c.doFinal(wrapped).toSeq == dk.dataKey.toSeq)
+  }
+
   test("rsa keypair serialization round trip") {
     val ring = RsaKeyRing.generate("k1")
     val dk = AesEncryptionProvider.createDataKeyAndAAD()

@@ -117,10 +117,11 @@ class SegmentJobsSpec extends SparkSpec {
     val segKey = manifestKey.stripSuffix(".rsm-manifest")
     val m = SegmentManifest.fromJson(new String(storage.fetchBytes(manifestKey), "UTF-8"))
 
-    // foreign key-wrap algorithm (the reference's SHA3-512) — exercised
-    // via a copied segment under a fresh key (the manifest cache keys by
-    // segment, so the original's cached spec is not consulted)
-    val badWrap = m.copy(encryption = m.encryption.map(_.copy(wrapAlg = "RSA-OAEP-SHA3-512")))
+    // foreign key-wrap algorithm (SHA3-512 — the reference's — is readable
+    // since r3, so use a genuinely unknown one) — exercised via a copied
+    // segment under a fresh key (the manifest cache keys by segment, so the
+    // original's cached spec is not consulted)
+    val badWrap = m.copy(encryption = m.encryption.map(_.copy(wrapAlg = "RSA-OAEP-SHA1")))
     storage.uploadBytes(badWrap.toJson.getBytes("UTF-8"), s"$segKey-wrap.rsm-manifest")
     storage.uploadBytes(storage.fetchBytes(s"$segKey.log"), s"$segKey-wrap.log")
     val e2 = intercept[IllegalStateException](
@@ -158,6 +159,21 @@ class SegmentJobsSpec extends SparkSpec {
       assert(java.util.Arrays.equals(full, payload))
       val mid = SegmentFetchJob.fetchRange(cfg, segKey, BytesRange(1000, 9999))
       assert(java.util.Arrays.equals(mid, java.util.Arrays.copyOfRange(payload, 1000, 10000)))
+    }
+  }
+
+  test("segments wrapped with the pre-r3 SHA-256 algorithm still serve fetches") {
+    val in = tmpDir("graft-oldwrap-in")
+    val store = tmpDir("graft-oldwrap-store")
+    val segs = makeSegments(in, 1, 25000)
+    val base = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 4096)
+    val oldCfg = base.copy(wrapAlg = graft.core.SegmentManifest.WrapAlgOaepSha256)
+    assert(SegmentUploadJob.run(spark, in, oldCfg).collect().forall(_.getAs[Boolean]("success")))
+    // Read back with a DEFAULT-config (SHA3-512-wrapping) engine holding the
+    // same keys: the manifest's declared wrapAlg must drive the unwrap.
+    segs.foreach { case (segKey, payload) =>
+      val full = SegmentFetchJob.fetchRange(base, segKey, BytesRange(0, payload.length - 1L))
+      assert(java.util.Arrays.equals(full, payload))
     }
   }
 
