@@ -72,6 +72,11 @@ object SegmentManifest {
   val CodecDeflateName = "deflate"
   val WrapAlgOaepSha256: String = security.RsaKeyRing.WrapAlgSha256
   val WrapAlgOaepSha3512: String = security.RsaKeyRing.WrapAlgSha3512
+
+  /** Bound on a decoded `transformedChunks` blob — the reference's
+    * deserializer guard (`TransformedChunksDeserializer.java:33`, 10 MiB —
+    * a zstd-bomb backstop for untrusted manifests). */
+  val MaxTransformedChunksBytes: Long = 10L * 1024 * 1024
   private val mapper = new ObjectMapper()
   private def b64(b: Array[Byte]): String = Base64.getEncoder.encodeToString(b)
   private def unb64(s: String): Array[Byte] = Base64.getDecoder.decode(s)
@@ -135,10 +140,24 @@ object SegmentManifest {
           ci.get("transformedChunkSize").asInt(),
           ci.get("finalTransformedChunkSize").asInt())
       case "variable" =>
+        // Reference manifests zstd-compress the binary-codec bytes before
+        // base64 (`index/serde/TransformedChunksSerializer.java:33-52`); we
+        // store them raw. The zstd frame magic discriminates: our codec's
+        // first 4 bytes are the chunk count, which never plausibly equals
+        // 0x28B52FFD (683M chunks).
+        val raw = unb64(ci.get("transformedChunks").asText())
+        val codecBytes =
+          if (raw.length >= 4 && raw(0) == 0x28.toByte && raw(1) == 0xB5.toByte &&
+              raw(2) == 0x2F.toByte && raw(3) == 0xFD.toByte) {
+            val sz = com.github.luben.zstd.Zstd.decompressedSize(raw)
+            require(sz >= 0 && sz <= MaxTransformedChunksBytes,
+              s"invalid transformedChunks decompressed size $sz")
+            com.github.luben.zstd.Zstd.decompress(raw, sz.toInt)
+          } else raw
         VariableSizeChunkIndex(
           ci.get("originalChunkSize").asInt(),
           ci.get("originalFileSize").asInt(),
-          ChunkSizesBinaryCodec.decode(unb64(ci.get("transformedChunks").asText())))
+          ChunkSizesBinaryCodec.decode(codecBytes))
       case other => throw new IllegalArgumentException(s"unknown chunk index type $other")
     }
     def idx(n: JsonNode): SegmentIndex = SegmentIndex(n.get("position").asInt(), n.get("size").asInt())
@@ -148,13 +167,32 @@ object SegmentManifest {
         idx(si.get("leaderEpoch")),
         Option(si.get("transaction")).filter(!_.isNull).map(idx))
     }
+    // Reference manifests carry `remoteLogSegmentMetadata`
+    // (`SegmentManifestV1.java:88`) and ours never do — the layout
+    // discriminator for the two defaults below.
+    val isReference = root.has("remoteLogSegmentMetadata")
     val encryption = Option(root.get("encryption")).filter(!_.isNull).map { e =>
-      EncryptionMetadata(
-        e.get("keyId").asText(), unb64(e.get("dataKey").asText()), unb64(e.get("aad").asText()),
-        // absent in pre-r3 manifests -> this engine's only historical alg
-        Option(e.get("wrapAlg")).filter(!_.isNull).map(_.asText()).getOrElse(WrapAlgOaepSha256))
+      if (e.has("keyId"))
+        EncryptionMetadata(
+          e.get("keyId").asText(), unb64(e.get("dataKey").asText()), unb64(e.get("aad").asText()),
+          // absent in pre-r3 manifests -> this engine's only historical alg
+          Option(e.get("wrapAlg")).filter(!_.isNull).map(_.asText()).getOrElse(WrapAlgOaepSha256))
+      else {
+        // Reference layout: dataKey = "<keyEncryptionKeyId>:<base64 wrapped>"
+        // (`security/EncryptedDataKey.java:58-60`), wrapped with
+        // OAEP-SHA3-512 (`RsaEncryptionProvider.java:42`).
+        val s = Option(e.get("dataKey")).filter(!_.isNull).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException(
+            "encryption metadata has neither keyId nor dataKey (stripped manifest?)"))
+        val colon = s.indexOf(':')
+        require(colon > 0 && colon == s.lastIndexOf(':'), s"malformed encrypted data key: $s")
+        EncryptionMetadata(s.substring(0, colon), unb64(s.substring(colon + 1)),
+          unb64(e.get("aad").asText()), WrapAlgOaepSha3512)
+      }
     }
     SegmentManifest(chunkIndex, segmentIndexes, root.get("compression").asBoolean(), encryption,
-      Option(root.get("compressionCodec")).filter(!_.isNull).map(_.asText()).getOrElse(CodecLz4Name))
+      Option(root.get("compressionCodec")).filter(!_.isNull).map(_.asText()).getOrElse(
+        // the reference's only codec is zstd; our pre-r3 manifests were lz4
+        if (isReference) CodecZstdName else CodecLz4Name))
   }
 }
