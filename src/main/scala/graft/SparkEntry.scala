@@ -76,6 +76,11 @@ object SparkEntry {
     "s05_quantize" -> (SimilarityQueries.s05Quantize _),
     "s06_kmeans" -> (SimilarityQueries.s06KMeans _),
     "s07_pq_encode" -> (SimilarityQueries.s07PqEncode _),
+    "b01_bm25" -> (TextQueries.b01Bm25 _),
+    "x03_shuffle_shards" -> (TextQueries.x03ShuffleShards _),
+    "q21_bloom_join" -> (RelationalQueries.q21BloomJoin _),
+    "q22_pivot" -> (RelationalQueries.q22Pivot _),
+    "a02_key_skew" -> (RelationalQueries.a02KeySkew _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -269,6 +274,55 @@ object SparkEntry {
          |SELECT doc_id, lang, n_tokens,
          |       CAST(floor(prev_tokens / ${TextQueries.PackBudget}.0) AS BIGINT) AS bin_id
          |FROM w""".stripMargin,
+    "b01_bm25" -> {
+      val ts = TextQueries.Bm25Terms
+      val tfDefs = ts.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tfi$i"
+      }.mkString(", ")
+      val dfDefs = ts.indices.map(i =>
+        s"SUM(CASE WHEN tfi$i > 0 THEN 1 ELSE 0 END) AS dfi$i").mkString(", ")
+      val dblDefs = ts.indices.flatMap(i => Seq(
+        s"CAST(tfi$i AS DOUBLE) AS tf$i", s"CAST(dfi$i AS DOUBLE) AS df$i")).mkString(", ")
+      val outTf = ts.zipWithIndex.map { case (t, i) =>
+        s"CAST(tf$i AS BIGINT) AS tf_$t"
+      }.mkString(", ")
+      // the scoring fragment is the SAME string the Spark plan runs —
+      // bm25ScoreSql is engine-agnostic, fully parenthesized, ln-free
+      s"""WITH tk AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dli, $tfDefs FROM tk),
+         |st AS (SELECT COUNT(*) AS ni, SUM(dli) AS sdl, $dfDefs FROM tf),
+         |db AS (SELECT doc_id, CAST(dli AS DOUBLE) AS dl, CAST(ni AS DOUBLE) AS n_docs,
+         |         CAST(sdl AS DOUBLE) / CAST(ni AS DOUBLE) AS avgdl, $dblDefs
+         |       FROM tf CROSS JOIN st)
+         |SELECT doc_id, ${TextQueries.bm25ScoreSql} AS bm25, $outTf FROM db""".stripMargin
+    },
+    "x03_shuffle_shards" ->
+      s"""WITH r AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk FROM documents),
+         |s AS (SELECT doc_id, rk,
+         |        CAST((instr('0123456789abcdef', substr(rk, 1, 1)) - 1) % ${TextQueries.ShuffleShards} AS BIGINT) AS shard
+         |      FROM r)
+         |SELECT doc_id, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos
+         |FROM s""".stripMargin,
+    "q22_pivot" -> {
+      val cols = RelationalQueries.PivotEventTypes.map(t =>
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(", ")
+      s"""SELECT CAST(month(ts) AS BIGINT) AS mth, $cols
+         |FROM events GROUP BY 1""".stripMargin
+    },
+    "a02_key_skew" ->
+      s"""WITH c AS (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+         |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c)
+         |SELECT l_orderkey, cnt, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share, n_keys
+         |FROM c CROSS JOIN t
+         |ORDER BY cnt DESC, l_orderkey LIMIT ${RelationalQueries.SkewTopN}""".stripMargin,
+    "q21_bloom_join" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS mth,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
     "t06_stratified_sample" ->
       s"""WITH r AS (SELECT doc_id, lang,
          |             row_number() OVER (PARTITION BY lang

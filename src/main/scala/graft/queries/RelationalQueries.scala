@@ -433,4 +433,87 @@ object RelationalQueries {
             array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
             x => x.getField("event_type")),
           ",").as("trace"))
+
+  /** Pivot column values for q22 — explicit, not discovered: at 100 TB the
+    * implicit `pivot(col)` first runs a DISTINCT job over the fact table to
+    * find the columns; pinning the list keeps the plan static and the
+    * schema deterministic (and Spark skips the discovery scan). */
+  val PivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q22: PIVOT — month × event-type contingency counts. Compiles to ONE
+    * hash aggregate with a conditional count per pinned column (map-side
+    * partials, single exchange of |months|×|types| partial rows): the
+    * reshape every ops dashboard runs, at fact-table scale. Missing combos
+    * are 0, not null, on both engines. */
+  def q22Pivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(month(col("ts")).cast("long").as("mth"))
+      .pivot("event_type", PivotEventTypes)
+      .agg(count(lit(1)))
+      .select(col("mth") +: PivotEventTypes.map(t =>
+        coalesce(col(s"`$t`"), lit(0L)).as(s"n_$t")): _*)
+
+  /** Heavy-key report size for a02. */
+  val SkewTopN = 10
+
+  /** a02: KEY-SKEW PROFILER — the diagnostic that decides WHEN q14/q19's
+    * salting is needed: per-key frequencies of the join key, the
+    * [[SkewTopN]] heaviest keys with their share of all rows, plus the
+    * distinct-key count. At 100 TB this is the cheap pre-flight (partial
+    * aggs → per-key counts → global top-k via TakeOrdered, nothing
+    * corpus-sized moves) that tells you whether the hot key's share ×
+    * rows exceeds one executor's slice — i.e. whether to salt, and with
+    * what replication. Ties break on key asc, so the top-k set is
+    * deterministic; share is one correctly-rounded double division of two
+    * exact longs (oracle-exact). */
+  def a02KeySkew(s: SparkSession, d: String): DataFrame = {
+    val counts = lineitem(s, d).groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
+    counts.orderBy(col("cnt").desc, col("l_orderkey").asc).limit(SkewTopN)
+      .crossJoin(broadcast(tot))
+      .selectExpr("l_orderkey", "cnt",
+        "CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share", "n_keys")
+  }
+
+  /** Sizing for q21's bloom filter: expected distinct build keys at the
+    * bench SF, 1% fpp ⇒ ~240 KB of bits — broadcast-sized by construction
+    * (the filter's size is set by these parameters, not by the data; a
+    * 100 TB run sizes expectedNumItems from table stats, and Spark's own
+    * runtime-filter rewrite caps the same structure at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`). */
+  val BloomExpectedKeys = 200000L
+  val BloomFpp = 0.01
+
+  /** q21: BLOOM-FILTER SEMI-JOIN REDUCTION — the big-big join survival
+    * trick at 100 TB: when a selective filter shrinks the build side, ship
+    * a Bloom filter of its join keys to the probe side and drop
+    * non-matching probe rows BEFORE the join shuffle. False positives are
+    * harmless (the join re-checks equality), so the result is IDENTICAL to
+    * the plain join — the oracle is the unsalted SQL with no bloom at all.
+    * Spark's optimizer does this automatically as "runtime filtering" when
+    * its heuristics fire (`InjectRuntimeFilter`); this operator is the
+    * explicit, always-on form — the pre-filter is plan-visible and
+    * testable, and works when the rewrite's thresholds miss.
+    *
+    * Plan: `stat.bloomFilter` is one map-side-combined aggregate over the
+    * (already filtered) build side producing a fixed-size bit array; the
+    * probe scan applies `mightContain` in its projection — at TPC-H
+    * selectivity (~20% of orders are 1-URGENT) the probe shuffle moves
+    * ~5× fewer rows. */
+  def q21BloomJoin(s: SparkSession, d: String): DataFrame = {
+    val build = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val bloom = build.stat.bloomFilter("o_orderkey", BloomExpectedKeys, BloomFpp)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    val probe = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .filter(mightContain(col("l_orderkey")))
+    probe.join(build, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(month(col("o_orderdate")).cast("long").as("mth"))
+      .agg(
+        out6(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
 }

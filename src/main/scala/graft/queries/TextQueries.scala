@@ -758,4 +758,139 @@ object TextQueries {
       .selectExpr("a", "b", "bitset_jaccard(ab, bb) AS jaccard")
       .filter(col("jaccard") >= JaccardThreshold)
   }
+
+  /** Batch/stream-shared cleaning signals over any frame with
+    * (doc_id, lang, text, …): ONE tokenize projection plus the t02 quality
+    * and t03 language-ID expressions, preserving every other input column
+    * (a streaming source keeps its event-time column for watermarking).
+    * Used by [[graft.streaming.EventStreams.cleanGate]] so the streaming
+    * gate filters with IDENTICAL expressions to the oracle-checked batch
+    * queries — same thresholds, same argmax precedence, same arithmetic.
+    * Stateless and narrow: safe in append-mode streams. */
+  def cleanSignals(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("*", s"$toksExpr AS toks")
+      .selectExpr("*",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct",
+        s"CAST(size(filter(toks, x -> array_contains(array(${sqlList(StopEn)}), x))) AS BIGINT) AS en_hits",
+        s"CAST(size(filter(toks, x -> array_contains(array(${sqlList(StopDe)}), x))) AS BIGINT) AS de_hits",
+        s"CAST(size(filter(toks, x -> array_contains(array(${sqlList(StopFr)}), x))) AS BIGINT) AS fr_hits",
+        s"CAST(size(filter(toks, x -> array_contains(array(${sqlList(StopEs)}), x))) AS BIGINT) AS es_hits")
+      .selectExpr("*",
+        "CAST(n_distinct AS DOUBLE) / n_tokens AS ttr",
+        """CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+          |     WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+          |     WHEN fr_hits >= es_hits THEN 'fr'
+          |     ELSE 'es' END AS pred_lang""".stripMargin)
+      .drop("toks", "n_distinct", "en_hits", "de_hits", "fr_hits", "es_hits")
+
+  /** Query terms for b01 — a fixed, broadcast-sized keyword set (real
+    * deployments parameterize this; the plan shape is identical). */
+  val Bm25Terms = Seq("spark", "table", "hash")
+
+  /** One BM25 term's score over DOUBLE columns (tf$i, df$i, dl, avgdl,
+    * n_docs). The fragment is TEXTUALLY identical in Spark SQL and DuckDB
+    * and fully parenthesized, so both engines execute the same sequence of
+    * correctly-rounded IEEE-754 double operations — bit-identical results
+    * with no transcendental functions involved (see [[b01Bm25]]). k1 = 1.2,
+    * b = 0.75; 2.2 = k1+1, 0.25 = 1−b are written as literals so neither
+    * engine folds them differently. */
+  def bm25TermSql(i: Int): String =
+    s"(((n_docs - df$i) + 0.5) / (df$i + 0.5)) * " +
+      s"((tf$i * 2.2) / (tf$i + (1.2 * (0.25 + ((0.75 * dl) / avgdl)))))"
+
+  /** Sum of the per-term scores in fixed textual order — addition order is
+    * pinned (no aggregation over doubles anywhere), so the result is
+    * deterministic under any partitioning. */
+  def bm25ScoreSql: String =
+    Bm25Terms.indices.map(i => s"(${bm25TermSql(i)})").mkString("(", " + ", ")")
+
+  /** b01: KEYWORD SEARCH scoring — BM25 over the corpus for a fixed query
+    * term set, the retrieval primitive of a training-data pipeline
+    * (curriculum selection, topic filtering, eval-set mining). Uses the
+    * Robertson idf ODDS RATIO (N−df+0.5)/(df+0.5) rather than its
+    * logarithm: every input is integer-derived and every operation is a
+    * correctly-rounded double op, so the DuckDB oracle matches bit-for-bit
+    * — `ln` is transcendental and NOT guaranteed identical across engines'
+    * libm builds, which would make an exact-hash gate flaky. The tf
+    * saturation and length normalization are standard BM25 (k1=1.2,
+    * b=0.75).
+    *
+    * Scale shape: per-term tf is computed with `size(filter(toks, …))`
+    * inside the tokenize projection — NO explode, NO per-token shuffle
+    * (query terms are a constant). Corpus statistics (N, Σdl, df per term)
+    * are ONE map-side-combined aggregate producing a single row, broadcast
+    * back via crossJoin; scoring is then a narrow projection. Total: one
+    * scalar-sized exchange for a corpus of any size — the same two-pass
+    * shape s06/s07 use for model-sized state. */
+  def b01Bm25(s: SparkSession, d: String): DataFrame = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(size(filter(toks, x -> x = '$t')) AS BIGINT) AS tfi$i"
+    }
+    val tf = documents(s, d)
+      .selectExpr("doc_id", s"$toksExpr AS toks")
+      .selectExpr("doc_id" +: "CAST(size(toks) AS BIGINT) AS dli" +: tfCols: _*)
+    // corpus stats: all-integer aggregates (exact, order-independent)
+    val dfAggs = Bm25Terms.indices.map(i =>
+      sum(when(col(s"tfi$i") > 0, 1L).otherwise(0L)).as(s"dfi$i"))
+    val stats = tf.agg(
+      count(lit(1)).as("ni"),
+      sum(col("dli")).as("sdl") +: dfAggs: _*)
+    // doubles appear only HERE, in one deterministic projection
+    val doubled = tf.crossJoin(broadcast(stats)).selectExpr(
+      Seq("doc_id",
+        "CAST(dli AS DOUBLE) AS dl",
+        "CAST(ni AS DOUBLE) AS n_docs",
+        "CAST(sdl AS DOUBLE) / CAST(ni AS DOUBLE) AS avgdl") ++
+        Bm25Terms.indices.flatMap(i => Seq(
+          s"CAST(tfi$i AS DOUBLE) AS tf$i",
+          s"CAST(dfi$i AS DOUBLE) AS df$i")): _*)
+    doubled.selectExpr(
+      Seq("doc_id", s"$bm25ScoreSql AS bm25") ++
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(tf$i AS BIGINT) AS tf_$t"
+        }: _*)
+  }
+
+  /** Shard count for x03. 8 keeps the oracle's per-shard windows readable;
+    * a production epoch shuffle sets shards ≈ corpus / target-partition
+    * size — the decomposition below is exact for ANY shard count. */
+  val ShuffleShards = 8
+
+  /** x03: DETERMINISTIC EPOCH SHUFFLE — assign every document a
+    * pseudo-random but reproducible training order: shard + position, the
+    * step that turns a cleaned corpus into the read order of a training
+    * run (same seed ⇒ same order, any cluster size ⇒ same order). The
+    * random key is md5(doc_id); shard is its first hex digit mod
+    * [[ShuffleShards]].
+    *
+    * Physical plan — the same two-level trick as x02's prefix sum: a naive
+    * `row_number() OVER (PARTITION BY shard ORDER BY rk)` puts corpus/8 in
+    * ONE window partition (a wall at 100 TB). Instead the rank is
+    * decomposed by the first TWO hex digits of rk: `sub` = digits(1,2) as
+    * 0..255, which is a PREFIX of the rk sort order, so
+    * rank = (rows in earlier subs of the shard) + (rank within sub).
+    * Within-sub windows hold ~corpus/256 rows (add digits for more
+    * fan-out), and the cross-sub offsets are a ≤shards×256-row aggregate
+    * broadcast back. Output is IDENTICAL to the global window — the oracle
+    * verifies exactly that formulation. */
+  def x03ShuffleShards(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hexDigit(i: Int) = s"(instr('0123456789abcdef', substr(rk, $i, 1)) - 1)"
+    val ranked = documents(s, d)
+      .selectExpr("doc_id", "md5(CAST(doc_id AS STRING)) AS rk")
+      .selectExpr("doc_id", "rk",
+        s"CAST(${hexDigit(1)} % $ShuffleShards AS BIGINT) AS shard",
+        s"(${hexDigit(1)} * 16 + ${hexDigit(2)}) AS sub")
+    val wIn = Window.partitionBy("shard", "sub").orderBy(col("rk"), col("doc_id"))
+    val inSub = ranked.withColumn("r_in", row_number().over(wIn).cast("long"))
+    val wOff = Window.partitionBy("shard").orderBy("sub")
+    val offsets = ranked.groupBy("shard", "sub")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", (sum("n").over(wOff) - col("n")).cast("long"))
+      .select("shard", "sub", "off")
+    inSub.join(broadcast(offsets), Seq("shard", "sub"))
+      .selectExpr("doc_id", "shard", "off + r_in AS pos")
+  }
 }

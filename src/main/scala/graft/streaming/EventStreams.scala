@@ -66,6 +66,31 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming CORPUS-CLEAN gate — the streaming twin of batch p01's
+    * stateless legs plus the stateful dedup leg: documents stream in, and
+    * only those that (a) pass the t02 quality thresholds, (b) have a
+    * language-ID prediction agreeing with their label (t03 argmax), and
+    * (c) are the first occurrence of their content fingerprint within the
+    * watermark, stream out. (a)+(b) reuse the EXACT batch expressions via
+    * [[graft.queries.TextQueries.cleanSignals]] — one tokenize projection,
+    * stateless, narrow; (c) is `dropDuplicatesWithinWatermark`, the only
+    * stateful operator, with state bounded by the watermark delay. This is
+    * the continuous-ingest form of corpus cleaning: a 100 TB/day feed is
+    * gated per micro-batch with per-row work identical to the batch plan
+    * and dedup state that never outgrows the watermark window. (The d07
+    * cluster-keeper leg is inherently cross-corpus and stays batch.) */
+  def cleanGate(docs: DataFrame,
+                minTokens: Long = graft.queries.TextQueries.CleanMinTokens,
+                minTtr: Double = graft.queries.TextQueries.CleanMinTtr,
+                watermarkDelay: String = "1 hour"): DataFrame =
+    graft.queries.TextQueries.cleanSignals(docs)
+      .filter(col("n_tokens") >= minTokens && col("ttr") >= minTtr &&
+        col("pred_lang") === col("lang"))
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .select("doc_id", "lang", "ts", "n_tokens", "ttr")
+
   /** Stream-STREAM interval join with watermarks on both sides: each error
     * event joined to the same user's events in the preceding `window`. The
     * time-range join condition plus the two watermarks is what lets Spark

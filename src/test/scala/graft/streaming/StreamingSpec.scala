@@ -201,6 +201,37 @@ class StreamingSpec extends SparkSpec {
       s"duplicate 'alpha' docs must be dropped within the watermark, got $kept")
   }
 
+  test("streaming clean gate: quality + language + dedup legs filter across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "lang", "text", "ts_s")
+      .selectExpr("doc_id", "lang", "text", "CAST(ts_s AS TIMESTAMP) AS ts")
+    // thresholds scaled down for hand-sized docs: ≥4 tokens, ttr ≥ 0.5
+    val gated = EventStreams.cleanGate(docs, minTokens = 4L, minTtr = 0.5,
+      watermarkDelay = "10 seconds")
+    val q = gated.writeStream.format("memory").queryName("cleaned")
+      .outputMode("append").start()
+    val good = "the quick value is that big"       // en stopword hits, 6 distinct
+    input.addData(
+      (1L, "en", good, 100L),                      // passes all gates
+      (2L, "en", "a b", 101L),                     // fails minTokens
+      (3L, "en", "x x x x x x", 102L),             // fails ttr (1 distinct / 6)
+      (4L, "de", "the quick value is that big", 103L)) // lang mismatch (en-pred)
+    q.processAllAvailable()
+    input.addData(
+      (5L, "en", good, 104L),                      // dup of doc 1 within watermark
+      (6L, "en", "it is the small table here", 105L)) // passes
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.sql("SELECT doc_id FROM cleaned").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 6L), s"got $kept")
+    // the gate's signal columns carry the batch t02/t03 values
+    val row = spark.sql("SELECT n_tokens, ttr FROM cleaned WHERE doc_id = 1").head
+    assert(row.getLong(0) == 6L && row.getDouble(1) == 1.0)
+  }
+
   test("flatMapGroupsWithState packing: bins accumulate per-language across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
