@@ -76,7 +76,9 @@ object SparkEntry {
     "s05_quantize" -> (SimilarityQueries.s05Quantize _),
     "s06_kmeans" -> (SimilarityQueries.s06KMeans _),
     "s07_pq_encode" -> (SimilarityQueries.s07PqEncode _),
+    "s08_ann_recall" -> (SimilarityQueries.s08AnnRecall _),
     "b01_bm25" -> (TextQueries.b01Bm25 _),
+    "t11_merge_pairs" -> (TextQueries.t11MergePairs _),
     "x03_shuffle_shards" -> (TextQueries.x03ShuffleShards _),
     "q21_bloom_join" -> (RelationalQueries.q21BloomJoin _),
     "q22_pivot" -> (RelationalQueries.q22Pivot _),
@@ -296,6 +298,14 @@ object SparkEntry {
          |       FROM tf CROSS JOIN st)
          |SELECT doc_id, ${TextQueries.bm25ScoreSql} AS bm25, $outTf FROM db""".stripMargin
     },
+    "t11_merge_pairs" ->
+      s"""WITH tk AS (SELECT $dToks AS toks FROM documents),
+         |p AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |                    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+         |      FROM tk WHERE len(toks) >= 2),
+         |c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY 1)
+         |SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
+         |FROM c ORDER BY n DESC, pair LIMIT ${TextQueries.MergePairK}""".stripMargin,
     "x03_shuffle_shards" ->
       s"""WITH r AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk FROM documents),
          |s AS (SELECT doc_id, rk,
@@ -644,6 +654,39 @@ object SparkEntry {
          |      FROM c)
          |SELECT query_id, bucket, vec_id AS neighbor_id, cosine
          |FROM r WHERE rnk = 1""".stripMargin,
+    // s08: the s01 (brute) and s03 (LSH) oracle bodies verbatim, CTEs
+    // renamed b*/l* to compose in one scope; evaluation joins on query_id
+    "s08_ann_recall" ->
+      s"""WITH $dNrmCte,
+         |bq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nrm
+         |       WHERE vec_id < ${SimilarityQueries.QueryCount}),
+         |bc AS (SELECT query_id, vec_id, list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+         |       FROM bq, nrm WHERE vec_id != query_id),
+         |br AS (SELECT query_id, vec_id, cosine,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |       FROM bc),
+         |bs AS (SELECT query_id, list_sort(list(vec_id)) AS brute_ids,
+         |         MAX(CASE WHEN rnk = 1 THEN cosine END) AS best_cos
+         |       FROM br WHERE rnk <= ${SimilarityQueries.TopK} GROUP BY 1),
+         |anch AS (SELECT vec_id - ${SimilarityQueries.AnchorFrom} AS anchor_id, v AS av FROM nrm
+         |         WHERE vec_id >= ${SimilarityQueries.AnchorFrom}
+         |           AND vec_id < ${SimilarityQueries.AnchorFrom + SimilarityQueries.AnchorCount}),
+         |bkt AS (SELECT n.vec_id,
+         |          CAST(SUM(CASE WHEN list_dot_product(n.v, a.av) > 0
+         |                   THEN CAST(pow(2, a.anchor_id) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |        FROM nrm n, anch a GROUP BY n.vec_id),
+         |b2 AS (SELECT nrm.vec_id, nrm.v, nrm.nrm, bkt.bucket FROM nrm JOIN bkt USING (vec_id)),
+         |lq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM b2
+         |       WHERE vec_id < ${SimilarityQueries.QueryCount}),
+         |lc AS (SELECT query_id, lq.bucket, vec_id, list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+         |       FROM lq JOIN b2 ON lq.bucket = b2.bucket AND b2.vec_id != lq.query_id),
+         |lr AS (SELECT query_id, vec_id, cosine,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |       FROM lc)
+         |SELECT query_id, lr.vec_id AS lsh_neighbor,
+         |       CAST(CASE WHEN list_contains(bs.brute_ids, lr.vec_id) THEN 1 ELSE 0 END AS BIGINT) AS hit,
+         |       bs.best_cos - lr.cosine AS cos_gap
+         |FROM bs JOIN lr USING (query_id) WHERE lr.rnk = 1""".stripMargin,
   )
 
   /** DuckDB mirror of [[graft.plans.TokensToHashBitset]]'s bit index: the

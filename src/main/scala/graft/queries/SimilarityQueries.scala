@@ -185,6 +185,37 @@ object SimilarityQueries {
       .selectExpr("query_id", "cell", "vec_id AS neighbor_id", "cosine")
   }
 
+  /** s08: ANN RECALL EVALUATION — the measurement step every approximate
+    * index needs before it replaces the exact search: for each query, did
+    * s03's LSH-bucketed top-1 land inside the brute-force top-[[TopK]]
+    * (hit), and how much cosine similarity did the approximation give up
+    * (cos_gap = brute best − lsh best; 0.0 when the bucket contained the
+    * true nearest neighbor)? This is how bands/probes get tuned: raise
+    * anchors until recall at the target k stops paying for the extra
+    * candidate work.
+    *
+    * Scale shape: the brute leg is evaluated over the (constant-sized,
+    * broadcast) query SAMPLE only — the standard practice: recall is
+    * estimated on a sample because the exact search is exactly what the
+    * index exists to avoid. Both legs reuse the registered queries
+    * verbatim, so the evaluation measures precisely what users run; the
+    * join keys on query_id (tiny). A query alone in its bucket gets no
+    * s03 answer and hence no evaluation row — recall is undefined when
+    * the index returns nothing (both engines agree by inner join).
+    * Exactness: both cosines come from the same codegen'd fold, the gap
+    * is one correctly-rounded subtraction. */
+  def s08AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val bs = s01AnnTopK(s, d).groupBy("query_id").agg(
+      sort_array(collect_list(col("neighbor_id"))).as("brute_ids"),
+      max(when(col("rnk") === 1, col("cosine"))).as("best_cos"))
+    val lsh = s03AnnLsh(s, d).select(col("query_id"),
+      col("neighbor_id").as("lsh_neighbor"), col("cosine").as("lsh_cos"))
+    bs.join(lsh, "query_id")
+      .selectExpr("query_id", "lsh_neighbor",
+        "CAST(CASE WHEN array_contains(brute_ids, lsh_neighbor) THEN 1 ELSE 0 END AS BIGINT) AS hit",
+        "best_cos - lsh_cos AS cos_gap")
+  }
+
   /** s05: int8 embedding quantization — the storage/bandwidth compression
     * step of a 100 TB embedding store (fp32 → uint8 per-vector affine
     * quantization: q_i = round((v_i − min) / (max − min) · 255), 4×

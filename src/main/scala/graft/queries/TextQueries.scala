@@ -853,6 +853,35 @@ object TextQueries {
         }: _*)
   }
 
+  /** Merge-pair report size for t11. */
+  val MergePairK = 20
+
+  /** t11: BPE MERGE-PAIR COUNTING — frequencies of adjacent token pairs
+    * over the corpus, the counting job at the heart of BPE/WordPiece
+    * tokenizer training (each training iteration merges the argmax pair;
+    * this emits the top-[[MergePairK]] with ranks). Distinct from t05's
+    * char-trigram profile: pairs are over the TOKEN stream.
+    *
+    * Scale shape: the pair stream is a narrow explode (positions 1..n−1
+    * via element_at — docs shorter than 2 tokens filtered on both
+    * engines), and the groupBy's map-side partial aggregation means the
+    * exchange moves |distinct pairs per partition| rows, not the raw
+    * position stream. The global top-k is orderBy+limit (TakeOrdered — a
+    * per-partition heap, no global sort), and ranks are a window over the
+    * 20 surviving rows only. */
+  def t11MergePairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n").desc, col("pair").asc)
+    documents(s, d)
+      .selectExpr(s"$toksExpr AS toks")
+      .filter(col("toks").isNotNull && expr("size(toks) >= 2"))
+      .selectExpr("explode(sequence(1, size(toks) - 1)) AS i", "toks")
+      .selectExpr("concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS pair")
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(MergePairK)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
   /** Shard count for x03. 8 keeps the oracle's per-shard windows readable;
     * a production epoch shuffle sets shards ≈ corpus / target-partition
     * size — the decomposition below is exact for ANY shard count. */

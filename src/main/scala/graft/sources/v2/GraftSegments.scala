@@ -1,0 +1,214 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.Row
+
+import graft.core.BytesRange
+import graft.operators.{SegmentFetchJob, SegmentJobConfig}
+import graft.records.{KafkaWireCodec, RowSchema}
+import graft.sources.FileSystemStorage
+
+/** DataSource V2: `spark.read.format("graft-segments")` — tiered segments
+  * (chunked / compressed / encrypted, exactly as [[graft.operators.SegmentUploadJob]]
+  * or the reference writes them) exposed as a FIRST-CLASS Spark table of
+  * Kafka records, no intermediate parquet copy. This is the reference's
+  * analytic fetch path (`RemoteStorageManager.fetchLogSegment` + record
+  * parse) restated as a Catalyst-integrated source:
+  *
+  *  - **Planning**: one [[InputPartition]] per stored segment (manifest
+  *    listing, driver-side key strings only — never bytes). At 100 TB the
+  *    unit of parallelism is the segment, the same unit the storage layer
+  *    writes, so executor fan-out matches data layout with no shuffle.
+  *  - **Partition pruning**: filters on `segment_key` (equality, IN,
+  *    prefix) prune segments at PLAN time — the object-store analogue of
+  *    partition pruning; a `startswith(segment_key, 'topicA-')` scan never
+  *    fetches a byte of other topics. Pruning is conservative: every
+  *    filter is also returned as residual, so Spark re-evaluates exactly
+  *    (same contract as parquet row-group stats).
+  *  - **Column pruning**: the required schema (including NESTED `kafka.*`
+  *    fields) reaches the reader; unrequested fields are never
+  *    materialized into rows (`value_raw` payloads in particular — a
+  *    metadata-only query builds rows of just batch headers).
+  *  - **Reading**: executor-side ranged fetch + detransform through the
+  *    manifest-described pipeline ([[SegmentFetchJob.fetchRange]] — zstd /
+  *    LZ4 / deflate, AES-GCM, RSA-wrapped keys), then the Kafka wire
+  *    parse ([[KafkaWireCodec.parseSegment]], CRC-verified). Decryption
+  *    keys arrive via options (base64 DER) — a deployment would plug a
+  *    KMS here; the wiring is identical.
+  *
+  * Registered via META-INF/services, so the short name works:
+  * {{{
+  *   spark.read.format("graft-segments")
+  *     .option("root", "/tiered/store").option("prefix", "")
+  *     .option("rsaPublicKeyB64", pub).option("rsaPrivateKeyB64", priv)
+  *     .load()
+  * }}}
+  */
+class GraftSegments extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-segments"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftSegments.fullSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new SegmentsTable(GraftSegments.SourceConf.from(new CaseInsensitiveStringMap(properties)))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftSegments {
+  /** `segment_key` + the F6 raw record schema. */
+  val fullSchema: StructType = StructType(
+    StructField("segment_key", StringType, nullable = false) +:
+      RowSchema.rawSchema.fields.toSeq)
+
+  final case class SourceConf(root: String, prefix: String,
+                              rsaPublicKeyB64: String, rsaPrivateKeyB64: String) {
+    def jobConfig: SegmentJobConfig = {
+      val dec = java.util.Base64.getDecoder
+      SegmentJobConfig(
+        storageRoot = root,
+        rsaPublicKey = if (rsaPublicKeyB64.isEmpty) Array.emptyByteArray else dec.decode(rsaPublicKeyB64),
+        rsaPrivateKey = if (rsaPrivateKeyB64.isEmpty) Array.emptyByteArray else dec.decode(rsaPrivateKeyB64))
+    }
+  }
+  object SourceConf {
+    def from(o: CaseInsensitiveStringMap): SourceConf = {
+      val root = o.get("root")
+      require(root != null && root.nonEmpty, "graft-segments requires option 'root'")
+      SourceConf(root, Option(o.get("prefix")).getOrElse(""),
+        Option(o.get("rsaPublicKeyB64")).getOrElse(""),
+        Option(o.get("rsaPrivateKeyB64")).getOrElse(""))
+    }
+  }
+}
+
+final class SegmentsTable(conf: GraftSegments.SourceConf) extends Table with SupportsRead {
+  override def name(): String = s"graft-segments:${conf.root}"
+  override def schema(): StructType = GraftSegments.fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SegmentsScanBuilder(conf)
+}
+
+final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = GraftSegments.fullSchema
+  private var pruning: Array[Filter] = Array.empty
+
+  /** Keep the segment_key filters we can prune WITH; return everything as
+    * residual — segment-level pruning is coarse by design. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pruning = filters.filter {
+      case EqualTo("segment_key", _: String) => true
+      case In("segment_key", _)              => true
+      case StringStartsWith("segment_key", _) => true
+      case _                                  => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pruning
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new SegmentsScan(conf, required, pruning)
+}
+
+final case class SegmentPartition(segKey: String) extends InputPartition
+
+final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
+                         pruning: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private def keep(key: String): Boolean = pruning.forall {
+    case EqualTo("segment_key", v: String)  => key == v
+    case In("segment_key", vs)              => vs.exists(_ == key)
+    case StringStartsWith("segment_key", p) => key.startsWith(p)
+    case _                                  => true
+  }
+
+  /** Driver-side planning: manifest KEY LISTING only (strings; no manifest
+    * is parsed, no byte fetched until an executor runs its partition). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val storage = FileSystemStorage(conf.root)
+    val manifestSuffix = "." + graft.sources.ObjectKey.Suffix.Manifest.value
+    storage.listKeys(conf.prefix)
+      .filter(_.endsWith(manifestSuffix))
+      .map(_.dropRight(manifestSuffix.length))
+      .filter(keep)
+      .sorted
+      .map(SegmentPartition(_): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SegmentsReaderFactory(conf, required)
+
+  override def description(): String = {
+    val pr = if (pruning.isEmpty) "" else pruning.mkString(" prunedBy=[", ", ", "]")
+    s"graft-segments root=${conf.root} prefix='${conf.prefix}'$pr"
+  }
+}
+
+final class SegmentsReaderFactory(conf: GraftSegments.SourceConf, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SegmentsReader(conf, required, partition.asInstanceOf[SegmentPartition].segKey)
+}
+
+/** Executor-side: detransform one segment, parse the Kafka wire, emit only
+  * the required (possibly nested-pruned) fields. */
+final class SegmentsReader(conf: GraftSegments.SourceConf, required: StructType, segKey: String)
+    extends PartitionReader[InternalRow] {
+
+  private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
+  private val kafkaFieldIdx: Map[String, Int] =
+    RowSchema.kafkaStruct.fieldNames.zipWithIndex.toMap
+
+  private lazy val iter: Iterator[InternalRow] = {
+    val bytes = SegmentFetchJob.fetchRange(conf.jobConfig, segKey, BytesRange(0L, Long.MaxValue - 1L))
+    KafkaWireCodec.parseSegment(bytes).iterator.flatMap { b =>
+      b.records.iterator.map { r =>
+        val full = RowSchema.recordRow(b, r, 0)
+        val vals = required.fields.map { f =>
+          f.name match {
+            case "segment_key" => segKey
+            case "kafka" =>
+              val kfull = full.getStruct(0)
+              f.dataType match { // nested pruning: project requested kafka.* only
+                case st: StructType =>
+                  Row.fromSeq(st.fieldNames.toSeq.map(n => kfull.get(kafkaFieldIdx(n))))
+                case _ => kfull
+              }
+            case "headers"   => full.get(1)
+            case "key_raw"   => full.get(2)
+            case "value_raw" => full.get(3)
+            case other => throw new IllegalStateException(s"unknown column $other")
+          }
+        }
+        toCatalyst(Row.fromSeq(vals.toSeq)).asInstanceOf[InternalRow]
+      }
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { if (iter.hasNext) { current = iter.next(); true } else false }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

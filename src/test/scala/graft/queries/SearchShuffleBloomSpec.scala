@@ -81,6 +81,23 @@ class SearchShuffleBloomSpec extends SparkSpec {
     assert(got == plain)
   }
 
+  test("t11: merge-pair top-k matches a driver-side recomputation") {
+    val texts = Tables.documents(spark, d).select("text").collect().map(_.getString(0))
+    val counts = new scala.collection.mutable.HashMap[String, Long]
+    texts.foreach { t =>
+      val toks = t.toLowerCase(java.util.Locale.ROOT).trim.replaceAll("\\s+", " ").split(" ", -1)
+      toks.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = p.mkString(" "); counts.update(k, counts.getOrElse(k, 0L) + 1L)
+      }
+    }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(TextQueries.MergePairK).zipWithIndex
+      .map { case ((p, n), i) => (p, n, i + 1L) }.toSet
+    val got = TextQueries.t11MergePairs(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
   test("q22: pivot equals conditional aggregation, zeros for missing combos") {
     val got = RelationalQueries.q22Pivot(spark, d).collect()
       .map(r => r.getLong(0) -> (1 to 5).map(r.getLong).toVector).toMap
@@ -107,6 +124,29 @@ class SearchShuffleBloomSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
     val total = counts.agg(sum("cnt")).head.getLong(0)
     got.foreach(r => assert(r.getDouble(2) == r.getLong(1).toDouble / total.toDouble))
+  }
+
+  test("s08: recall evaluation emits one row per answered query; hits are 0/1") {
+    val rows = SimilarityQueries.s08AnnRecall(spark, d).collect()
+    // queries alone in their LSH bucket get NO answer from s03 and hence no
+    // evaluation row (recall is undefined when the index returns nothing)
+    val answered = SimilarityQueries.s03AnnLsh(spark, d).collect().map(_.getLong(0)).toSet
+    assert(rows.length == answered.size && rows.map(_.getLong(0)).toSet == answered)
+    assert(rows.nonEmpty && rows.length <= SimilarityQueries.QueryCount)
+    rows.foreach { r =>
+      val hit = r.getLong(2)
+      assert(hit == 0L || hit == 1L)
+      if (hit == 0L) assert(r.getDouble(3) > 0.0, "a miss must give up some cosine")
+    }
+    // cross-check hit against the two source queries directly
+    val brute = SimilarityQueries.s01AnnTopK(spark, d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val lsh = SimilarityQueries.s03AnnLsh(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val expectHit = brute(r.getLong(0)).contains(lsh(r.getLong(0)))
+      assert((r.getLong(2) == 1L) == expectHit)
+    }
   }
 
   test("q21: the probe-side bloom filter is visible in the plan") {

@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SegmentJobConfig, SegmentUploadJob}
+import graft.records.KafkaWireCodec._
+import graft.testkit.SparkSpec
+
+/** The `graft-segments` DataSource V2: tiered (chunked+compressed+encrypted)
+  * segments read back as Kafka-record rows through
+  * `spark.read.format(...)`, with plan-time segment pruning and column
+  * pruning. */
+class GraftSegmentsSourceSpec extends SparkSpec {
+
+  private def kb(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  /** Three kafka-wire segments, offsets 0..9 / 10..19 / 20..29. */
+  private def writeSegments(dir: String): Unit =
+    (0 until 3).foreach { s =>
+      val out = new java.io.ByteArrayOutputStream()
+      val base = s * 10L
+      val recs = (0 until 10).map(i => (kb(s"k${base + i}"), kb(s"v${base + i}"), Seq.empty[Header]))
+      out.write(writeBatch(buildBatch(base, 1700000000000L + base, recs)))
+      Files.write(java.nio.file.Paths.get(dir, f"seg$s%03d.log"), out.toByteArray)
+    }
+
+  private def setup(): (String, SegmentJobConfig, Vector[String]) = {
+    val in = Files.createTempDirectory("dsv2-in").toString
+    val store = Files.createTempDirectory("dsv2-store").toString
+    writeSegments(in)
+    val cfg = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 512)
+    assert(SegmentUploadJob.run(spark, in, cfg).collect().forall(_.getAs[Boolean]("success")))
+    val keys = FileSystemStorage(store).listKeys("")
+      .filter(_.endsWith(".log")).map(_.dropRight(".log".length)).sorted
+    assert(keys.size == 3)
+    (store, cfg, keys)
+  }
+
+  private def reader(store: String, cfg: SegmentJobConfig) = {
+    val enc = java.util.Base64.getEncoder
+    spark.read.format("graft-segments")
+      .option("root", store)
+      .option("rsaPublicKeyB64", enc.encodeToString(cfg.rsaPublicKey))
+      .option("rsaPrivateKeyB64", enc.encodeToString(cfg.rsaPrivateKey))
+  }
+
+  test("short name resolves; all segments' records come back decoded") {
+    val (store, cfg, keys) = setup()
+    val df = reader(store, cfg).load()
+    val rows = df.select(col("segment_key"), col("kafka.offset").as("off"),
+        col("value_raw").cast("string").as("v")).collect()
+    assert(rows.length == 30)
+    assert(rows.map(_.getLong(1)).toSet == (0L until 30L).toSet)
+    rows.foreach(r => assert(r.getString(2) == s"v${r.getLong(1)}"))
+    // record rows ride one partition per segment
+    assert(df.rdd.getNumPartitions == 3)
+    assert(rows.map(_.getString(0)).toSet == keys.toSet)
+  }
+
+  test("segment_key equality and IN prune partitions at plan time") {
+    val (store, cfg, keys) = setup()
+    val one = reader(store, cfg).load().where(col("segment_key") === keys.head)
+    assert(one.rdd.getNumPartitions == 1, "EqualTo must prune to one segment")
+    assert(one.select("kafka.offset").collect().map(_.getLong(0)).toSet == (0L until 10L).toSet)
+
+    val two = reader(store, cfg).load().where(col("segment_key").isin(keys.take(2): _*))
+    assert(two.rdd.getNumPartitions == 2, "In must prune to two segments")
+    assert(two.count() == 20)
+
+    val pfx = reader(store, cfg).load()
+      .where(col("segment_key").startsWith(keys.head.take(keys.head.length - 7)))
+    assert(pfx.count() == 30) // common sanitized prefix matches all three
+  }
+
+  test("column pruning: metadata-only scans never materialize payloads") {
+    val (store, cfg, _) = setup()
+    val df = reader(store, cfg).load().select(col("kafka.batch_base_offset").as("b"))
+    val leaf = df.queryExecution.executedPlan.collectLeaves().head
+    assert(!leaf.output.map(_.name).contains("value_raw"),
+      s"pruned scan still outputs payload columns: ${leaf.output.map(_.name)}")
+    assert(df.distinct().collect().map(_.getLong(0)).toSet == Set(0L, 10L, 20L))
+  }
+
+  test("round trip preserves batch metadata exactly (vs SegmentToRows on the raw file)") {
+    val (store, cfg, keys) = setup()
+    val viaSource = reader(store, cfg).load()
+      .where(col("segment_key") === keys.head)
+      .select("kafka.offset", "kafka.timestamp", "kafka.batch_base_offset", "key_raw")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), new String(r.getAs[Array[Byte]](3), "UTF-8"))).toSet
+    val raw = graft.operators.SegmentFetchJob.fetchRange(cfg, keys.head, graft.core.BytesRange(0L, Long.MaxValue - 1L))
+    val viaParse = graft.records.SegmentToRows.fromSegmentBytes(spark, Seq((0, raw)))
+      .select("kafka.offset", "kafka.timestamp", "kafka.batch_base_offset", "key_raw")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), new String(r.getAs[Array[Byte]](3), "UTF-8"))).toSet
+    assert(viaSource == viaParse)
+  }
+}
