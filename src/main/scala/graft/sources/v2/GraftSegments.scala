@@ -95,13 +95,17 @@ object GraftSegments {
   }
 }
 
-final class SegmentsTable(conf: GraftSegments.SourceConf) extends Table with SupportsRead {
+final class SegmentsTable(conf: GraftSegments.SourceConf) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-segments:${conf.root}"
   override def schema(): StructType = GraftSegments.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegmentsScanBuilder(conf)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SegmentsWriteBuilder(conf, info.schema())
 }
 
 final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
@@ -211,4 +215,139 @@ final class SegmentsReader(conf: GraftSegments.SourceConf, required: StructType,
   override def next(): Boolean = { if (iter.hasNext) { current = iter.next(); true } else false }
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------------------
+// Write path: records back to tiered segments.
+// ---------------------------------------------------------------------------
+
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory,
+  PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+
+/** `df.write.format("graft-segments").mode("append")` — the read path's
+  * inverse: rows of the record schema become tiered segments (batch
+  * regroup → byte-identical Kafka wire re-serialize (I8/I9, the
+  * [[graft.records.BatchReserializer]] construction) → chunk → compress →
+  * encrypt → 3-object upload with MANIFEST-LAST commit and compensating
+  * delete, exactly [[graft.operators.SegmentUploadJob.uploadOne]]).
+  *
+  * Semantics mirror the reference's per-segment atomicity: each segment's
+  * manifest is its commit point; a failed/aborted task deletes everything
+  * it uploaded; task retries overwrite the same keys (idempotent). The
+  * global Spark commit is therefore a no-op — exactly the at-least-once,
+  * per-segment-atomic contract of `copyLogSegmentData`
+  * (`KafkaRemoteStorageManager.java:211-220`).
+  *
+  * Scale: a task buffers only ITS segments' rows (callers repartition by
+  * `segment_key`, segment size is bounded by the log-segment policy —
+  * the same bound the reference's broker enforces). */
+final class SegmentsWriteBuilder(conf: GraftSegments.SourceConf, schema: StructType)
+    extends WriteBuilder {
+  override def build(): Write = new SegmentsWrite(conf, schema)
+}
+
+final class SegmentsWrite(conf: GraftSegments.SourceConf, schema: StructType)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SegmentsWriterFactory(conf, schema)
+  /** Per-segment manifests already committed each segment atomically. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val storage = FileSystemStorage(conf.root)
+    messages.collect { case SegmentsCommitMessage(keys) => keys }.flatten.foreach { seg =>
+      graft.sources.ObjectKey.Suffix.all.foreach(s => storage.delete(s"$seg.${s.value}"))
+    }
+  }
+}
+
+final case class SegmentsCommitMessage(segKeys: Seq[String]) extends WriterCommitMessage
+
+final class SegmentsWriterFactory(conf: GraftSegments.SourceConf, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SegmentsDataWriter(conf, schema)
+}
+
+/** Buffers this task's rows per segment_key, then per segment: regroup to
+  * batches (batch_base_offset, producer_id, base_sequence — the I8 batch
+  * identity), members in offset order, wire re-serialize, tiered upload. */
+final class SegmentsDataWriter(conf: GraftSegments.SourceConf, schema: StructType)
+    extends DataWriter[InternalRow] {
+
+  private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+  private val idx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+  require(Seq("segment_key", "kafka", "headers", "key_raw", "value_raw").forall(idx.contains),
+    s"graft-segments write needs the full record schema, got: ${schema.fieldNames.mkString(", ")}")
+
+  private val buffered =
+    new scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Row]]
+  private val uploaded = scala.collection.mutable.ArrayBuffer[String]()
+
+  override def write(record: InternalRow): Unit = {
+    val r = toScala(record).asInstanceOf[Row]
+    buffered.getOrElseUpdate(r.getString(idx("segment_key")),
+      new scala.collection.mutable.ArrayBuffer[Row]) += r
+  }
+
+  private def segmentPayload(rows: Seq[Row]): Array[Byte] = {
+    val kafkaOf = (r: Row) => r.getStruct(idx("kafka"))
+    val out = new java.io.ByteArrayOutputStream()
+    rows.groupBy { r =>
+      val k = kafkaOf(r)
+      (k.getAs[Long]("batch_base_offset"), k.getAs[Long]("batch_producer_id"),
+        k.getAs[Int]("batch_base_sequence"))
+    }.toSeq.sortBy(_._1._1).foreach { case ((baseOffset, producerId, baseSequence), members0) =>
+      val members = members0.sortBy(r => kafkaOf(r).getAs[Long]("offset"))
+      val k0 = kafkaOf(members.head)
+      val baseTs = members.iterator.map(r => kafkaOf(r).getAs[Long]("timestamp")).min
+      val batch = KafkaWireCodec.Batch(
+        baseOffset = baseOffset,
+        partitionLeaderEpoch = k0.getAs[Int]("batch_partition_leader_epoch"),
+        magic = k0.getAs[Int]("batch_magic").toByte,
+        attributes = ((k0.getAs[Int]("batch_compression_type") & 0x07)
+          | (k0.getAs[Int]("batch_timestamp_type") << 3)).toShort,
+        lastOffsetDelta = (kafkaOf(members.last).getAs[Long]("offset") - baseOffset).toInt,
+        baseTimestamp = baseTs,
+        maxTimestamp = k0.getAs[Long]("batch_max_timestamp"),
+        producerId = producerId,
+        producerEpoch = k0.getAs[Int]("batch_producer_epoch").toShort,
+        baseSequence = baseSequence,
+        records = members.iterator.map { r =>
+          val k = kafkaOf(r)
+          KafkaWireCodec.Record(
+            offsetDelta = (k.getAs[Long]("offset") - baseOffset).toInt,
+            timestampDelta = k.getAs[Long]("timestamp") - baseTs,
+            key = r.getAs[Array[Byte]](idx("key_raw")),
+            value = r.getAs[Array[Byte]](idx("value_raw")),
+            headers = Option(r.getSeq[Row](idx("headers"))).getOrElse(Seq.empty)
+              .map(h => KafkaWireCodec.Header(h.getString(0), h.getAs[Array[Byte]](1))).toVector)
+        }.toVector,
+        byteOffset = 0)
+      out.write(KafkaWireCodec.writeBatch(batch))
+    }
+    out.toByteArray
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val cfg = conf.jobConfig
+    val storage = FileSystemStorage(conf.root)
+    val ring = if (cfg.encryption) cfg.ring else null
+    buffered.foreach { case (segKey, rows) =>
+      val res = graft.operators.SegmentUploadJob.uploadOne(
+        storage, ring, None, cfg, segKey, segmentPayload(rows.toSeq))
+      if (!res.success)
+        throw new java.io.IOException(s"segment $segKey upload failed: ${res.error}")
+      uploaded += segKey
+    }
+    SegmentsCommitMessage(uploaded.toSeq)
+  }
+
+  override def abort(): Unit = {
+    val storage = FileSystemStorage(conf.root)
+    uploaded.foreach(seg =>
+      graft.sources.ObjectKey.Suffix.all.foreach(s => storage.delete(s"$seg.${s.value}")))
+  }
+
+  override def close(): Unit = buffered.clear()
 }

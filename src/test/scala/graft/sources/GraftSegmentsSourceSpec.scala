@@ -83,6 +83,35 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     assert(df.distinct().collect().map(_.getLong(0)).toSet == Set(0L, 10L, 20L))
   }
 
+  test("write path: records → tiered segments → read back identical (full V2 round trip)") {
+    val (store, cfg, keys) = setup()
+    val dst = Files.createTempDirectory("dsv2-dst").toString
+    val df = reader(store, cfg).load()
+    val enc = java.util.Base64.getEncoder
+    df.write.format("graft-segments")
+      .option("root", dst)
+      .option("rsaPublicKeyB64", enc.encodeToString(cfg.rsaPublicKey))
+      .option("rsaPrivateKeyB64", enc.encodeToString(cfg.rsaPrivateKey))
+      .mode("append").save()
+    // destination store has the 3-object layout per segment
+    val dstKeys = FileSystemStorage(dst).listKeys("")
+    assert(dstKeys.count(_.endsWith(".log")) == 3)
+    assert(dstKeys.count(_.endsWith(".rsm-manifest")) == 3)
+    // read back from the destination: every record identical
+    def snapshot(root: String) = reader(root, cfg).load()
+      .select(col("segment_key"), col("kafka.offset"), col("kafka.timestamp"),
+        col("key_raw").cast("string"), col("value_raw").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toSet
+    assert(snapshot(dst) == snapshot(store))
+    // wire bytes are BYTE-IDENTICAL segment by segment (I9 re-serialize)
+    keys.foreach { k =>
+      val a = graft.operators.SegmentFetchJob.fetchRange(cfg, k, graft.core.BytesRange(0L, Long.MaxValue - 1L))
+      val b = graft.operators.SegmentFetchJob.fetchRange(cfg.copy(storageRoot = dst), k,
+        graft.core.BytesRange(0L, Long.MaxValue - 1L))
+      assert(java.util.Arrays.equals(a, b), s"wire bytes differ for $k")
+    }
+  }
+
   test("round trip preserves batch metadata exactly (vs SegmentToRows on the raw file)") {
     val (store, cfg, keys) = setup()
     val viaSource = reader(store, cfg).load()
