@@ -112,6 +112,22 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     }
   }
 
+  test("tampered ciphertext fails the read loudly (AEAD), not with silent corruption") {
+    val (store, cfg, keys) = setup()
+    // flip one byte in the middle of the first segment's log object
+    val logPath = java.nio.file.Paths.get(store, keys.head + ".log")
+    val bytes = Files.readAllBytes(logPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x01).toByte
+    Files.write(logPath, bytes)
+    val ex = intercept[org.apache.spark.SparkException] {
+      reader(store, cfg).load().where(col("segment_key") === keys.head).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(c => c.isInstanceOf[javax.crypto.AEADBadTagException]
+      || String.valueOf(c.getMessage).toLowerCase.contains("tag mismatch")), ex.toString)
+  }
+
   test("round trip preserves batch metadata exactly (vs SegmentToRows on the raw file)") {
     val (store, cfg, keys) = setup()
     val viaSource = reader(store, cfg).load()
