@@ -82,6 +82,7 @@ object SparkEntry {
     "x03_shuffle_shards" -> (TextQueries.x03ShuffleShards _),
     "q21_bloom_join" -> (RelationalQueries.q21BloomJoin _),
     "q22_pivot" -> (RelationalQueries.q22Pivot _),
+    "q23_latest_per_key" -> (RelationalQueries.q23LatestPerKey _),
     "a02_key_skew" -> (RelationalQueries.a02KeySkew _),
   )
 
@@ -314,6 +315,13 @@ object SparkEntry {
          |SELECT doc_id, shard,
          |       CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos
          |FROM s""".stripMargin,
+    "q23_latest_per_key" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk
+        |           FROM events)
+        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |       event_id AS last_event_id, event_type AS last_event_type
+        |FROM r WHERE rnk = 1""".stripMargin,
     "q22_pivot" -> {
       val cols = RelationalQueries.PivotEventTypes.map(t =>
         s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(", ")

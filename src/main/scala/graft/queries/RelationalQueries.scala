@@ -434,6 +434,25 @@ object RelationalQueries {
             x => x.getField("event_type")),
           ",").as("trace"))
 
+  /** q23: LATEST-VALUE-PER-KEY — Kafka log-compaction semantics as a
+    * query: each user's most recent event (ts, then event_id, breaks
+    * ties). The 100 TB plan point: the naive formulation is
+    * `row_number() OVER (PARTITION BY key ORDER BY ts DESC) = 1`, which
+    * SORTS every key's whole history; the argmax is instead ONE
+    * `max(struct(ts, event_id, payload…))` hash aggregate — struct
+    * comparison is lexicographic by field order, so it selects exactly the
+    * window's winner, but with map-side partial aggregation the exchange
+    * moves one row per (key, map partition) and nothing is ever sorted.
+    * The oracle IS the window formulation — proving the equivalence. */
+  def q23LatestPerKey(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+      .selectExpr("user_id",
+        "date_format(m.ts, 'yyyy-MM-dd HH:mm:ss') AS last_ts",
+        "m.event_id AS last_event_id",
+        "m.event_type AS last_event_type")
+
   /** Pivot column values for q22 — explicit, not discovered: at 100 TB the
     * implicit `pivot(col)` first runs a DISTINCT job over the fact table to
     * find the columns; pinning the list keeps the plan static and the

@@ -2,7 +2,7 @@ package graft.records
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -388,6 +388,72 @@ final class RecordTable(tableDir: String) {
     // expire them (the Iceberg expire_snapshots twin)
     if (out.nonEmpty) expireUnreadableSnapshots()
     out
+  }
+
+  /** Row-level DELETE, copy-on-write (the Iceberg COW `delete from` twin;
+    * the reference's table is append-only — this goes beyond it, the way
+    * a records table needs for GDPR-style erasure and bad-batch repair).
+    *
+    * Plan: only data files that CONTAIN a matching row are rewritten
+    * (file-level pruning first — untouched files keep their identity, so
+    * at 100 TB a selective delete rewrites a handful of files, not the
+    * table); a file whose every row matches is simply retired with no
+    * replacement. ONE `_manifests.json` rename publishes the whole delete
+    * — readers see all of it or none of it. DELETE semantics are SQL's:
+    * rows where the predicate is TRUE go, NULL-predicate rows stay.
+    * Returns the number of rows deleted. Snapshots that referenced the
+    * retired files are expired post-commit (expire_snapshots), like
+    * compaction. */
+  def deleteWhere(spark: SparkSession, predicate: Column): Long = {
+    val schema = currentSchema.getOrElse(RowSchema.rawSchema)
+    val isMatch = coalesce(predicate, lit(false))
+    var names = activeNames
+    var deleted = 0L
+    val retired = Vector.newBuilder[DataFileMeta]
+    val gen = snapshotFiles().size + 1 // disambiguates repeated deletes
+    listManifests().foreach { m =>
+      val df = spark.read.schema(schema).parquet(Paths.get(tableDir).resolve(m.file).toString)
+      val nMatch = df.filter(isMatch).count()
+      if (nMatch > 0L) {
+        deleted += nMatch
+        retired += m
+        if (nMatch == m.rowCount) {
+          names = names.filterNot(_ == m.segment) // whole file dies
+        } else {
+          val name = s"${m.segment}-del$gen"
+          val staging = Files.createTempDirectory(Paths.get(tableDir), s".stage-$name-")
+          df.filter(!isMatch).coalesce(1).sortWithinPartitions(col("kafka.offset"))
+            .write.mode("overwrite").parquet(staging.toString)
+          val part = Files.list(staging).iterator().asScala.find(_.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException("no parquet output"))
+          Files.move(part, dataDir.resolve(s"$name.parquet"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          Files.walk(staging).iterator().asScala.toVector.reverse.foreach(Files.deleteIfExists(_))
+          val stats = spark.read.schema(schema).parquet(dataDir.resolve(s"$name.parquet").toString)
+            .agg(min(col("kafka.offset")), max(col("kafka.offset")),
+              min(col("kafka.batch_byte_offset")), max(col("kafka.batch_byte_offset")),
+              count(lit(1))).head()
+          val meta = DataFileMeta(s"data/$name.parquet", name,
+            stats.getLong(0), stats.getLong(1), stats.getInt(2), stats.getInt(3), stats.getLong(4))
+          writePuffinSidecar(meta)
+          val tmp = Files.createTempFile(manifestDir, s".m-$name-", ".tmp")
+          Files.writeString(tmp, metaToJson(meta))
+          Files.move(tmp, manifestDir.resolve(s"$name.json"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          names = names.map(n => if (n == m.segment) name else n)
+        }
+      }
+    }
+    if (deleted > 0L) {
+      commitList(names) // the single all-or-nothing visibility point
+      retired.result().foreach { m =>
+        Files.deleteIfExists(manifestDir.resolve(s"${m.segment}.json"))
+        Files.deleteIfExists(manifestDir.resolve(s"${m.segment}.puffin"))
+        Files.deleteIfExists(Paths.get(tableDir).resolve(m.file))
+      }
+      expireUnreadableSnapshots()
+    }
+    deleted
   }
 
   /** Project/cast `rows` to the table schema: missing columns become nulls,
