@@ -84,6 +84,7 @@ object SparkEntry {
     "q22_pivot" -> (RelationalQueries.q22Pivot _),
     "q23_latest_per_key" -> (RelationalQueries.q23LatestPerKey _),
     "a02_key_skew" -> (RelationalQueries.a02KeySkew _),
+    "a03_table_stats" -> (RelationalQueries.a03TableStats _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -315,6 +316,28 @@ object SparkEntry {
          |SELECT doc_id, shard,
          |       CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos
          |FROM s""".stripMargin,
+    "a03_table_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       COUNT(DISTINCT l_orderkey) AS d_orderkeys,
+        |       COUNT(DISTINCT l_partkey) AS d_parts,
+        |       COUNT(DISTINCT l_suppkey) AS d_supps,
+        |       CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_discount,
+        |       strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+        |       strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
+        |       MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+    "a03_table_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       COUNT(DISTINCT l_orderkey) AS d_orderkeys,
+        |       COUNT(DISTINCT l_partkey) AS d_parts,
+        |       COUNT(DISTINCT l_suppkey) AS d_supps,
+        |       CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_discount,
+        |       strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+        |       strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
+        |       MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
     "q23_latest_per_key" ->
       """WITH r AS (SELECT user_id, ts, event_id, event_type,
         |             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk

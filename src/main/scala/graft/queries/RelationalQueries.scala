@@ -434,6 +434,28 @@ object RelationalQueries {
             x => x.getField("event_type")),
           ",").as("trace"))
 
+  /** a03: TABLE PROFILING — the ANALYZE/stats-collection pass every
+    * cost-based optimizer (and every data-quality gate) runs: row count,
+    * exact distinct key cardinalities, null counts, and min/max bounds
+    * over the fact table in ONE aggregation. Multiple exact
+    * COUNT(DISTINCT) in one agg plan through Spark's Expand (one scan,
+    * one shuffle of expanded partials — not a pass per column); at 100 TB
+    * you'd swap exact NDV for the HLL sketches a01 demonstrates, same
+    * plan shape minus Expand. Min/max are raw parquet values (no
+    * arithmetic) → bit-exact across engines; dates formatted to strings
+    * for stable comparison. */
+  def a03TableStats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("d_orderkeys"),
+      countDistinct(col("l_partkey")).as("d_parts"),
+      countDistinct(col("l_suppkey")).as("d_supps"),
+      sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("null_discount"),
+      date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_ship"),
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"))
+
   /** q23: LATEST-VALUE-PER-KEY — Kafka log-compaction semantics as a
     * query: each user's most recent event (ts, then event_id, breaks
     * ties). The 100 TB plan point: the naive formulation is

@@ -148,10 +148,32 @@ object SimilarityQueries {
 
   /** LSH bucket = 8 sign bits vs the broadcast anchors — one narrow
     * projection per row, 8 codegen'd vec_dot calls, zero shuffle. */
-  private def bucketExpr: String =
+  private def bucketExprFor(vcol: String): String =
     (0 until AnchorCount)
-      .map(k => s"(CASE WHEN vec_dot(v, anchors[$k].v) > 0 THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .map(k => s"(CASE WHEN vec_dot($vcol, anchors[$k].v) > 0 THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
+
+  private def bucketExpr: String = bucketExprFor("v")
+
+  /** The static LSH index of the corpus — (vec_id, v, nrm, bucket) — the
+    * lookup side of online ANN serving
+    * ([[graft.streaming.EventStreams.annServe]]); same narrow sign-bit
+    * assignment as s03 (the corpus is never shuffled to be indexed). */
+  def lshIndex(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    normed(s, d).crossJoin(broadcast(anchorsRow(s, d)))
+      .selectExpr("vec_id", "v", "nrm", s"$bucketExpr AS bucket")
+  }
+
+  /** Assign incoming query vectors (query_id, q) their LSH bucket + norm —
+    * the query-side projection of the same index; works on streams (the
+    * 1-row anchor frame is a broadcast crossJoin, stateless). */
+  def lshAssignQueries(queries: DataFrame, s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    queries.crossJoin(broadcast(anchorsRow(s, d)))
+      .selectExpr("query_id", "q", "sqrt(vec_dot(q, q)) AS qnrm",
+        s"${bucketExprFor("q")} AS bucket")
+  }
 
   /** IVF cell = argmax cosine over the broadcast anchors (first index on
     * ties — same as `row_number ... ORDER BY acos DESC, anchor_id`). */

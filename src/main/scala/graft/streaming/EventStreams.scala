@@ -91,6 +91,30 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("fp")
       .select("doc_id", "lang", "ts", "n_tokens", "ttr")
 
+  /** STREAM-STATIC join — online ANN serving: a stream of query vectors
+    * (query_id, q ARRAY<DOUBLE>) joined against the static pre-bucketed
+    * corpus by LSH bucket, scored, and reduced to the per-query best
+    * within each micro-batch. The serving-side twin of batch s03: the
+    * corpus index ([[graft.queries.SimilarityQueries.lshIndex]]) is a
+    * static frame (a cached/bucketed table at scale), queries arrive
+    * continuously, and the join is STATELESS — no watermark, no state
+    * store; each micro-batch is a broadcast-able lookup, which is how a
+    * 100 TB vector store serves point lookups without a resident index
+    * service. Both sides get their bucket from the same narrow sign-bit
+    * projection (the corpus is never shuffled to be assigned); the
+    * per-query argmax is the q23 max(struct) shape, not a window. */
+  def annServe(queries: DataFrame, spark: org.apache.spark.sql.SparkSession,
+               corpusDir: String): DataFrame = {
+    import graft.queries.SimilarityQueries
+    val corpus = SimilarityQueries.lshIndex(spark, corpusDir)
+    SimilarityQueries.lshAssignQueries(queries, spark, corpusDir)
+      .join(broadcast(corpus), "bucket")
+      .selectExpr("query_id", "vec_id", "vec_dot(q, v) / (qnrm * nrm) AS cosine")
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("cosine"), col("vec_id"))).as("m"))
+      .selectExpr("query_id", "m.vec_id AS neighbor_id", "m.cosine AS cosine")
+  }
+
   /** Stream-STREAM interval join with watermarks on both sides: each error
     * event joined to the same user's events in the preceding `window`. The
     * time-range join condition plus the two watermarks is what lets Spark

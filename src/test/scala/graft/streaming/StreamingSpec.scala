@@ -260,6 +260,38 @@ class StreamingSpec extends SparkSpec {
     expectEn.foreach { case (id, b) => assert(bins(id) == b) }
   }
 
+  test("stream-static ANN serving: query stream joins the LSH index, best-per-query emitted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    // stream three corpus vectors back as queries: each must find a
+    // same-bucket neighbor, and scoring must match the batch index
+    val corpus = graft.queries.SimilarityQueries.lshIndex(spark, d)
+      .select("vec_id", "v", "bucket").collect()
+    val byId = corpus.map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
+    val input = MemoryStream[(Long, Seq[Double])]
+    val queries = input.toDF().toDF("query_id", "q")
+    val served = EventStreams.annServe(queries, spark, d)
+    val q = served.writeStream.format("memory").queryName("ann")
+      .outputMode("update").start()
+    input.addData((9001L, byId(20L)._1), (9002L, byId(21L)._1))
+    q.processAllAvailable()
+    input.addData((9003L, byId(22L)._1))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT query_id, neighbor_id, cosine FROM ann").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(9001L, 9002L, 9003L))
+    // a vector identical to corpus vector k must score cosine 1 with k
+    // (k is its own best match; bucket contains it by construction)
+    Seq(9001L -> 20L, 9002L -> 21L, 9003L -> 22L).foreach { case (qid, vid) =>
+      val (nbr, cos) = got(qid)
+      assert(math.abs(cos - 1.0) < 1e-12 && byId(nbr)._2 == byId(vid)._2,
+        s"query $qid: neighbor $nbr cos $cos")
+    }
+  }
+
   test("stream-stream interval join: errors match prior same-user events, cross-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
