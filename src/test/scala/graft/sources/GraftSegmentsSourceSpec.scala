@@ -112,6 +112,29 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     }
   }
 
+  test("SQL DDL surface: CREATE TABLE ... USING graft-segments, then pure SQL") {
+    val (store, cfg, keys) = setup()
+    val enc = java.util.Base64.getEncoder
+    spark.sql("DROP TABLE IF EXISTS segs")
+    spark.sql(
+      s"""CREATE TABLE segs USING `graft-segments` OPTIONS (
+         |  root '$store',
+         |  rsaPublicKeyB64 '${enc.encodeToString(cfg.rsaPublicKey)}',
+         |  rsaPrivateKeyB64 '${enc.encodeToString(cfg.rsaPrivateKey)}'
+         |)""".stripMargin)
+    try {
+      val n = spark.sql("SELECT COUNT(*) FROM segs").head.getLong(0)
+      assert(n == 30L)
+      val agg = spark.sql(
+        """SELECT segment_key, COUNT(*) AS n, MIN(kafka.offset) AS lo, MAX(kafka.offset) AS hi
+          |FROM segs GROUP BY segment_key ORDER BY lo""".stripMargin).collect()
+      assert(agg.length == 3)
+      assert(agg.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+        Seq((10L, 0L, 9L), (10L, 10L, 19L), (10L, 20L, 29L)))
+      assert(agg.map(_.getString(0)).toSeq == keys.toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS segs")
+  }
+
   test("tampered ciphertext fails the read loudly (AEAD), not with silent corruption") {
     val (store, cfg, keys) = setup()
     // flip one byte in the middle of the first segment's log object
