@@ -100,7 +100,8 @@ final class SegmentsTable(conf: GraftSegments.SourceConf) extends Table
   override def name(): String = s"graft-segments:${conf.root}"
   override def schema(): StructType = GraftSegments.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegmentsScanBuilder(conf)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -164,10 +165,55 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new SegmentsReaderFactory(conf, required)
 
+  /** `spark.readStream.format("graft-segments")` — tier-out as a LIVE
+    * source: each micro-batch reads the segments that appeared since the
+    * last, as record rows (the streaming twin of the batch scan; the
+    * reference's broker-driven copy becomes a subscribable stream).
+    *
+    * Offset model: the COUNT of segments in sorted-key order. Contract:
+    * segment keys must be append-ordered, which the ObjectKey layout
+    * (`%020d` zero-padded base offsets) guarantees within one
+    * topic-partition — scope each stream with `prefix` (exactly a Kafka
+    * consumer's partition subscription). Replays are deterministic: a
+    * batch [a, b) is always the same sorted slice. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SegmentsMicroBatchStream(this)
+
+  private[v2] def segmentKeys(): Array[String] = planInputPartitions()
+    .map(_.asInstanceOf[SegmentPartition].segKey)
+
+  private[v2] def readerFactory(): PartitionReaderFactory = createReaderFactory()
+
   override def description(): String = {
     val pr = if (pruning.isEmpty) "" else pruning.mkString(" prunedBy=[", ", ", "]")
     s"graft-segments root=${conf.root} prefix='${conf.prefix}'$pr"
   }
+}
+
+/** Streaming offset: how many (sorted) segments have been consumed. */
+final case class SegmentCountOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+final class SegmentsMicroBatchStream(scan: SegmentsScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = SegmentCountOffset(0L)
+  override def latestOffset(): Offset = SegmentCountOffset(scan.segmentKeys().length.toLong)
+  override def deserializeOffset(json: String): Offset = SegmentCountOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[SegmentCountOffset].n.toInt
+    val b = end.asInstanceOf[SegmentCountOffset].n.toInt
+    scan.segmentKeys().slice(a, b).map(SegmentPartition(_): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = scan.readerFactory()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class SegmentsReaderFactory(conf: GraftSegments.SourceConf, required: StructType)

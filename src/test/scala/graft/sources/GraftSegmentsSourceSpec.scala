@@ -135,6 +135,44 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS segs")
   }
 
+  test("streaming read: new segments appear as micro-batches; replay-stable offsets") {
+    val in = Files.createTempDirectory("dsv2s-in").toString
+    val store = Files.createTempDirectory("dsv2s-store").toString
+    writeSegments(in) // seg000..seg002 on disk, not yet uploaded
+    val cfg = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 512)
+    val storage = FileSystemStorage(store)
+
+    def uploadOne(i: Int): Unit = {
+      val p = java.nio.file.Paths.get(in, f"seg$i%03d.log")
+      val res = graft.operators.SegmentUploadJob.uploadOne(
+        storage, cfg.ring, None, cfg, f"seg$i%03d", Files.readAllBytes(p))
+      assert(res.success, res.error)
+    }
+    uploadOne(0); uploadOne(1)
+
+    val enc = java.util.Base64.getEncoder
+    val stream = spark.readStream.format("graft-segments")
+      .option("root", store)
+      .option("rsaPublicKeyB64", enc.encodeToString(cfg.rsaPublicKey))
+      .option("rsaPrivateKeyB64", enc.encodeToString(cfg.rsaPrivateKey))
+      .load()
+      .selectExpr("segment_key", "kafka.offset AS off")
+    val q = stream.writeStream.format("memory").queryName("seglive")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.sql("SELECT COUNT(*) FROM seglive").head.getLong(0) == 20L)
+
+    uploadOne(2) // a NEW segment lands in the store (key sorts after)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT segment_key, off FROM seglive").collect()
+    assert(rows.length == 30)
+    assert(rows.map(_.getLong(1)).toSet == (0L until 30L).toSet)
+    // each segment arrived exactly once (no replays, no gaps)
+    val bySeg = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(bySeg.values.toSet == Set(10) && bySeg.size == 3)
+  }
+
   test("tampered ciphertext fails the read loudly (AEAD), not with silent corruption") {
     val (store, cfg, keys) = setup()
     // flip one byte in the middle of the first segment's log object
