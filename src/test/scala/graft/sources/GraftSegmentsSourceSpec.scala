@@ -173,6 +173,39 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     assert(bySeg.values.toSet == Set(10) && bySeg.size == 3)
   }
 
+  test("catalog plugin: stores under one root are named tables in SQL") {
+    val (storeA, cfg, _) = setup() // one populated store
+    // move it under a common catalog root alongside a second (empty) store
+    val croot = Files.createTempDirectory("dsv2-catalog").toString
+    val a = java.nio.file.Paths.get(croot, "store-a")
+    Files.move(java.nio.file.Paths.get(storeA), a)
+    Files.createDirectories(java.nio.file.Paths.get(croot, "store-b"))
+
+    val enc = java.util.Base64.getEncoder
+    spark.conf.set("spark.sql.catalog.tiered", classOf[graft.sources.v2.GraftSegmentsCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tiered.root", croot)
+    spark.conf.set("spark.sql.catalog.tiered.rsaPublicKeyB64", enc.encodeToString(cfg.rsaPublicKey))
+    spark.conf.set("spark.sql.catalog.tiered.rsaPrivateKeyB64", enc.encodeToString(cfg.rsaPrivateKey))
+    try {
+      val tables = spark.sql("SHOW TABLES IN tiered.default").collect().map(_.getString(1)).sorted
+      assert(tables.toSeq == Seq("store-a", "store-b"))
+      val n = spark.sql("SELECT COUNT(*) FROM tiered.default.`store-a`").head.getLong(0)
+      assert(n == 30L)
+      assert(spark.sql("SELECT COUNT(*) FROM tiered.default.`store-b`").head.getLong(0) == 0L)
+      // plan-time pruning still works through the catalog path
+      // keys are sanitized input paths ending in the original file stem
+      val one = spark.sql(
+        """SELECT COUNT(DISTINCT segment_key) FROM tiered.default.`store-a`
+          |WHERE segment_key LIKE '%seg000%'""".stripMargin).head.getLong(0)
+      assert(one == 1L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.tiered")
+      spark.conf.unset("spark.sql.catalog.tiered.root")
+      spark.conf.unset("spark.sql.catalog.tiered.rsaPublicKeyB64")
+      spark.conf.unset("spark.sql.catalog.tiered.rsaPrivateKeyB64")
+    }
+  }
+
   test("tampered ciphertext fails the read loudly (AEAD), not with silent corruption") {
     val (store, cfg, keys) = setup()
     // flip one byte in the middle of the first segment's log object
