@@ -85,6 +85,9 @@ object SparkEntry {
     "q23_latest_per_key" -> (RelationalQueries.q23LatestPerKey _),
     "a02_key_skew" -> (RelationalQueries.a02KeySkew _),
     "a03_table_stats" -> (RelationalQueries.a03TableStats _),
+    "d09_simhash_pairs" -> (TextQueries.d09SimhashPairs _),
+    "w03_trailing_window" -> (RelationalQueries.w03TrailingWindow _),
+    "q24_cube" -> (RelationalQueries.q24Cube _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -210,6 +213,25 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q24_cube" ->
+      """SELECT r_name, n_name,
+        | CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, n_name)""".stripMargin,
+    "w03_trailing_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+        |SELECT event_id, user_id, us,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q17_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -485,12 +507,19 @@ object SparkEntry {
          |FROM b GROUP BY bag_md5 HAVING count(*) >= 2""".stripMargin,
     "d02_minhash_sig" -> minHashSigSql,
     "d03_minhash_pairs" -> minHashPairsSql,
-    "d04_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($dToks) AS tok FROM documents),
-         |h AS (SELECT doc_id, md5(tok) AS h FROM toks),
-         |b AS (SELECT doc_id, ${TextQueries.simhashBitExprs("//", "strpos").mkString(",\n         |  ")}
-         |      FROM h GROUP BY doc_id)
-         |SELECT doc_id, CAST(${TextQueries.simhashAssembleExpr} AS BIGINT) AS simhash FROM b""".stripMargin,
+    "d04_simhash" -> simhashSql,
+    // d09 = the all-pairs Hamming scan, summarized per doc; the Spark
+    // side's banded candidates are a complete cover for hamming <= 3, so
+    // the sets match exactly
+    "d09_simhash_pairs" ->
+      s"""WITH sig AS ($simhashSql),
+         |p AS (SELECT a.doc_id AS x, b.doc_id AS y FROM sig a JOIN sig b
+         |      ON a.doc_id <> b.doc_id
+         |      WHERE bit_count(xor(a.simhash, b.simhash)) <= ${TextQueries.SimhashHammingMax})
+         |SELECT s.doc_id, COUNT(p.y) AS n_near,
+         |       CAST(least(coalesce(MIN(p.y), s.doc_id), s.doc_id) AS BIGINT) AS rep
+         |FROM sig s LEFT JOIN p ON p.x = s.doc_id
+         |GROUP BY s.doc_id""".stripMargin,
     "d05_jaccard_pairs" ->
       s"""WITH toks AS (SELECT doc_id, lang, list_distinct($dToks) AS t FROM documents),
          |tt AS (SELECT doc_id, lang, len(t) AS nt, unnest(t) AS tok FROM toks),
@@ -765,6 +794,15 @@ object SparkEntry {
        |  UNION
        |  SELECT r.src, e.y FROM reach r JOIN edges e ON e.x = r.dst)
        |SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src""".stripMargin
+
+  /** DuckDB mirror of [[graft.queries.TextQueries.d04SimHash]] — shared by
+    * the d04 oracle and d09's all-pairs Hamming verification. */
+  private def simhashSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($dToks) AS tok FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       |b AS (SELECT doc_id, ${TextQueries.simhashBitExprs("//", "strpos").mkString(",\n       |  ")}
+       |      FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST(${TextQueries.simhashAssembleExpr} AS BIGINT) AS simhash FROM b""".stripMargin
 
   /** DuckDB mirror of [[graft.queries.TextQueries.d03MinHashPairs]]. */
   private def minHashPairsSql: String =

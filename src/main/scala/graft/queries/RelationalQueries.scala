@@ -557,4 +557,53 @@ object RelationalQueries {
         out6(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** w03: value-RANGE moving aggregate — per event, the same user's
+    * trailing-hour activity (count + exact sum). q05's ROWS frame steps by
+    * row position; a RANGE frame steps by ORDER-BY VALUE, so the frame is
+    * "everything within the last hour" regardless of how many events fall
+    * in it, and peer rows (equal timestamps) enter the frame together —
+    * the rate-counter / rolling-quota shape (the reference's windowed
+    * rate sensors, `Metrics.java` — §2.7 — are this aggregate over time).
+    *
+    * Scale: one shuffle on user_id; frame evaluation is a sliding
+    * two-pointer pass per partition, O(n) not O(n·frame). Event time is
+    * ordered as epoch MICROS (bigint) so the frame bound is integer
+    * arithmetic — identical in both engines, no interval-literal dialect.
+    * The sum is DECIMAL inside the frame (order-independent) and DOUBLE
+    * only at output. */
+  def w03TrailingWindow(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-hourUs, 0)
+    events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("v_1h", out2(sum(dec2(col("value"))).over(w)))
+      .select(col("event_id"), col("user_id"), col("us"), col("n_1h"), col("v_1h"))
+  }
+
+  /** q24: CUBE — all 2^k grouping sets (per-nation, per-region subtotals,
+    * per-nation-across-regions, grand total) in one pass, with a portable
+    * grouping id (`grouping(r)*2 + grouping(n)`, the bit order Spark's
+    * `grouping_id()` uses). Completes the grouping-sets family started by
+    * q16's rollup; same scale posture: pre-aggregate per (region, nation)
+    * BEFORE the cube so Expand multiplies ~|regions × nations| partial
+    * rows by 4 grouping sets, never the fact table. */
+  def q24Cube(s: SparkSession, d: String): DataFrame = {
+    val base = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev"),
+        count(lit(1)).as("cnt"))
+    base.cube(col("r_name"), col("n_name"))
+      .agg(
+        (grouping(col("r_name")) * 2 + grouping(col("n_name"))).cast("bigint").as("gid"),
+        out6(sum(col("rev"))).as("revenue"),
+        sum(col("cnt")).as("n_items"))
+  }
 }

@@ -280,6 +280,52 @@ object TextQueries {
       .selectExpr("doc_id", s"CAST($simhashAssembleExpr AS BIGINT) AS simhash")
   }
 
+  /** d09 banding: 16-bit simhash split into 4 nibble bands; by pigeonhole
+    * any pair within Hamming distance ≤ 3 agrees on at least one band. */
+  val SimhashHammingMax = 3
+
+  /** d09: SimHash near-dup join (Manku et al., WWW'07 "Detecting
+    * Near-Duplicates for Web Crawling"): candidate pairs from nibble-band
+    * equi-joins over d04's 16-bit signatures, verified EXACTLY with
+    * `bit_count(a ^ b)`, then summarized per document — near-dup degree
+    * and cluster representative (min doc_id over direct partners and
+    * self). Banding is a complete cover for Hamming ≤
+    * [[SimhashHammingMax]] (4 bands, ≤3 differing bits ⇒ one band
+    * untouched), so the result equals the oracle's all-pairs scan at
+    * O(n·collisions) instead of O(n²). Output is n rows, not pairs —
+    * 16-bit signatures on a same-domain corpus collide heavily, and the
+    * per-doc summary is what a dedup pipeline consumes (d07 does the
+    * transitive version over MinHash edges).
+    *
+    * Scale: the signature scan runs ONCE (localCheckpoint, d03
+    * precedent); the band join shuffles (band, nibble)-keyed 3-column
+    * rows — signatures, never documents; popcount verify and the degree
+    * aggregation are codegen'd integer arithmetic. At 64-bit signatures /
+    * billions of docs the same shape holds — more bands, same joins. */
+  def d09SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = d04SimHash(s, d).localCheckpoint(true)
+    val bands = sig.selectExpr("doc_id", "simhash",
+      """stack(4, 0L, simhash % 16,
+        |         1L, (simhash div 16) % 16,
+        |         2L, (simhash div 256) % 16,
+        |         3L, (simhash div 4096) % 16) AS (band, nibble)""".stripMargin)
+    val a = bands.toDF("a", "sha", "band", "nibble")
+    val b = bands.toDF("b", "shb", "band", "nibble")
+    val pairs = a.join(b, Seq("band", "nibble"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sha"), col("shb")).distinct()
+      .filter(expr(s"bit_count(sha ^ shb) <= $SimhashHammingMax"))
+    val sym = pairs.selectExpr("a AS doc_id", "b AS partner")
+      .union(pairs.selectExpr("b AS doc_id", "a AS partner"))
+    sig.select(col("doc_id"))
+      .join(sym.groupBy("doc_id")
+          .agg(count(lit(1)).as("deg"), min(col("partner")).as("p_min")),
+        Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(deg, 0L) AS n_near",
+        "least(coalesce(p_min, doc_id), doc_id) AS rep")
+  }
+
   /** Block count for d05's exact all-pairs join (see
     * [[graft.queries.SimilarityQueries.NearDupBlocks]] for the sizing
     * rule: per-task memory = 2·n/B documents' token sets; raise B with
