@@ -456,6 +456,119 @@ final class RecordTable(tableDir: String) {
     deleted
   }
 
+  /** MERGE (upsert) by key — the copy-on-write MERGE INTO of the table
+    * formats (Iceberg v1 COW: rewrite touched files, add the new file),
+    * with delete-matched + insert semantics: every data file holding a
+    * matched key is rewritten WITHOUT those rows, and all update rows land
+    * as one new data file. ONE `_manifests.json` rename publishes the
+    * rewrites and the insert together — readers see the whole merge or
+    * none of it. This is log-compaction-as-a-write: q23's latest-per-key
+    * READ becomes unnecessary for keys that have been merged.
+    *
+    * `keyExpr` is any SQL expression valid on both the table and
+    * `updates` (e.g. "key_raw", "kafka.offset"). `updates` must carry the
+    * RowSchema `kafka` struct (appendSegment's contract) and distinct
+    * merge keys — duplicates are rejected, because "which update wins" has
+    * no order on an unordered DataFrame. Files with no matched key keep
+    * their identity (never rewritten). Returns (replaced, inserted).
+    *
+    * Scale: the update-key set rides a broadcast semi/anti join per
+    * touched file — MERGE assumes updates ≪ table (the upsert shape); the
+    * table itself is never shuffled, and untouched files are never read
+    * past their match probe. */
+  def merge(spark: SparkSession, updates: DataFrame, keyExpr: String,
+            segmentName: String): (Long, Long) = {
+    val newSchema = currentSchema match {
+      case Some(t) => mergeSchemas(t, updates.schema)
+      case None => updates.schema
+    }
+    // one materialization feeds the dup check, the per-file probes, and
+    // the final insert write
+    val aligned = alignTo(updates, newSchema).localCheckpoint(true)
+    val inserted = aligned.count()
+    val dupKeys = aligned.groupBy(expr(keyExpr)).count().filter(col("count") > 1).count()
+    require(dupKeys == 0L, s"updates carry $dupKeys duplicate merge keys")
+    val keys = broadcast(aligned.select(expr(keyExpr).as("__mk")))
+
+    Files.createDirectories(dataDir)
+    Files.createDirectories(manifestDir)
+    var names = activeNames
+    var replaced = 0L
+    val retired = Vector.newBuilder[DataFileMeta]
+    val gen = snapshotFiles().size + 1
+    listManifests().foreach { m =>
+      val df = spark.read.schema(newSchema).parquet(Paths.get(tableDir).resolve(m.file).toString)
+      val nMatch = df.join(keys, expr(keyExpr) === col("__mk"), "left_semi").count()
+      if (nMatch > 0L) {
+        replaced += nMatch
+        retired += m
+        if (nMatch == m.rowCount) {
+          names = names.filterNot(_ == m.segment)
+        } else {
+          val name = s"${m.segment}-m$gen"
+          val staging = Files.createTempDirectory(Paths.get(tableDir), s".stage-$name-")
+          df.join(keys, expr(keyExpr) === col("__mk"), "left_anti")
+            .coalesce(1).sortWithinPartitions(col("kafka.offset"))
+            .write.mode("overwrite").parquet(staging.toString)
+          val part = Files.list(staging).iterator().asScala.find(_.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException("no parquet output"))
+          Files.move(part, dataDir.resolve(s"$name.parquet"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          Files.walk(staging).iterator().asScala.toVector.reverse.foreach(Files.deleteIfExists(_))
+          val stats = spark.read.schema(newSchema).parquet(dataDir.resolve(s"$name.parquet").toString)
+            .agg(min(col("kafka.offset")), max(col("kafka.offset")),
+              min(col("kafka.batch_byte_offset")), max(col("kafka.batch_byte_offset")),
+              count(lit(1))).head()
+          val meta = DataFileMeta(s"data/$name.parquet", name,
+            stats.getLong(0), stats.getLong(1), stats.getInt(2), stats.getInt(3), stats.getLong(4))
+          writePuffinSidecar(meta)
+          val tmp = Files.createTempFile(manifestDir, s".m-$name-", ".tmp")
+          Files.writeString(tmp, metaToJson(meta))
+          Files.move(tmp, manifestDir.resolve(s"$name.json"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          names = names.map(n => if (n == m.segment) name else n)
+        }
+      }
+    }
+
+    // insert leg: the update rows as one new data file, staged like
+    // appendSegment but published by the SAME commitList as the rewrites
+    if (inserted > 0L) {
+      val staging = Files.createTempDirectory(Paths.get(tableDir), s".stage-$segmentName-")
+      aligned.coalesce(1).sortWithinPartitions(col("kafka.offset"))
+        .write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala.find(_.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("no parquet output"))
+      Files.move(part, dataDir.resolve(s"$segmentName.parquet"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      Files.walk(staging).iterator().asScala.toVector.reverse.foreach(Files.deleteIfExists(_))
+      val stats = spark.read.schema(newSchema).parquet(dataDir.resolve(s"$segmentName.parquet").toString)
+        .agg(min(col("kafka.offset")), max(col("kafka.offset")),
+          min(col("kafka.batch_byte_offset")), max(col("kafka.batch_byte_offset")),
+          count(lit(1))).head()
+      val meta = DataFileMeta(s"data/$segmentName.parquet", segmentName,
+        stats.getLong(0), stats.getLong(1), stats.getInt(2), stats.getInt(3), stats.getLong(4))
+      commitSchema(newSchema)
+      writePuffinSidecar(meta)
+      val tmp = Files.createTempFile(manifestDir, s".m-$segmentName-", ".tmp")
+      Files.writeString(tmp, metaToJson(meta))
+      Files.move(tmp, manifestDir.resolve(s"$segmentName.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      names = (names :+ segmentName).distinct
+    }
+
+    if (replaced > 0L || inserted > 0L) {
+      commitList(names) // the single all-or-nothing visibility point
+      retired.result().foreach { m =>
+        Files.deleteIfExists(manifestDir.resolve(s"${m.segment}.json"))
+        Files.deleteIfExists(manifestDir.resolve(s"${m.segment}.puffin"))
+        Files.deleteIfExists(Paths.get(tableDir).resolve(m.file))
+      }
+      expireUnreadableSnapshots()
+    }
+    (replaced, inserted)
+  }
+
   /** Project/cast `rows` to the table schema: missing columns become nulls,
     * widened columns cast up. */
   private def alignTo(rows: DataFrame, schema: StructType): DataFrame = {
