@@ -19,6 +19,23 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Event-time SESSION windows — w02's streaming twin, via the native
+    * `session_window` aggregate: per user, events merge into one
+    * [start, last+gap) session while each lands within `gap` of the
+    * session's end; the watermark is what lets the engine CLOSE sessions
+    * and evict their state, the bounded-state contract w02 computes in
+    * batch with lag+cumsum windows. Identical aggregate runs in batch
+    * (session_window is a plain grouping expression), which is how the
+    * spec pins streaming == batch. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sess_value"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"), col("sess_value"))
+
   final case class UserState(userId: Long, nEvents: Long, lastTs: Long, trace: String)
   final case class UserUpdate(user_id: Long, n_events: Long, last_ts: Long, closed: Boolean)
 

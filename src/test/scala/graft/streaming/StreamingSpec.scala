@@ -67,6 +67,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == batch.agg(sum("n")).head().getLong(0))
   }
 
+  test("session windows: streaming sessionization equals the batch aggregate") {
+    val src = Files.createTempDirectory("graft-sess-src").toString
+    graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = EventStreams.sessionCounts(stream).writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT user_id, CAST(sess_start AS LONG) AS s, n_events FROM sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the SAME session_window aggregate as a batch query — equality by
+    // construction pins session boundaries, not just totals
+    val batch = EventStreams.sessionCounts(
+        graft.queries.Tables.events(spark, "/root/testdata/sf0.001"))
+      .selectExpr("user_id", "CAST(sess_start AS LONG) AS s", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming read of the records table sees appended segments") {
     import graft.records._
     import org.apache.spark.sql.streaming.Trigger
