@@ -112,10 +112,18 @@ object TextQueries {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, text, norm) =>
-          var minShingle = "￿"
-          foreachShingleMd5(md, norm)(hex => if (hex.compareTo(minShingle) < 0) minShingle = hex)
+          // min over fixed-width hex strings == min over unsigned digest
+          // bytes; 0xFF-filled start loses to every digest (ties emit the
+          // same hex either way)
+          val minDg = Array.fill[Byte](16)(-1)
+          foreachShingleDigest(md, norm) { dg =>
+            var c = 0
+            var i = 0
+            while (c == 0 && i < 16) { c = (dg(i) & 0xff) - (minDg(i) & 0xff); i += 1 }
+            if (c < 0) System.arraycopy(dg, 0, minDg, 0, 16)
+          }
           (id, md5Hex(md, text), md5Hex(md, norm),
-            md5Hex(md, norm.split(' ').sorted.mkString(" ")), minShingle)
+            md5Hex(md, norm.split(' ').sorted.mkString(" ")), hex32(minDg))
         }
       }
       .toDF("doc_id", "full_md5", "norm_md5", "bag_md5", "min_shingle_md5")
@@ -185,17 +193,38 @@ object TextQueries {
     sb.toString
   }
 
-  /** Per-doc shingle scan shared by d02/t04: calls `f(fullHex)` for every
+  /** Per-doc shingle scan shared by d02/t04: calls `f(digest16)` for every
     * ShingleSize-char shingle of `norm` (same grid as the SQL
     * `substring(norm, pos, k)` explode — final shingles may be shorter;
-    * an empty norm yields one empty shingle). */
-  private def foreachShingleMd5(md: java.security.MessageDigest, norm: String)(f: String => Unit): Unit = {
+    * an empty norm yields one empty shingle). The 16-byte buffer is
+    * REUSED across calls — callers copy what they keep. Working on raw
+    * digest bytes instead of hex strings removes ~3 allocations and a
+    * 32-char format per shingle from the hottest kernel in the text
+    * family (fixed-width lowercase hex compares exactly like the unsigned
+    * bytes it encodes, so min-tracking is equivalent). */
+  private def foreachShingleDigest(md: java.security.MessageDigest, norm: String)(f: Array[Byte] => Unit): Unit = {
     val last = math.max(norm.length - (ShingleSize - 1), 1)
+    val buf = new Array[Byte](16)
     var i = 0
     while (i < last) {
-      f(md5Hex(md, norm.substring(i, math.min(i + ShingleSize, norm.length))))
+      md.reset()
+      md.update(norm.substring(i, math.min(i + ShingleSize, norm.length))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.digest(buf, 0, 16)
+      f(buf)
       i += 1
     }
+  }
+
+  private def hex32(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xF, 16))
+      sb.append(Character.forDigit(d(i) & 0xF, 16))
+      i += 1
+    }
+    sb.toString
   }
 
   /** d02: MinHash signatures — k independent 8-hex-char slices of ONE md5
@@ -217,16 +246,20 @@ object TextQueries {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, norm) =>
-          val mins = Array.fill(MinHashK)("￿")
-          foreachShingleMd5(md, norm) { hex =>
+          // each 8-hex slice == one big-endian uint32 of the digest; track
+          // mins as ints (unsigned compare), format once per doc. The
+          // 0xFFFFFFFF start loses to every slice (a tie formats the same).
+          val mins = Array.fill(MinHashK)(-1)
+          foreachShingleDigest(md, norm) { dg =>
             var k = 0
             while (k < MinHashK) {
-              val sub = hex.substring(k * 8, k * 8 + 8)
-              if (sub.compareTo(mins(k)) < 0) mins(k) = sub
+              val v = ((dg(4 * k) & 0xff) << 24) | ((dg(4 * k + 1) & 0xff) << 16) |
+                ((dg(4 * k + 2) & 0xff) << 8) | (dg(4 * k + 3) & 0xff)
+              if (java.lang.Integer.compareUnsigned(v, mins(k)) < 0) mins(k) = v
               k += 1
             }
           }
-          (id, mins(0), mins(1), mins(2), mins(3))
+          (id, f"${mins(0)}%08x", f"${mins(1)}%08x", f"${mins(2)}%08x", f"${mins(3)}%08x")
         }
       }
       .toDF("doc_id", "h0", "h1", "h2", "h3")
