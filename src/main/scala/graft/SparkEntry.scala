@@ -88,6 +88,9 @@ object SparkEntry {
     "d09_simhash_pairs" -> (TextQueries.d09SimhashPairs _),
     "w03_trailing_window" -> (RelationalQueries.w03TrailingWindow _),
     "q24_cube" -> (RelationalQueries.q24Cube _),
+    "s09_ann_multiprobe" -> (SimilarityQueries.s09AnnMultiprobe _),
+    "q25_sliding_windows" -> (RelationalQueries.q25SlidingWindows _),
+    "q26_correlated_subquery" -> (RelationalQueries.q26CorrelatedSubquery _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -232,6 +235,27 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // q26: the identical correlated-subquery SQL (threshold rearranged to
+    // exact-decimal multiplication on both sides)
+    "q26_correlated_subquery" ->
+      """SELECT l_partkey, COUNT(*) AS n_small,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        |FROM lineitem l1
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 *
+        |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        |      < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem l3
+        |         WHERE l3.l_partkey = l1.l_partkey)
+        |GROUP BY l_partkey""".stripMargin,
+    // q25: each event belongs to width/slide = 4 epoch-aligned windows —
+    // starts at slide * (us//slide - k), k in 0..3 (Spark's window() uses
+    // the same 1970-origin alignment)
+    "q25_sliding_windows" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |w AS (SELECT event_type, value, 900000000 * ((us // 900000000) - k.k) AS wstart
+        |      FROM e, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT wstart, event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS win_value
+        |FROM w GROUP BY wstart, event_type""".stripMargin,
     "q17_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -714,6 +738,31 @@ object SparkEntry {
          |      FROM c)
          |SELECT query_id, bucket, vec_id AS neighbor_id, cosine
          |FROM r WHERE rnk = 1""".stripMargin,
+    // s09: s03's bucket assignment + Hamming-1 probe fan-out on the query
+    // side; the all-probe candidate union re-ranked by exact cosine
+    "s09_ann_multiprobe" -> {
+      val probes = ("bucket" +: (0 until SimilarityQueries.AnchorCount)
+        .map(k => s"xor(bucket, ${1L << k})")).mkString("[", ", ", "]")
+      s"""WITH $dNrmCte,
+         |anch AS (SELECT vec_id - ${SimilarityQueries.AnchorFrom} AS anchor_id, v AS av FROM nrm
+         |         WHERE vec_id >= ${SimilarityQueries.AnchorFrom}
+         |           AND vec_id < ${SimilarityQueries.AnchorFrom + SimilarityQueries.AnchorCount}),
+         |bkt AS (SELECT n.vec_id,
+         |          CAST(SUM(CASE WHEN list_dot_product(n.v, a.av) > 0
+         |                   THEN CAST(pow(2, a.anchor_id) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |        FROM nrm n, anch a GROUP BY n.vec_id),
+         |b2 AS (SELECT nrm.vec_id, nrm.v, nrm.nrm, bkt.bucket FROM nrm JOIN bkt USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM b2
+         |      WHERE vec_id < ${SimilarityQueries.QueryCount}),
+         |p AS (SELECT query_id, qv, qnrm, unnest($probes) AS probe FROM q),
+         |c AS (SELECT query_id, vec_id, list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+         |      FROM p JOIN b2 ON p.probe = b2.bucket AND b2.vec_id != p.query_id),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk,
+         |        count(*) OVER (PARTITION BY query_id) AS n_cand
+         |      FROM c)
+         |SELECT query_id, vec_id AS neighbor_id, cosine, n_cand FROM r WHERE rnk = 1""".stripMargin
+    },
     // s08: the s01 (brute) and s03 (LSH) oracle bodies verbatim, CTEs
     // renamed b*/l* to compose in one scope; evaluation joins on query_id
     "s08_ann_recall" ->

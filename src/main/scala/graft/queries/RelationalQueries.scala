@@ -583,6 +583,48 @@ object RelationalQueries {
       .select(col("event_id"), col("user_id"), col("us"), col("n_1h"), col("v_1h"))
   }
 
+  /** q26: CORRELATED scalar subqueries (TPC-H Q17 shape) — per part, the
+    * "small-quantity" lineitems below 20% of that part's average
+    * quantity. Written as SQL because the correlated subquery IS the
+    * surface being exercised: Catalyst DECORRELATES both subqueries into
+    * one aggregate joined back on l_partkey — the plan contains a plain
+    * aggregate + join, no per-row subquery execution (the naive reading
+    * would be O(n) subqueries of O(n) each).
+    *
+    * Exactness: the threshold is rearranged from `qty < 0.2 * avg(qty)`
+    * to `qty * 5 * count < sum` so both engines compare exact DECIMALs —
+    * avg() output types/rounding differ by dialect, products and sums of
+    * decimals do not. */
+  def q26CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("q26_lineitem")
+    s.sql("""
+      SELECT l_partkey, COUNT(*) AS n_small,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+      FROM q26_lineitem l1
+      WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 *
+            (SELECT COUNT(*) FROM q26_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+            < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM q26_lineitem l3
+               WHERE l3.l_partkey = l1.l_partkey)
+      GROUP BY l_partkey""")
+  }
+
+  /** q25: SLIDING event-time windows — 1-hour windows every 15 minutes,
+    * via the built-in `window(ts, width, slide)` generator: each event
+    * lands in width/slide = 4 overlapping windows, then one hash
+    * aggregate. Completes the window-family triptych (q10 tumbling, w02
+    * sessions, q25 sliding); the streaming twin is
+    * [[graft.streaming.EventStreams.slidingCounts]] — the identical
+    * aggregate with a watermark.
+    *
+    * Scale: the 4× row expansion happens in the generator's projection
+    * (narrow), and partial aggregation collapses it BEFORE the exchange —
+    * the shuffle moves (window, type) partials, not exploded events. */
+  def q25SlidingWindows(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), out2(sum(dec2(col("value")))).as("win_value"))
+      .selectExpr("unix_micros(w.start) AS wstart", "event_type", "n", "win_value")
+
   /** q24: CUBE — all 2^k grouping sets (per-nation, per-region subtotals,
     * per-nation-across-regions, grand total) in one pass, with a portable
     * grouping id (`grouping(r)*2 + grouping(n)`, the bit order Spark's

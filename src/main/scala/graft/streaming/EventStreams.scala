@@ -19,6 +19,18 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** SLIDING event-time windows — q25's streaming twin: overlapping
+    * width/slide windows per event, watermark-bounded state. With q10 /
+    * [[hourlyCounts]] (tumbling) and w02 / [[sessionCounts]] (session)
+    * this completes the window-family triptych in both engines' modes. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total_value"))
+
   /** Event-time SESSION windows — w02's streaming twin, via the native
     * `session_window` aggregate: per user, events merge into one
     * [start, last+gap) session while each lands within `gap` of the

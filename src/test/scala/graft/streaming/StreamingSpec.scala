@@ -67,6 +67,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == batch.agg(sum("n")).head().getLong(0))
   }
 
+  test("sliding windows: streaming overlapping-window counts equal the batch aggregate") {
+    val src = Files.createTempDirectory("graft-slide-src").toString
+    graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = EventStreams.slidingCounts(stream).writeStream
+      .format("memory").queryName("sliding")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT CAST(wstart AS LONG) AS s, event_type, n FROM sliding")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStreams.slidingCounts(
+        graft.queries.Tables.events(spark, "/root/testdata/sf0.001"))
+      .selectExpr("CAST(wstart AS LONG) AS s", "event_type", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // every event lands in exactly width/slide = 4 windows
+    val total = graft.queries.Tables.events(spark, "/root/testdata/sf0.001").count()
+    assert(streamed.toSeq.map(_._3).sum == 4 * total)
+  }
+
   test("session windows: streaming sessionization equals the batch aggregate") {
     val src = Files.createTempDirectory("graft-sess-src").toString
     graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
