@@ -95,6 +95,53 @@ class PlanChecksSpec extends SparkSpec {
   // the one shuffle-counting rule, shared with the PLANS.md generator
   private def shuffles(p: String): Int = graft.tools.PlanAudit.countShuffles(p)
 
+  test("q24: cube expands PRE-AGGREGATED partials, never the fact table") {
+    val p = plan(RelationalQueries.q24Cube(spark, d))
+    assert(p.contains("Expand") && p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // Expand must sit ABOVE the first (partial) aggregate of the base
+    // query — i.e. the plan string shows an aggregate below it
+    val expandIdx = p.indexOf("Expand")
+    assert(p.indexOf("HashAggregate", expandIdx) >= 0,
+      "no aggregate below Expand — cube is multiplying raw fact rows:\n" + p.take(3000))
+  }
+
+  test("q25: sliding-window explode collapses by partial agg before the exchange") {
+    val p = plan(RelationalQueries.q25SlidingWindows(spark, d))
+    assert(shuffles(p) == 1, "one aggregate exchange expected:\n" + p.take(3000))
+    // partial aggregation below the shuffle: first HashAggregate in
+    // bottom-up order carries partial_ functions
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "no map-side partials — exploded rows would cross the exchange:\n" + p.take(3000))
+  }
+
+  test("w03: RANGE frame is one window pass, one shuffle") {
+    val p = plan(RelationalQueries.w03TrailingWindow(spark, d))
+    assert(p.contains("Window"))
+    assert(shuffles(p) == 1, "trailing window should shuffle once:\n" + p.take(3000))
+    assert(!p.contains("Join"), "RANGE frame must not plan a join:\n" + p.take(3000))
+  }
+
+  test("s09: multi-probe fan-out stays on the broadcast query side; no sort window") {
+    val p = plan(SimilarityQueries.s09AnnMultiprobe(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"))
+    // aggregate argmax, not a per-query row_number window
+    assert(!p.contains("Window"), "s09 must re-rank via aggregate, not a sort window:\n" + p.take(3000))
+  }
+
+  test("q26: correlated subqueries decorrelate into aggregate + join (no per-row subquery)") {
+    val p = plan(RelationalQueries.q26CorrelatedSubquery(spark, d))
+    assert(!p.contains("Subquery"), "subquery survived decorrelation:\n" + p.take(3000))
+    assert(p.contains("HashAggregate") && p.contains("Join"), p.take(3000))
+  }
+
+  test("d09: band join moves signatures only, never document text") {
+    val p = plan(graft.queries.TextQueries.d09SimhashPairs(spark, d))
+    assert(!p.toLowerCase.contains("text"),
+      "document text column crossed into the pair join plan:\n" + p.take(3000))
+  }
+
   test("r3 scale fixes stay locked: s03 assigns buckets narrowly (no corpus shuffle)") {
     val p = plan(SimilarityQueries.s03AnnLsh(spark, d))
     // anchors meet the corpus via a 1-row broadcast nested-loop, the query
