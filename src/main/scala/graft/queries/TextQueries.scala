@@ -344,9 +344,16 @@ object TextQueries {
         |         3L, (simhash div 4096) % 16) AS (band, nibble)""".stripMargin)
     val a = bands.toDF("a", "sha", "band", "nibble")
     val b = bands.toDF("b", "shb", "band", "nibble")
+    // dedup WITHOUT a distinct: a pair sharing several bands is emitted
+    // only from its FIRST shared band — decidable row-locally from the
+    // two signatures (codegen'd integer ops), so no 3-million-row
+    // distinct exchange exists in the plan
     val pairs = a.join(b, Seq("band", "nibble"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sha"), col("shb")).distinct()
+      .filter(expr(
+        """(band < 1 OR (sha % 16)         != (shb % 16)) AND
+          |(band < 2 OR ((sha div 16) % 16)  != ((shb div 16) % 16)) AND
+          |(band < 3 OR ((sha div 256) % 16) != ((shb div 256) % 16))""".stripMargin))
       .filter(expr(s"bit_count(sha ^ shb) <= $SimhashHammingMax"))
     val sym = pairs.selectExpr("a AS doc_id", "b AS partner")
       .union(pairs.selectExpr("b AS doc_id", "a AS partner"))
