@@ -152,20 +152,30 @@ object EventStreams {
     * stream-stream join state grows without bound, the streaming analogue
     * of the BNLJ scale wall. Batch twins: i01 (hand-binned) and i02
     * (auto-binned by [[graft.plans.RangeBinJoin]]). */
+  /** `joinType` "inner" (default) emits only matched pairs; "left_outer"
+    * ALSO emits each unmatched error once — with null prior columns —
+    * but only after the watermark proves no matching activity can still
+    * arrive (the null row is a watermark-triggered state-timeout event,
+    * which is why outer stream-stream joins REQUIRE the watermark). */
   def errorContextJoin(events: DataFrame, window: String = "10 minutes",
-                       watermarkDelay: String = "30 seconds"): DataFrame = {
-    val acts = events
+                       watermarkDelay: String = "30 seconds",
+                       joinType: String = "inner"): DataFrame = {
+    // watermark BEFORE the branch: the error leg filters most rows away,
+    // and a post-filter watermark would advance only on error arrivals —
+    // the combined (min) watermark would stall and outer state would
+    // never flush. Upstream, both legs inherit the full stream's clock.
+    val wm = events.withWatermark("ts", watermarkDelay)
+    val acts = wm
       .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
         col("event_id").as("a_id"))
-      .withWatermark("a_ts", watermarkDelay)
-    val errs = events.filter(col("event_type") === "error")
+    val errs = wm.filter(col("event_type") === "error")
       .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
         col("event_id").as("e_id"))
-      .withWatermark("e_ts", watermarkDelay)
     errs.join(acts,
       col("e_user") === col("a_user") &&
         col("a_ts") >= col("e_ts") - expr(s"INTERVAL $window") &&
-        col("a_ts") < col("e_ts"))
+        col("a_ts") < col("e_ts"),
+      joinType)
       .select(col("e_id").as("error_id"), col("e_user").as("user_id"),
         col("e_ts").as("error_ts"), col("a_id").as("prior_id"), col("a_ts").as("prior_ts"))
   }

@@ -349,7 +349,11 @@ class StreamingSpec extends SparkSpec {
     val events = input.toDF().toDF("user_id", "event_id", "event_type", "secs")
       .selectExpr("user_id", "event_id", "event_type",
         "CAST(secs AS TIMESTAMP) AS ts")
-    val joined = EventStreams.errorContextJoin(events, window = "10 minutes")
+    // 5-min delay: the error at t=250 arrives a batch after the stream
+    // clock reached 300 — within delay, so not dropped as late (the two
+    // legs share one upstream watermark)
+    val joined = EventStreams.errorContextJoin(events, window = "10 minutes",
+      watermarkDelay = "5 minutes")
     val q = joined.writeStream.format("memory").queryName("errctx")
       .outputMode("append").start()
     // batch 1: two prior views for user 1; user 2 noise
@@ -365,6 +369,35 @@ class StreamingSpec extends SparkSpec {
     // user 2's error at 1300 is > 10 min after its view at 300 → no match;
     // the error row itself (a_ts < e_ts strict) never self-joins
     assert(pairs == Set((12L, 10L), (12L, 11L)), s"got $pairs")
+  }
+
+  test("stream-stream LEFT OUTER join: unmatched errors emit nulls after the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF().toDF("user_id", "event_id", "event_type", "secs")
+      .selectExpr("user_id", "event_id", "event_type",
+        "CAST(secs AS TIMESTAMP) AS ts")
+    val joined = EventStreams.errorContextJoin(events, window = "10 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("errctx_outer")
+      .outputMode("append").start()
+    // user 1: error WITH prior activity; user 2: error with NO activity in window
+    input.addData((1L, 10L, "view", 100L), (1L, 11L, "error", 250L), (2L, 21L, "error", 300L))
+    q.processAllAvailable()
+    // the unmatched row may not emit yet: the watermark must first pass
+    // error_ts + window so no late activity can still match. Advance it.
+    input.addData((3L, 90L, "view", 5000L))
+    q.processAllAvailable()
+    input.addData((3L, 91L, "view", 9000L)) // second advance flushes outer state
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT error_id, prior_id FROM errctx_outer").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // matched pair for user 1, null-padded row for user 2 — exactly once
+    assert(rows == Set((11L, 10L), (21L, -1L)), s"got $rows")
   }
 
   test("streaming per-key top-k: bounded state refreshed across micro-batches") {
