@@ -16,7 +16,9 @@ class MergeSpec extends SparkSpec {
 
   /** Three 20-record segments: offsets 0..19 / 20..39 / 40..59; keys
     * k0..k59, values v0..v59. */
-  private def makeTable(): RecordTable = {
+  private def makeTable(): RecordTable = makeTableWithDir()._1
+
+  private def makeTableWithDir(): (RecordTable, String) = {
     val dir = Files.createTempDirectory("graft-merge").toString
     val table = new RecordTable(dir)
     (0 until 3).foreach { s =>
@@ -27,7 +29,7 @@ class MergeSpec extends SparkSpec {
       table.appendSegment(spark, f"seg-$base%03d",
         SegmentToRows.fromSegmentBytes(spark, Seq((0, out.toByteArray))))
     }
-    table
+    (table, dir)
   }
 
   /** Update rows at fresh offsets 100.. re-keying k25, k27 (new values)
@@ -97,6 +99,29 @@ class MergeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       table.merge(spark, upd, "CAST(key_raw AS STRING)", "merge-003"))
     assert(table.read(spark).count() == 60L, "failed merge changes nothing")
+  }
+
+  test("crash before the list rename is invisible: orphan data/manifest files don't serve") {
+    val (table, dir) = makeTableWithDir()
+    // simulate a merge that died after staging its rewrite + insert but
+    // BEFORE the _manifests.json rename (the single commit point): data
+    // file + manifest json exist, list doesn't reference them
+    val orphan = java.nio.file.Paths.get(dir, "data", "crashed-merge.parquet")
+    val donor = table.listManifests().head
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir).resolve(donor.file), orphan)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "manifests", "crashed-merge.json"),
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "manifests", s"${donor.segment}.json"))
+        .replace(donor.segment, "crashed-merge"))
+    // readers see exactly the committed 60 rows; the orphan never serves
+    assert(table.read(spark).count() == 60L)
+    assert(!table.listManifests().exists(_.segment == "crashed-merge"))
+    // and a subsequent REAL merge over the same table commits cleanly
+    val (replaced, inserted) =
+      table.merge(spark, updateRows(), "CAST(key_raw AS STRING)", "merge-after-crash")
+    assert(replaced == 2L && inserted == 3L)
+    assert(table.read(spark).count() == 61L)
   }
 
   test("insert-only merge (no matched keys) behaves as an append") {
