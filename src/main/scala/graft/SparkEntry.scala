@@ -91,6 +91,8 @@ object SparkEntry {
     "s09_ann_multiprobe" -> (SimilarityQueries.s09AnnMultiprobe _),
     "q25_sliding_windows" -> (RelationalQueries.q25SlidingWindows _),
     "q26_correlated_subquery" -> (RelationalQueries.q26CorrelatedSubquery _),
+    "w04_window_zoo" -> (RelationalQueries.w04WindowZoo _),
+    "a04_histogram" -> (RelationalQueries.a04Histogram _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -235,6 +237,32 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // w04: same total order on both sides makes every ranking/navigation
+    // function deterministic; percent_rank/cume_dist are integer-ratio
+    // doubles (identical operands -> identical rounding)
+    "w04_window_zoo" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  first_value(o_orderkey) OVER w AS top_key,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    // a04: integer-cents binning — bin and bounds are pure integer
+    // arithmetic, no double division to disagree about
+    "a04_histogram" ->
+      s"""WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM orders),
+         |m AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM c),
+         |b AS (SELECT (c.c - m.mn) * ${RelationalQueries.HistBins} // (m.mx - m.mn + 1) AS bin, m.mn, m.mx
+         |      FROM c, m)
+         |SELECT bin, COUNT(*) AS n,
+         |       MIN(mn) + (bin * (MIN(mx) - MIN(mn) + 1)) // ${RelationalQueries.HistBins} AS lo_cents,
+         |       MIN(mn) + ((bin + 1) * (MIN(mx) - MIN(mn) + 1)) // ${RelationalQueries.HistBins} - 1 AS hi_cents
+         |FROM b GROUP BY bin""".stripMargin,
     // q26: the identical correlated-subquery SQL (threshold rearranged to
     // exact-decimal multiplication on both sides)
     "q26_correlated_subquery" ->

@@ -583,6 +583,53 @@ object RelationalQueries {
       .select(col("event_id"), col("user_id"), col("us"), col("n_1h"), col("v_1h"))
   }
 
+  /** w04: the ranking/navigation window-function family in one pass —
+    * row_number, ntile, lead/lag, first_value, percent_rank, cume_dist
+    * over ONE total order (price DESC, key ASC). The total order is what
+    * makes every one of them deterministic AND makes rank ==
+    * row_number (no peers), so both engines agree bit-for-bit —
+    * percent_rank/cume_dist are integer-ratio doubles, correctly rounded
+    * identically from identical operands. One shuffle (the partition),
+    * one sort, seven functions — the plan cost of a window family is the
+    * partition, not the function count. */
+  def w04WindowZoo(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d).filter(col("o_custkey") <= 100)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+      .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("top_key", first(col("o_orderkey")).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .drop("o_totalprice")
+  }
+
+  /** Histogram bin count for a04. */
+  val HistBins = 10
+
+  /** a04: equi-width HISTOGRAM profiling (the ANALYZE companion of a03's
+    * min/max/distinct) — order totalprice into [[HistBins]] equal-width
+    * bins. EXACT cross-engine: prices become integer CENTS, and the bin
+    * is pure integer arithmetic `((c - min) * bins) div (max - min + 1)`
+    * — no double division to disagree about. The min/max pass is one
+    * 1-row aggregate broadcast back (scalar-sized exchange); binning is a
+    * narrow projection + one hash aggregate. */
+  def a04Histogram(s: SparkSession, d: String): DataFrame = {
+    val cents = orders(s, d)
+      .selectExpr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+    val mm = cents.agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+    cents.crossJoin(broadcast(mm))
+      .selectExpr(s"(c - mn) * $HistBins div (mx - mn + 1) AS bin", "mn", "mx")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("mn")).as("mn0"), min(col("mx")).as("mx0"))
+      .selectExpr("bin", "n",
+        s"mn0 + (bin * (mx0 - mn0 + 1)) div $HistBins AS lo_cents",
+        s"mn0 + ((bin + 1) * (mx0 - mn0 + 1)) div $HistBins - 1 AS hi_cents")
+  }
+
   /** q26: CORRELATED scalar subqueries (TPC-H Q17 shape) — per part, the
     * "small-quantity" lineitems below 20% of that part's average
     * quantity. Written as SQL because the correlated subquery IS the

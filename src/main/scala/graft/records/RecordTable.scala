@@ -559,7 +559,11 @@ final class RecordTable(tableDir: String) {
 
     if (replaced > 0L || inserted > 0L) {
       commitList(names) // the single all-or-nothing visibility point
-      retired.result().foreach { m =>
+      // GC only names that left the table: a REPLAYED merge can retire
+      // and re-insert the SAME segment name (its file was replaced
+      // in-place) — deleting it here would gut the fresh commit
+      val live = names.toSet
+      retired.result().filterNot(m => live.contains(m.segment)).foreach { m =>
         Files.deleteIfExists(manifestDir.resolve(s"${m.segment}.json"))
         Files.deleteIfExists(manifestDir.resolve(s"${m.segment}.puffin"))
         Files.deleteIfExists(Paths.get(tableDir).resolve(m.file))

@@ -116,6 +116,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming upsert (CDC apply): per-batch merge keeps one latest row per key") {
+    import graft.records._
+    import KafkaWireCodec._
+    def kb(s: String) = s.getBytes("UTF-8")
+    def rowsOf(base: Long, recs: Seq[(String, String)]) = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(writeBatch(buildBatch(base, 1700000000000L + base,
+        recs.map { case (k, v) => (kb(k), kb(v), Seq.empty[Header]) })))
+      SegmentToRows.fromSegmentBytes(spark, Seq((0, out.toByteArray)))
+    }
+    val tableDir = Files.createTempDirectory("graft-upsert-table").toString
+    val table = new RecordTable(tableDir)
+    // seed the table so the first CDC batch both replaces and inserts
+    table.appendSegment(spark, "seed",
+      rowsOf(0L, Seq("a" -> "v0", "b" -> "v0")))
+
+    val srcDir = Files.createTempDirectory("graft-upsert-src").toString
+    // batch content: a updated twice IN ONE BATCH (offset order decides),
+    // c is brand new
+    rowsOf(100L, Seq("a" -> "stale", "a" -> "fresh", "c" -> "new"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft-upsert-ckpt").toString
+    val q = UpsertStream.start(spark, stream, table, "CAST(key_raw AS STRING)", ckpt)
+    q.awaitTermination(120000)
+
+    val state = table.read(spark)
+      .selectExpr("CAST(key_raw AS STRING) AS k", "CAST(value_raw AS STRING) AS v")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state == Map("a" -> "fresh", "b" -> "v0", "c" -> "new"), s"got $state")
+
+    // a second stream over the SAME source + a fresh checkpoint replays the
+    // batch — merge converges to the identical state (no duplicates)
+    val ckpt2 = Files.createTempDirectory("graft-upsert-ckpt2").toString
+    val q2 = UpsertStream.start(spark,
+      spark.readStream.schema(schema).parquet(srcDir), table,
+      "CAST(key_raw AS STRING)", ckpt2)
+    q2.awaitTermination(120000)
+    assert(table.read(spark).count() == 3L)
+  }
+
   test("streaming read of the records table sees appended segments") {
     import graft.records._
     import org.apache.spark.sql.streaming.Trigger
