@@ -93,6 +93,7 @@ object SparkEntry {
     "q26_correlated_subquery" -> (RelationalQueries.q26CorrelatedSubquery _),
     "w04_window_zoo" -> (RelationalQueries.w04WindowZoo _),
     "a04_histogram" -> (RelationalQueries.a04Histogram _),
+    "g01_pagerank" -> (TextQueries.g01PageRank _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -557,6 +558,7 @@ object SparkEntry {
          |  md5(array_to_string(list_sort(list_distinct($dToks)), ' ')) AS bag_md5 FROM documents)
          |SELECT bag_md5, min(doc_id) AS keeper, count(*) AS dup_cnt
          |FROM b GROUP BY bag_md5 HAVING count(*) >= 2""".stripMargin,
+    "g01_pagerank" -> pageRankSql,
     "d02_minhash_sig" -> minHashSigSql,
     "d03_minhash_pairs" -> minHashPairsSql,
     "d04_simhash" -> simhashSql,
@@ -871,6 +873,27 @@ object SparkEntry {
        |  UNION
        |  SELECT r.src, e.y FROM reach r JOIN edges e ON e.x = r.dst)
        |SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src""".stripMargin
+
+  /** DuckDB mirror of [[graft.queries.TextQueries.g01PageRank]]: the same
+    * integer fixed-point recurrence unrolled PrIters times. */
+  private def pageRankSql: String = {
+    val S = TextQueries.PrScale
+    val body = (1 to TextQueries.PrIters).map { i =>
+      s"""c$i AS (SELECT e.dst, SUM(r${i - 1}.r // dg.deg) AS s
+         |      FROM edges e JOIN r${i - 1} ON e.src = r${i - 1}.doc_id
+         |      JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+         |r$i AS (SELECT n.doc_id,
+         |          CAST((15 * $S) // 100 + (85 * coalesce(c$i.s, 0)) // 100 AS BIGINT) AS r
+         |        FROM n LEFT JOIN c$i ON n.doc_id = c$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS ($minHashPairsSql),
+       |edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |n AS (SELECT doc_id FROM documents),
+       |r0 AS (SELECT doc_id, CAST($S AS BIGINT) AS r FROM n),
+       |$body
+       |SELECT doc_id, r FROM r${TextQueries.PrIters}""".stripMargin
+  }
 
   /** DuckDB mirror of [[graft.queries.TextQueries.d04SimHash]] — shared by
     * the d04 oracle and d09's all-pairs Hamming verification. */

@@ -366,6 +366,46 @@ object TextQueries {
         "least(coalesce(p_min, doc_id), doc_id) AS rep")
   }
 
+  /** g01 fixed-point scale (1e6 = 6 decimal digits of rank precision). */
+  val PrScale = 1000000L
+  /** g01 iteration count — unrolled identically in the oracle. */
+  val PrIters = 3
+
+  /** g01: PAGERANK over the LSH similarity graph — the iterative
+    * fixed-point join family (the remaining operator class after d07's
+    * connected components): rank flows along d03's candidate edges for
+    * [[PrIters]] damped iterations. All arithmetic is INTEGER fixed-point
+    * (scale [[PrScale]], floor division) — contributions `r div deg` and
+    * the damped update `(15·S) div 100 + (85·Σ) div 100` are exact in
+    * both engines, so the oracle (the same recurrence unrolled in SQL)
+    * matches bit-for-bit; double-based PageRank could never strict-pass
+    * (order-dependent sums).
+    *
+    * Scale: each iteration is one equi-join of the EDGE list (≪ corpus —
+    * these are LSH candidate pairs) against the rank vector plus one
+    * aggregate; `localCheckpoint` truncates lineage per iteration — the
+    * discipline every iterative Spark job needs (without it the plan
+    * doubles each round and the driver dies of analysis, not data). */
+  def g01PageRank(s: SparkSession, d: String): DataFrame = {
+    val pairs = d03MinHashPairs(s, d).localCheckpoint(true)
+    val edges = pairs.selectExpr("a AS src", "b AS dst")
+      .union(pairs.selectExpr("b AS src", "a AS dst")).localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = documents(s, d).select(col("doc_id"))
+    var ranks = nodes.selectExpr("doc_id", s"CAST($PrScale AS BIGINT) AS r")
+    (1 to PrIters).foreach { _ =>
+      val contrib = edges.join(deg, "src")
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .selectExpr("dst", "r div deg AS c")
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.join(contrib, col("doc_id") === col("dst"), "left")
+        .selectExpr("doc_id",
+          s"CAST((15 * $PrScale) div 100 + (85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100 AS BIGINT) AS r")
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Block count for d05's exact all-pairs join (see
     * [[graft.queries.SimilarityQueries.NearDupBlocks]] for the sizing
     * rule: per-task memory = 2·n/B documents' token sets; raise B with
