@@ -355,6 +355,10 @@ object TextQueries {
           |(band < 2 OR ((sha div 16) % 16)  != ((shb div 16) % 16)) AND
           |(band < 3 OR ((sha div 256) % 16) != ((shb div 256) % 16))""".stripMargin))
       .filter(expr(s"bit_count(sha ^ shb) <= $SimhashHammingMax"))
+      // materialized once: the symmetric union below references pairs
+      // twice, and an un-checkpointed plan would run the band join +
+      // popcount verify once per union leg (d03From precedent)
+      .localCheckpoint(true)
     val sym = pairs.selectExpr("a AS doc_id", "b AS partner")
       .union(pairs.selectExpr("b AS doc_id", "a AS partner"))
     sig.select(col("doc_id"))

@@ -261,32 +261,54 @@ final class RecordTable(tableDir: String) {
       case None => rows.schema
     }
     val aligned = alignTo(rows, newSchema)
+    commitSchema(newSchema)
+    // allowReplace: re-appending the SAME segment name is the idempotent
+    // replay path (TopicIngestStream) — identical content replaces itself
+    val meta = publishDataFile(aligned, segmentName, allowReplace = true)
+    commitList((activeNames :+ meta.segment).distinct)
+    meta
+  }
+
+  /** Stage `df` and publish `data/<name>.parquet` + puffin sidecar +
+    * `manifests/<name>.json` — everything EXCEPT the `_manifests.json`
+    * visibility flip, which the CALLER performs (per-op, so multi-file
+    * operations stay all-or-nothing behind one rename).
+    *
+    * `allowReplace = false` guarantees the data file written is a FRESH
+    * path: a base name that collides with any existing data file (live or
+    * staged earlier in the same operation) gets a `~N` suffix. That is
+    * what keeps copy-on-write legs from mutating committed state before
+    * their commit point — a half-done rewrite must never have overwritten
+    * a file the current manifest list still references. (Name generations
+    * derived from the snapshot count are NOT unique: snapshot expiry
+    * makes the count non-monotonic.) */
+  private def publishDataFile(df: DataFrame, base: String, allowReplace: Boolean): DataFileMeta = {
     Files.createDirectories(dataDir)
     Files.createDirectories(manifestDir)
-
-    val staging = Files.createTempDirectory(Paths.get(tableDir), s".stage-$segmentName-")
-    aligned.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    var name = base
+    if (!allowReplace) {
+      var i = 1
+      while (Files.exists(dataDir.resolve(s"$name.parquet"))) { name = s"$base~$i"; i += 1 }
+    }
+    val staging = Files.createTempDirectory(Paths.get(tableDir), s".stage-$name-")
+    df.coalesce(1).sortWithinPartitions(col("kafka.offset"))
+      .write.mode("overwrite").parquet(staging.toString)
     val part = Files.list(staging).iterator().asScala.find(_.toString.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("no parquet output"))
-    val target = dataDir.resolve(s"$segmentName.parquet")
-    Files.move(part, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(part, dataDir.resolve(s"$name.parquet"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     Files.walk(staging).iterator().asScala.toVector.reverse.foreach(Files.deleteIfExists(_))
-
-    val stats = aligned.agg(
+    val stats = df.agg(
       min(col("kafka.offset")), max(col("kafka.offset")),
       min(col("kafka.batch_byte_offset")), max(col("kafka.batch_byte_offset")),
       count(lit(1))).head()
-    val meta = DataFileMeta(s"data/$segmentName.parquet", segmentName,
+    val meta = DataFileMeta(s"data/$name.parquet", name,
       stats.getLong(0), stats.getLong(1), stats.getInt(2), stats.getInt(3), stats.getLong(4))
-
-    commitSchema(newSchema)
     writePuffinSidecar(meta)
-    // manifest rename then list update = the visibility/commit point
-    val tmp = Files.createTempFile(manifestDir, s".m-$segmentName-", ".tmp")
+    val tmp = Files.createTempFile(manifestDir, s".m-$name-", ".tmp")
     Files.writeString(tmp, metaToJson(meta))
-    Files.move(tmp, manifestDir.resolve(s"$segmentName.json"),
+    Files.move(tmp, manifestDir.resolve(s"$name.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    commitList((activeNames :+ segmentName).distinct)
     meta
   }
 
@@ -420,27 +442,9 @@ final class RecordTable(tableDir: String) {
         if (nMatch == m.rowCount) {
           names = names.filterNot(_ == m.segment) // whole file dies
         } else {
-          val name = s"${m.segment}-del$gen"
-          val staging = Files.createTempDirectory(Paths.get(tableDir), s".stage-$name-")
-          df.filter(!isMatch).coalesce(1).sortWithinPartitions(col("kafka.offset"))
-            .write.mode("overwrite").parquet(staging.toString)
-          val part = Files.list(staging).iterator().asScala.find(_.toString.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException("no parquet output"))
-          Files.move(part, dataDir.resolve(s"$name.parquet"),
-            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-          Files.walk(staging).iterator().asScala.toVector.reverse.foreach(Files.deleteIfExists(_))
-          val stats = spark.read.schema(schema).parquet(dataDir.resolve(s"$name.parquet").toString)
-            .agg(min(col("kafka.offset")), max(col("kafka.offset")),
-              min(col("kafka.batch_byte_offset")), max(col("kafka.batch_byte_offset")),
-              count(lit(1))).head()
-          val meta = DataFileMeta(s"data/$name.parquet", name,
-            stats.getLong(0), stats.getLong(1), stats.getInt(2), stats.getInt(3), stats.getLong(4))
-          writePuffinSidecar(meta)
-          val tmp = Files.createTempFile(manifestDir, s".m-$name-", ".tmp")
-          Files.writeString(tmp, metaToJson(meta))
-          Files.move(tmp, manifestDir.resolve(s"$name.json"),
-            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-          names = names.map(n => if (n == m.segment) name else n)
+          val meta = publishDataFile(df.filter(!isMatch), s"${m.segment}-del$gen",
+            allowReplace = false)
+          names = names.map(n => if (n == m.segment) meta.segment else n)
         }
       }
     }
@@ -486,6 +490,10 @@ final class RecordTable(tableDir: String) {
     // the final insert write
     val aligned = alignTo(updates, newSchema).localCheckpoint(true)
     val inserted = aligned.count()
+    // NULL is ONE key value throughout: the dup check groups nulls
+    // together and the probes below join null-safely (<=>), so a
+    // null-keyed update replaces the (single) null-keyed row like any
+    // other key — no silent duplication, no spurious rejection
     val dupKeys = aligned.groupBy(expr(keyExpr)).count().filter(col("count") > 1).count()
     require(dupKeys == 0L, s"updates carry $dupKeys duplicate merge keys")
     val keys = broadcast(aligned.select(expr(keyExpr).as("__mk")))
@@ -498,70 +506,37 @@ final class RecordTable(tableDir: String) {
     val gen = snapshotFiles().size + 1
     listManifests().foreach { m =>
       val df = spark.read.schema(newSchema).parquet(Paths.get(tableDir).resolve(m.file).toString)
-      val nMatch = df.join(keys, expr(keyExpr) === col("__mk"), "left_semi").count()
+      val nMatch = df.join(keys, expr(keyExpr) <=> col("__mk"), "left_semi").count()
       if (nMatch > 0L) {
         replaced += nMatch
         retired += m
         if (nMatch == m.rowCount) {
           names = names.filterNot(_ == m.segment)
         } else {
-          val name = s"${m.segment}-m$gen"
-          val staging = Files.createTempDirectory(Paths.get(tableDir), s".stage-$name-")
-          df.join(keys, expr(keyExpr) === col("__mk"), "left_anti")
-            .coalesce(1).sortWithinPartitions(col("kafka.offset"))
-            .write.mode("overwrite").parquet(staging.toString)
-          val part = Files.list(staging).iterator().asScala.find(_.toString.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException("no parquet output"))
-          Files.move(part, dataDir.resolve(s"$name.parquet"),
-            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-          Files.walk(staging).iterator().asScala.toVector.reverse.foreach(Files.deleteIfExists(_))
-          val stats = spark.read.schema(newSchema).parquet(dataDir.resolve(s"$name.parquet").toString)
-            .agg(min(col("kafka.offset")), max(col("kafka.offset")),
-              min(col("kafka.batch_byte_offset")), max(col("kafka.batch_byte_offset")),
-              count(lit(1))).head()
-          val meta = DataFileMeta(s"data/$name.parquet", name,
-            stats.getLong(0), stats.getLong(1), stats.getInt(2), stats.getInt(3), stats.getLong(4))
-          writePuffinSidecar(meta)
-          val tmp = Files.createTempFile(manifestDir, s".m-$name-", ".tmp")
-          Files.writeString(tmp, metaToJson(meta))
-          Files.move(tmp, manifestDir.resolve(s"$name.json"),
-            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-          names = names.map(n => if (n == m.segment) name else n)
+          val meta = publishDataFile(
+            df.join(keys, expr(keyExpr) <=> col("__mk"), "left_anti"),
+            s"${m.segment}-m$gen", allowReplace = false)
+          names = names.map(n => if (n == m.segment) meta.segment else n)
         }
       }
     }
 
-    // insert leg: the update rows as one new data file, staged like
-    // appendSegment but published by the SAME commitList as the rewrites
+    // insert leg: the update rows as one new data file, published by the
+    // SAME commitList as the rewrites. allowReplace = false: a replayed
+    // batch may reuse the segment name while the old file is still LIVE
+    // (or only partially retired) — writing a fresh path keeps committed
+    // state untouched until the rename; replays converge by state, not
+    // by file name
     if (inserted > 0L) {
-      val staging = Files.createTempDirectory(Paths.get(tableDir), s".stage-$segmentName-")
-      aligned.coalesce(1).sortWithinPartitions(col("kafka.offset"))
-        .write.mode("overwrite").parquet(staging.toString)
-      val part = Files.list(staging).iterator().asScala.find(_.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException("no parquet output"))
-      Files.move(part, dataDir.resolve(s"$segmentName.parquet"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      Files.walk(staging).iterator().asScala.toVector.reverse.foreach(Files.deleteIfExists(_))
-      val stats = spark.read.schema(newSchema).parquet(dataDir.resolve(s"$segmentName.parquet").toString)
-        .agg(min(col("kafka.offset")), max(col("kafka.offset")),
-          min(col("kafka.batch_byte_offset")), max(col("kafka.batch_byte_offset")),
-          count(lit(1))).head()
-      val meta = DataFileMeta(s"data/$segmentName.parquet", segmentName,
-        stats.getLong(0), stats.getLong(1), stats.getInt(2), stats.getInt(3), stats.getLong(4))
       commitSchema(newSchema)
-      writePuffinSidecar(meta)
-      val tmp = Files.createTempFile(manifestDir, s".m-$segmentName-", ".tmp")
-      Files.writeString(tmp, metaToJson(meta))
-      Files.move(tmp, manifestDir.resolve(s"$segmentName.json"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      names = (names :+ segmentName).distinct
+      val meta = publishDataFile(aligned, segmentName, allowReplace = false)
+      names = (names :+ meta.segment).distinct
     }
 
     if (replaced > 0L || inserted > 0L) {
       commitList(names) // the single all-or-nothing visibility point
-      // GC only names that left the table: a REPLAYED merge can retire
-      // and re-insert the SAME segment name (its file was replaced
-      // in-place) — deleting it here would gut the fresh commit
+      // GC only names that left the table — defensive guard against any
+      // retired name that is (or became) live again in this commit
       val live = names.toSet
       retired.result().filterNot(m => live.contains(m.segment)).foreach { m =>
         Files.deleteIfExists(manifestDir.resolve(s"${m.segment}.json"))

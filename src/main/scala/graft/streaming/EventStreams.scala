@@ -24,9 +24,10 @@ object EventStreams {
     * [[hourlyCounts]] (tumbling) and w02 / [[sessionCounts]] (session)
     * this completes the window-family triptych in both engines' modes. */
   def slidingCounts(events: DataFrame, width: String = "1 hour",
-                    slide: String = "15 minutes"): DataFrame =
+                    slide: String = "15 minutes",
+                    watermarkDelay: String = "2 hours"): DataFrame =
     events
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total_value"))

@@ -16,11 +16,11 @@ import graft.records.RecordTable
   * precondition.
   *
   * Exactly-once shape: the checkpoint makes batch ids stable across
-  * restarts, the segment name carries the batch id, and a replayed batch
-  * re-merges the same rows into the same segment name — the data file is
-  * REPLACED by an identical one inside an idempotent commit, so replays
-  * converge instead of duplicating (the same discipline as
-  * `TopicIngestStream`). */
+  * restarts; a replayed batch re-merges the same rows, whose keys match
+  * the previously-merged rows and replace them — replays CONVERGE BY
+  * STATE (merge never overwrites a live data file in place; re-used
+  * segment names land on fresh `~N` paths behind the same atomic
+  * commit). */
 object UpsertStream {
 
   def start(spark: SparkSession, updates: DataFrame, table: RecordTable,

@@ -75,7 +75,8 @@ object TableFormatDemo {
     val before = state()
     table.compact(spark, targetBytes = 1L << 20)
     assert(state() == before)
-    assert(table.listManifests().size == 1, "4 small files should pack into 1")
+    assert(table.listManifests().size == 1,
+      "the 3 small files (seg-a rewrite, seg-b delete-rewrite, merge-1) should pack into 1")
     println(s"[demo] compacted to ${table.listManifests().size} file; state intact")
 
     println("[demo] table-format lifecycle OK")

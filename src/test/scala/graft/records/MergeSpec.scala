@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.testkit.SparkSpec
+import graft.testkit.{SparkSpec, WireData}
 import KafkaWireCodec._
 
 /** Copy-on-write MERGE (upsert): matched keys leave their files via

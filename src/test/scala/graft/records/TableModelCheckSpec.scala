@@ -4,8 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.testkit.SparkSpec
-import KafkaWireCodec._
+import graft.testkit.{SparkSpec, WireData}
 
 /** MODEL CHECK of the table-format surface: a pseudo-random op sequence
   * (append / merge / deleteWhere) runs against both the RecordTable and a
@@ -15,14 +14,8 @@ import KafkaWireCodec._
   * of just-merged keys, name collisions across generations). */
 class TableModelCheckSpec extends SparkSpec {
 
-  private def kb(s: String): Array[Byte] = s.getBytes("UTF-8")
-
-  private def rowsOf(base: Long, recs: Seq[(String, String)]) = {
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(writeBatch(buildBatch(base, 1700000000000L + base,
-      recs.map { case (k, v) => (kb(k), kb(v), Seq.empty[Header]) })))
-    SegmentToRows.fromSegmentBytes(spark, Seq((0, out.toByteArray)))
-  }
+  private def rowsOf(base: Long, recs: Seq[(String, String)]) =
+    WireData.recordRows(spark, base, recs)
 
   private def tableState(t: RecordTable): Map[String, String] =
     t.read(spark)

@@ -118,14 +118,8 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming upsert (CDC apply): per-batch merge keeps one latest row per key") {
     import graft.records._
-    import KafkaWireCodec._
-    def kb(s: String) = s.getBytes("UTF-8")
-    def rowsOf(base: Long, recs: Seq[(String, String)]) = {
-      val out = new java.io.ByteArrayOutputStream()
-      out.write(writeBatch(buildBatch(base, 1700000000000L + base,
-        recs.map { case (k, v) => (kb(k), kb(v), Seq.empty[Header]) })))
-      SegmentToRows.fromSegmentBytes(spark, Seq((0, out.toByteArray)))
-    }
+    def rowsOf(base: Long, recs: Seq[(String, String)]) =
+      graft.testkit.WireData.recordRows(spark, base, recs)
     val tableDir = Files.createTempDirectory("graft-upsert-table").toString
     val table = new RecordTable(tableDir)
     // seed the table so the first CDC batch both replaces and inserts
