@@ -124,6 +124,36 @@ class MergeSpec extends SparkSpec {
     assert(table.read(spark).count() == 61L)
   }
 
+  test("NULL is one merge key: a null-keyed update replaces the null-keyed row") {
+    val table = makeTable()
+    // seed a null-keyed record (Kafka allows keyless produces)
+    val out0 = new java.io.ByteArrayOutputStream()
+    out0.write(writeBatch(buildBatch(500L, 1700000005000L,
+      Seq((null, kb("unkeyed-v1"), Seq.empty[Header])))))
+    table.appendSegment(spark, "nullseed",
+      SegmentToRows.fromSegmentBytes(spark, Seq((0, out0.toByteArray))))
+    assert(table.read(spark).count() == 61L)
+    // merge another null-keyed record: must REPLACE, not duplicate
+    val out1 = new java.io.ByteArrayOutputStream()
+    out1.write(writeBatch(buildBatch(600L, 1700000006000L,
+      Seq((null, kb("unkeyed-v2"), Seq.empty[Header])))))
+    val (replaced, inserted) = table.merge(spark,
+      SegmentToRows.fromSegmentBytes(spark, Seq((0, out1.toByteArray))),
+      "CAST(key_raw AS STRING)", "merge-null")
+    assert(replaced == 1L && inserted == 1L)
+    assert(table.read(spark).count() == 61L)
+    val v = table.read(spark).filter(col("key_raw").isNull)
+      .selectExpr("CAST(value_raw AS STRING)").collect().map(_.getString(0)).toSeq
+    assert(v == Seq("unkeyed-v2"))
+    // two null-keyed updates in ONE merge are duplicates of the same key
+    val out2 = new java.io.ByteArrayOutputStream()
+    out2.write(writeBatch(buildBatch(700L, 1700000007000L,
+      Seq((null, kb("x"), Seq.empty[Header]), (null, kb("y"), Seq.empty[Header])))))
+    intercept[IllegalArgumentException](table.merge(spark,
+      SegmentToRows.fromSegmentBytes(spark, Seq((0, out2.toByteArray))),
+      "CAST(key_raw AS STRING)", "merge-null2"))
+  }
+
   test("insert-only merge (no matched keys) behaves as an append") {
     val table = makeTable()
     val out = new java.io.ByteArrayOutputStream()
