@@ -181,6 +181,48 @@ object EventStreams {
         col("e_ts").as("error_ts"), col("a_id").as("prior_id"), col("a_ts").as("prior_ts"))
   }
 
+  final case class TrailState(buf: List[(Long, Double)]) // (us asc, value)
+  final case class TrailUpdate(event_id: Long, user_id: Long, us: Long,
+                               n_1h: Long, v_1h: Double)
+
+  /** Streaming twin of the batch w03 value-RANGE trailing window — a shape
+    * Structured Streaming has NO built-in for (window()/session_window()
+    * bucket rows; a RANGE frame needs per-EVENT trailing state), so it is
+    * a custom stateful operator: per user, a buffer of the last hour's
+    * (ts, value) pairs, evicted by VALUE distance as each event lands —
+    * state is bounded by the window's content, the flatMapGroups analogue
+    * of the frame bound. Each input event emits its trailing count + sum.
+    *
+    * Exactness contract: sums reproduce the batch query's
+    * DECIMAL(18,2)-cast arithmetic (per-element HALF_UP, exact
+    * accumulation), so an in-order stream yields bit-identical rows to
+    * w03. Events are processed in (ts, event_id) order within a batch;
+    * across batches the per-user stream must be non-decreasing in time
+    * (the watermarked-source contract) — a straggler older than the
+    * evicted horizon would undercount its frame. */
+  def trailingCounts(spark: SparkSession, events: DataFrame,
+                     windowUs: Long = 3600L * 1000000): Dataset[TrailUpdate] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "event_id", "unix_micros(ts) AS us", "value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)], state: GroupState[TrailState]) =>
+          var buf = state.getOption.map(_.buf).getOrElse(Nil)
+          val out = rows.toVector.sortBy(r => (r._3, r._2)).map { case (_, id, us, v) =>
+            buf = (buf :+ (us, v)).filter(_._1 >= us - windowUs)
+            val inFrame = buf.filter(_._1 <= us) // peers included, like RANGE
+            val sum = inFrame.foldLeft(java.math.BigDecimal.ZERO) { (acc, t) =>
+              acc.add(java.math.BigDecimal.valueOf(t._2)
+                .setScale(2, java.math.RoundingMode.HALF_UP))
+            }
+            TrailUpdate(id, user, us, inFrame.size.toLong, sum.doubleValue)
+          }
+          state.update(TrailState(buf))
+          out.iterator
+      }
+  }
+
   final case class TopKState(items: List[(Long, Long)]) // (value desc, id asc)
   final case class TopKUpdate(user_id: Long, top_ids: Seq[Long], top_values: Seq[Long])
 

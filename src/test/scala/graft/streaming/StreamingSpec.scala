@@ -92,6 +92,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq.map(_._3).sum == 4 * total)
   }
 
+  test("trailing RANGE window: stateful streaming twin equals batch w03 bit-for-bit") {
+    import spark.implicits._
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    // two time-ordered files -> two micro-batches: the second batch's
+    // frames reach back into state carried from the first
+    val src = Files.createTempDirectory("graft-trail-src").toString
+    val cut = events.selectExpr("percentile_approx(ts, 0.5) AS m").head().getTimestamp(0)
+    events.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    events.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = EventStreams.trailingCounts(spark, stream).writeStream
+      .format("memory").queryName("trail")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT event_id, n_1h, v_1h FROM trail")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.queries.RelationalQueries
+      .w03TrailingWindow(spark, "/root/testdata/sf0.001")
+      .select("event_id", "n_1h", "v_1h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("session windows: streaming sessionization equals the batch aggregate") {
     val src = Files.createTempDirectory("graft-sess-src").toString
     graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
