@@ -342,7 +342,7 @@ object SparkEntry {
          |                   window_id * ${TextQueries.WindowTokens - TextQueries.WindowOverlap} + ${TextQueries.WindowTokens}) AS w
          |      FROM e)
          |SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
-         |       array_to_string(w, ' ') AS chunk_text, CAST(len(w) AS BIGINT) AS n_tokens
+         |       coalesce(array_to_string(w, ' '), '') AS chunk_text, CAST(len(w) AS BIGINT) AS n_tokens
          |FROM w""".stripMargin,
     "x02_pack_bins" ->
       s"""WITH t AS (SELECT doc_id, lang, CAST(len($dToks) AS BIGINT) AS n_tokens FROM documents),
@@ -391,17 +391,6 @@ object SparkEntry {
          |SELECT doc_id, shard,
          |       CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos
          |FROM s""".stripMargin,
-    "a03_table_stats" ->
-      """SELECT COUNT(*) AS n_rows,
-        |       COUNT(DISTINCT l_orderkey) AS d_orderkeys,
-        |       COUNT(DISTINCT l_partkey) AS d_parts,
-        |       COUNT(DISTINCT l_suppkey) AS d_supps,
-        |       CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_discount,
-        |       strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
-        |       strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
-        |       MIN(l_extendedprice) AS min_price,
-        |       MAX(l_extendedprice) AS max_price
-        |FROM lineitem""".stripMargin,
     "a03_table_stats" ->
       """SELECT COUNT(*) AS n_rows,
         |       COUNT(DISTINCT l_orderkey) AS d_orderkeys,

@@ -703,15 +703,23 @@ object TextQueries {
     * a cleaned corpus into training examples). Pure narrow explode: window
     * starts at w·stride while that is inside the document, slices truncate
     * at the end. Integer/string outputs → exact oracle parity.
-    * Empty-token-array guard (tokenization always yields ≥1 token today,
-    * but the bound must not depend on that): `greatest(…, 0)` clamps the
-    * sequence end so an empty array yields exactly one empty window on
-    * BOTH engines — without it, Spark's `sequence(0, -1)` emits a
-    * DESCENDING [0,-1] while DuckDB's `generate_series(0,-1)` emits
-    * nothing. (A `size(toks) > 0` filter would agree too, but recomputes
-    * the tokenization in the filter node — measured 40% slower.) */
+    * Empty-token-array guard (tokenization always yields ≥1 token today —
+    * `split('', ' ')` is `[""]` on both engines — but the bound must not
+    * depend on that): `greatest(…, 0)` clamps the sequence end so an empty
+    * array yields exactly one empty window on BOTH engines — without it,
+    * Spark's `sequence(0, -1)` emits a DESCENDING [0,-1] while DuckDB's
+    * `generate_series(0,-1)` emits nothing. (A `size(toks) > 0` filter
+    * would agree too, but recomputes the tokenization in the filter node —
+    * measured 40% slower.) That one empty window then joins to `''` here
+    * (Spark `array_join([], ' ') = ''`) but to NULL in a bare DuckDB
+    * `array_to_string([], ' ')` — the oracle wraps it in
+    * `coalesce(…, '')` to match. Pinned by BlockPairSpec's empty-toks
+    * case. */
   def x01TokenWindows(s: SparkSession, d: String): DataFrame =
-    normToks(s, d)
+    x01From(normToks(s, d))
+
+  private[queries] def x01From(tok: DataFrame): DataFrame =
+    tok
       .selectExpr("doc_id", "toks",
         s"explode(sequence(0, greatest(CAST(floor((size(toks) - 1) / $WindowStride) AS INT), 0))) AS window_id")
       .selectExpr("doc_id", "CAST(window_id AS BIGINT) AS window_id",

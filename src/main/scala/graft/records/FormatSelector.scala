@@ -78,7 +78,9 @@ object FormatSelector {
     // short-circuit BEFORE any Spark work: the kafka route returns empty
     // via chunksForRange without a fetch, this route must match
     if (range.isEmpty) return Array.emptyByteArray
-    val rows = table.read(spark)
+    // scan ONLY this segment's data file (the manifest names it) — a
+    // whole-table read() here would list every data file per point fetch
+    val rows = table.readSegment(spark, meta)
       .filter(org.apache.spark.sql.functions.col("kafka.offset").between(meta.minOffset, meta.maxOffset))
     val wire = BatchReserializer.toWireBatches(spark, rows)
       .orderBy("base_offset")

@@ -584,6 +584,16 @@ final class RecordTable(tableDir: String) {
         .filter(col("kafka.offset") >= startOffset)
   }
 
+  /** Scan exactly ONE segment's data file (the point-fetch serving path):
+    * the manifest entry already names the file, so a per-segment fetch must
+    * not list the table or open any other footer — at 10⁵ segments a
+    * whole-table `read()` per point fetch is a driver listing storm. */
+  def readSegment(spark: SparkSession, meta: DataFileMeta): DataFrame = {
+    val schema = currentSchema.getOrElse(RowSchema.rawSchema)
+    spark.read.schema(schema)
+      .parquet(Paths.get(tableDir).resolve(meta.file).toString)
+  }
+
   /** Streaming reads of the records table (SURVEY §7 step 7): new segment
     * data files become micro-batches; `maxFilesPerTrigger` is the read-side
     * rate limit (the streaming twin of the upload limiter). */

@@ -72,6 +72,30 @@ class BlockPairSpec extends SparkSpec {
     assert(docs.map(_._1 / TextQueries.PackShardDocs).distinct.size > 3)
   }
 
+  test("x01 empty token array yields exactly one empty window (oracle-pinned edge)") {
+    // The tokenizer can't produce an empty array (split('', ' ') = [""] on
+    // both engines), so inject one directly: the greatest(...,0) clamp must
+    // emit exactly ONE window with chunk_text '' and n_tokens 0 — the same
+    // row the DuckDB oracle's generate_series(0, greatest(...,0)) +
+    // coalesce(array_to_string(...), '') formulation produces (verified by
+    // hand against DuckDB 1.0: bare array_to_string([], ' ') is NULL there,
+    // hence the coalesce in SparkEntry's x01 SQL).
+    import spark.implicits._
+    val tok = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq.fill(TextQueries.WindowTokens + 1)("w"))
+    ).toDF("doc_id", "toks")
+    val got = TextQueries.x01From(tok)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val empt = got.filter(_._1 == 1L)
+    assert(empt.toSeq == Seq((1L, 0L, "", 0L)))
+    // the non-empty doc spills into a second overlapping window
+    val full = got.filter(_._1 == 2L)
+    assert(full.length == 2 && full(0)._4 == TextQueries.WindowTokens)
+  }
+
   test("property: d05 block-pair jaccard == local all-pairs on random token sets") {
     import org.scalacheck.Gen
     import spark.implicits._

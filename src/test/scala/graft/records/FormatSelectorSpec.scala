@@ -66,6 +66,27 @@ class FormatSelectorSpec extends SparkSpec {
     assert(java.util.Arrays.equals(clampB, java.util.Arrays.copyOfRange(segB, segB.length - 5, segB.length)))
   }
 
+  test("per-segment records fetch scans ONLY that segment's data file") {
+    // Point fetches must not list the whole table: with several segments in
+    // the table, the scan behind one segment's fetch reads exactly that
+    // segment's data file (readSegment), not the full manifest file list.
+    val (_, table, _, _) = fixture()
+    val segC = wireSegment(200L, 4)
+    table.appendSegment(spark, "segC", SegmentToRows.fromSegmentBytes(spark, Seq((0, segC))))
+    val metaB = table.listManifests().find(_.segment == "segB").get
+    val files = table.readSegment(spark, metaB).inputFiles
+    assert(files.length == 1 && files.head.endsWith(metaB.file),
+      s"expected only ${metaB.file}, got ${files.mkString(",")}")
+    // and the pruned route still serves byte-identical content
+    val gotC = {
+      val cfg2 = SegmentJobConfig.withGeneratedKeys(
+        Files.createTempDirectory("graft-selector-none").toString)
+      FormatSelector.fetchRange(spark, RecordsFormat, cfg2, table, "segC",
+        BytesRange(0, segC.length - 1L))
+    }
+    assert(java.util.Arrays.equals(gotC, segC))
+  }
+
   test("segment in neither format raises not-found carrying the primary miss") {
     val (cfg, table, _, _) = fixture()
     val e = intercept[FormatSelector.RemoteResourceNotFound] {
