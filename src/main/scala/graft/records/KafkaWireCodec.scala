@@ -2,7 +2,7 @@ package graft.records
 
 import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
-import java.util.zip.{CRC32C, GZIPInputStream, GZIPOutputStream}
+import java.util.zip.CRC32C
 
 /** Kafka record-batch wire format v2 (magic 2), parse + write, implemented
   * from the public protocol specification. The reference leans on
@@ -10,9 +10,12 @@ import java.util.zip.{CRC32C, GZIPInputStream, GZIPOutputStream}
   * `IcebergRemoteStorageManager.java:196-211`); we hand-roll it so the
   * engine has no broker dependency.
   *
-  * Supported compression codecs: none (0) and gzip (1) — the JDK-available
-  * subset; attribute bits are preserved verbatim for the rest of the batch
-  * metadata so regrouped batches round-trip byte-identically.
+  * Batch interiors support ALL FIVE codec ids of the public protocol —
+  * none (0), gzip (1), snappy (2), lz4 (3), zstd (4) — via
+  * [[BatchCompression]]; attribute bits are preserved verbatim so
+  * regrouped batches re-serialize with their ORIGINAL producer codec
+  * (matching `iceberg/BatchEnumeration.java:92-118`), byte-identically
+  * for segments this codec wrote.
   */
 object KafkaWireCodec {
 
@@ -45,8 +48,11 @@ object KafkaWireCodec {
   }
 
   val HeaderSize = 61 // baseOffset..recordCount inclusive
-  val CodecNone = 0
-  val CodecGzip = 1
+  val CodecNone = BatchCompression.None
+  val CodecGzip = BatchCompression.Gzip
+  val CodecSnappy = BatchCompression.Snappy
+  val CodecLz4 = BatchCompression.Lz4
+  val CodecZstd = BatchCompression.Zstd
 
   /** The FIRST batch's compression codec id, validated the way the
     * reference's archival predicate validates it
@@ -112,11 +118,7 @@ object KafkaWireCodec {
     val recordCount = buf.getInt()
     val payload = new Array[Byte](buf.remaining())
     buf.get(payload)
-    val body = (attributes & 0x07) match {
-      case CodecNone => payload
-      case CodecGzip => gunzip(payload)
-      case other     => throw new IllegalArgumentException(s"unsupported compression codec $other")
-    }
+    val body = BatchCompression.decompress(attributes & 0x07, payload)
     val rbuf = ByteBuffer.wrap(body)
     val records = Vector.tabulate(recordCount)(_ => parseRecord(rbuf))
     Batch(baseOffset, partitionLeaderEpoch, magic, attributes, lastOffsetDelta,
@@ -154,11 +156,7 @@ object KafkaWireCodec {
   def writeBatch(b: Batch): Array[Byte] = {
     val body = new ByteArrayOutputStream()
     b.records.foreach(r => writeRecord(r, body))
-    val payload = (b.attributes & 0x07) match {
-      case CodecNone => body.toByteArray
-      case CodecGzip => gzip(body.toByteArray)
-      case other     => throw new IllegalArgumentException(s"unsupported compression codec $other")
-    }
+    val payload = BatchCompression.compress(b.attributes & 0x07, body.toByteArray)
     // attributes..recordCount (40 bytes) + payload, CRC computed over it
     val afterCrc = ByteBuffer.allocate(40 + payload.length)
     afterCrc.putShort(b.attributes)
@@ -226,15 +224,7 @@ object KafkaWireCodec {
       baseSequence, recs, 0)
   }
 
-  def gzip(b: Array[Byte]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val g = new GZIPOutputStream(bos)
-    g.write(b); g.close()
-    bos.toByteArray
-  }
+  def gzip(b: Array[Byte]): Array[Byte] = BatchCompression.compress(CodecGzip, b)
 
-  def gunzip(b: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new java.io.ByteArrayInputStream(b))
-    try in.readAllBytes() finally in.close()
-  }
+  def gunzip(b: Array[Byte]): Array[Byte] = BatchCompression.decompress(CodecGzip, b)
 }

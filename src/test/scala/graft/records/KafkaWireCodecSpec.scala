@@ -129,6 +129,88 @@ class KafkaWireCodecSpec extends AnyFunSuite {
       "producer-compressed wire must not be re-compressed (ref predicate)")
   }
 
+  private val AllCodecs =
+    Seq(CodecNone -> "none", CodecGzip -> "gzip", CodecSnappy -> "snappy",
+      CodecLz4 -> "lz4", CodecZstd -> "zstd")
+
+  test("every producer codec decodes to the same records AND round-trips byte-identically") {
+    val (plain, _) = e2eStyleSegment(CodecNone)
+    val expected = parseSegment(plain).flatMap(_.records)
+    AllCodecs.foreach { case (codec, name) =>
+      val (seg, _) = e2eStyleSegment(codec)
+      val parsed = parseSegment(seg)
+      assert(parsed.forall(_.compressionType == codec), s"$name attribute bits")
+      val records = parsed.flatMap(_.records)
+      assert(records.size == expected.size, name)
+      records.zip(expected).foreach { case (x, y) =>
+        assert(java.util.Arrays.equals(x.key, y.key), name)
+        assert(java.util.Arrays.equals(x.value, y.value), name)
+        assert(x.headers.map(_.key) == y.headers.map(_.key), name)
+      }
+      // our compressors are deterministic: parse→write is byte-identical
+      // for every codec, not just none (I9 contract for regrouped batches)
+      val rewritten = parsed.map(writeBatch).reduce(_ ++ _)
+      assert(java.util.Arrays.equals(rewritten, seg), s"$name round trip")
+    }
+  }
+
+  test("mixed-codec segment: consecutive batches with different producer codecs parse in order") {
+    val out = new java.io.ByteArrayOutputStream()
+    AllCodecs.zipWithIndex.foreach { case ((codec, _), i) =>
+      out.write(writeBatch(buildBatch(i * 10L, 1000L + i,
+        (0 until 3).map(j => (kb(s"k$i-$j"), kb(s"v$i-$j" * 50), Seq.empty)),
+        compression = codec)))
+    }
+    val parsed = parseSegment(out.toByteArray)
+    assert(parsed.map(_.compressionType) == AllCodecs.map(_._1))
+    assert(parsed.flatMap(_.records).size == AllCodecs.size * 3)
+    val rewritten = parsed.map(writeBatch).reduce(_ ++ _)
+    assert(java.util.Arrays.equals(rewritten, out.toByteArray))
+  }
+
+  test("LZ4 frame reader accepts the full spec surface (checksums, content size, stored blocks)") {
+    // our writer emits kafka's minimal flag set; the reader must also take
+    // frames from producers that enable the optional fields. lz4-java's own
+    // frame writer sets content-size + content-checksum — use it as the
+    // 'foreign producer'.
+    val data = ("lz4 interop payload " * 500).getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val fout = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+    fout.write(data); fout.close()
+    assert(java.util.Arrays.equals(BatchCompression.decompress(CodecLz4, bos.toByteArray), data))
+    // incompressible input exercises the stored-block (high bit) path
+    val rnd = new Array[Byte](200 * 1024); new java.util.Random(7).nextBytes(rnd)
+    assert(java.util.Arrays.equals(
+      BatchCompression.decompress(CodecLz4, BatchCompression.compress(CodecLz4, rnd)), rnd))
+    // and a flipped header byte fails the header checksum loudly
+    val framed = BatchCompression.compress(CodecLz4, data)
+    framed(4) = (framed(4) ^ 0x10).toByte // toggle block-checksum flag
+    intercept[IllegalArgumentException](BatchCompression.decompress(CodecLz4, framed))
+  }
+
+  test("codec payload round trip law: random bodies, all codecs") {
+    forAllN(Gen.chooseNum(0, 300000), n = 8) { size =>
+      val body = new Array[Byte](size)
+      new java.util.Random(size).nextBytes(body)
+      AllCodecs.foreach { case (codec, name) =>
+        val back = BatchCompression.decompress(codec, BatchCompression.compress(codec, body))
+        assert(java.util.Arrays.equals(back, body), name)
+      }
+    }
+  }
+
+  test("T7 predicate skips re-compression for snappy/lz4/zstd producer batches too") {
+    import graft.operators.SegmentCompressionChecker
+    Seq(CodecSnappy, CodecLz4, CodecZstd).foreach { codec =>
+      val seg = writeBatch(buildBatch(0L, 1L,
+        (0 until 50).map(i => (s"key-$i".getBytes, ("value " * 20 + i).getBytes, Seq.empty)),
+        compression = codec))
+      assert(firstBatchCompressionType(seg).contains(codec))
+      assert(!SegmentCompressionChecker.shouldCompress(seg),
+        s"codec $codec wire must not be re-compressed")
+    }
+  }
+
   test("varint law: round trip over full int/long range") {
     forAllN(Gen.chooseNum(Int.MinValue, Int.MaxValue)) { v =>
       val out = new java.io.ByteArrayOutputStream()

@@ -65,6 +65,35 @@ class RecordTableSpec extends SparkSpec {
       s"re-serialized segment differs: ${rebuilt.length} vs ${original.length} bytes")
   }
 
+  test("producer-compressed segment (mixed codecs) → table → re-serialized byte-identical") {
+    // batches cycle through all five producer codecs inside ONE segment —
+    // the records path must parse each interior and re-serialize with the
+    // ORIGINAL codec (attributes reconstructed from batch_compression_type)
+    val codecs = Seq(CodecNone, CodecGzip, CodecSnappy, CodecLz4, CodecZstd)
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0L
+    codecs.zipWithIndex.foreach { case (codec, i) =>
+      val recs = (0 until 8).map { j =>
+        (kb(s"key-${off + j}"), kb(s"compressible value $j " * 30), Seq.empty[Header])
+      }
+      out.write(writeBatch(buildBatch(off, 1700000000000L + i, recs,
+        producerId = 9L, producerEpoch = 1, baseSequence = off.toInt, compression = codec)))
+      off += 8
+    }
+    val seg = out.toByteArray
+    val tableDir = Files.createTempDirectory("graft-table-codec").toString
+    val table = new RecordTable(tableDir)
+    table.appendSegment(spark, "seg-mixed", SegmentToRows.fromSegmentBytes(spark, Seq((0, seg))))
+    val got = table.read(spark)
+    assert(got.select(col("kafka.batch_compression_type")).distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == codecs)
+    val rebuilt = BatchReserializer.toWireBatches(spark, got)
+      .orderBy(col("base_offset")).collect()
+      .flatMap(_.getAs[Array[Byte]]("wire_bytes"))
+    assert(java.util.Arrays.equals(rebuilt, seg),
+      s"mixed-codec re-serialization differs: ${rebuilt.length} vs ${seg.length} bytes")
+  }
+
   test("predicate pushdown reaches the parquet scan") {
     val (seg1, _, _) = makeSegments()
     val tableDir = Files.createTempDirectory("graft-table2").toString
