@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.sources.{FileSystemStorage, ObjectKey, StorageBackend}
+import graft.sources.{ObjectKey, StorageBackend, StorageBackends}
 
 /** Maintenance/ops jobs: retention deletes and orphan GC — the
   * `deleteLogSegmentData` + compensating-delete semantics
@@ -26,7 +26,7 @@ object RetentionJob {
   /** Delete whole segments selected by predicate (e.g. by base offset or
     * age); all of a segment's objects go in one batched pass. */
   def deleteSegments(cfg: SegmentJobConfig, select: String => Boolean): Report = {
-    val storage = FileSystemStorage(cfg.storageRoot)
+    val storage = StorageBackends.forRoot(cfg.storageRoot)
     val (manifested, _) = segKeysOf(storage)
     val doomed = manifested.filter(select)
     val objects = doomed.flatMap(k => ObjectKey.Suffix.all.map(s => s"$k.${s.value}"))
@@ -39,7 +39,7 @@ object RetentionJob {
     * is the commit point) — remove it. A manifest without a log is
     * corruption — remove it too and report. */
   def gcOrphans(cfg: SegmentJobConfig): Report = {
-    val storage = FileSystemStorage(cfg.storageRoot)
+    val storage = StorageBackends.forRoot(cfg.storageRoot)
     val (manifested, logs) = segKeysOf(storage)
     val manifestSet = manifested.toSet
     val logSet = logs.toSet

@@ -89,7 +89,7 @@ object SegmentUploadJob {
     segments.select(col(segments.columns.head).cast("string"), col(segments.columns(1)))
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
-        val storage = FileSystemStorage(cfg.storageRoot)
+        val storage = StorageBackends.forRoot(cfg.storageRoot)
         val ring = if (cfg.encryption) cfg.ring else null
         val limiter = cfg.uploadRateBytesPerSec.map(new RateLimiter(_))
         it.map { case (rawKey, payload) =>
@@ -238,7 +238,7 @@ object SegmentFetchJob {
     val key = (cfg.storageRoot, segKey)
     val hit = manifestCache.get(key)
     if (hit != null) return hit
-    val m = loadManifest(FileSystemStorage(cfg.storageRoot), segKey)
+    val m = loadManifest(StorageBackends.forRoot(cfg.storageRoot), segKey)
     val loaded = (m, specOf(m, cfg))
     if (manifestCache.size() >= ManifestCacheEntries) manifestCache.clear()
     val prev = manifestCache.putIfAbsent(key, loaded)
@@ -248,7 +248,7 @@ object SegmentFetchJob {
   /** Serving path: fetch original bytes [from, to] of one segment. The range
     * is clamped to the segment size (ref `RemoteStorageManager.java:141-144`). */
   def fetchRange(cfg: SegmentJobConfig, segKey: String, range: BytesRange): Array[Byte] = {
-    val storage = FileSystemStorage(cfg.storageRoot)
+    val storage = StorageBackends.forRoot(cfg.storageRoot)
     val (m, cachedSpec) = cachedManifestSpec(cfg, segKey)
     val clamped = BytesRange(range.from, math.min(range.to, m.chunkIndex.originalFileSize - 1L))
     val chunks = m.chunkIndex.chunksForRange(clamped)
@@ -278,14 +278,14 @@ object SegmentFetchJob {
     * ready for range-predicate pruning and distributed fetch. */
   def chunksAsDataFrame(spark: SparkSession, cfg: SegmentJobConfig): DataFrame = {
     import spark.implicits._
-    val storage = FileSystemStorage(cfg.storageRoot)
+    val storage = StorageBackends.forRoot(cfg.storageRoot)
     val segKeys = storage.listKeys("")
       .filter(_.endsWith(s".${ObjectKey.Suffix.Manifest.value}"))
       .map(_.stripSuffix(s".${ObjectKey.Suffix.Manifest.value}"))
     val cfgB = cfg
     spark.createDataset(segKeys)
       .mapPartitions { it =>
-        val st = FileSystemStorage(cfgB.storageRoot)
+        val st = StorageBackends.forRoot(cfgB.storageRoot)
         it.flatMap { segKey =>
           val m = loadManifest(st, segKey)
           m.chunkIndex.chunks.iterator.map(c =>
@@ -307,7 +307,7 @@ object SegmentFetchJob {
       .select(col("segment_key"), col("chunk_id"))
       .as[(String, Int)]
       .mapPartitions { it =>
-        val st = FileSystemStorage(cfgB.storageRoot)
+        val st = StorageBackends.forRoot(cfgB.storageRoot)
         val manifests = scala.collection.mutable.HashMap.empty[String, (SegmentManifest, TransformSpec)]
         it.map { case (segKey, chunkId) =>
           val (m, spec) = manifests.getOrElseUpdate(segKey, {

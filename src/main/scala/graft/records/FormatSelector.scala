@@ -3,7 +3,7 @@ package graft.records
 import org.apache.spark.sql.SparkSession
 import graft.core.BytesRange
 import graft.operators.{SegmentFetchJob, SegmentJobConfig}
-import graft.sources.{FileSystemStorage, ObjectKey}
+import graft.sources.{ObjectKey, StorageBackends}
 
 /** R11 proper — per-segment FORMAT routing with fallback, mirroring the
   * reference's `InternalRemoteStorageManagerSelector.java:33-104`: a fetch
@@ -59,7 +59,7 @@ object FormatSelector {
   }
 
   private def fetchKafka(cfg: SegmentJobConfig, segment: String, range: BytesRange): Array[Byte] = {
-    val storage = FileSystemStorage(cfg.storageRoot)
+    val storage = StorageBackends.forRoot(cfg.storageRoot)
     if (!storage.exists(s"$segment.${ObjectKey.Suffix.Manifest.value}"))
       throw SegmentManifestNotFound(KafkaFormat, segment)
     SegmentFetchJob.fetchRange(cfg, segment, range)

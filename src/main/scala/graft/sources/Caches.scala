@@ -142,7 +142,7 @@ final class CachingChunkFetcher(
   import graft.core.transform._
   import graft.operators.SegmentFetchJob
 
-  private val storage = FileSystemStorage(cfg.storageRoot)
+  private val storage = StorageBackends.forRoot(cfg.storageRoot)
   private val pool = Executors.newFixedThreadPool(2, r => {
     val t = new Thread(r, "graft-prefetch"); t.setDaemon(true); t
   })

@@ -17,7 +17,7 @@ import org.apache.spark.sql.Row
 import graft.core.BytesRange
 import graft.operators.{SegmentFetchJob, SegmentJobConfig}
 import graft.records.{KafkaWireCodec, RowSchema}
-import graft.sources.FileSystemStorage
+import graft.sources.StorageBackends
 
 /** DataSource V2: `spark.read.format("graft-segments")` — tiered segments
   * (chunked / compressed / encrypted, exactly as [[graft.operators.SegmentUploadJob]]
@@ -75,7 +75,19 @@ object GraftSegments {
       RowSchema.rawSchema.fields.toSeq)
 
   final case class SourceConf(root: String, prefix: String,
-                              rsaPublicKeyB64: String, rsaPrivateKeyB64: String) {
+                              rsaPublicKeyB64: String, rsaPrivateKeyB64: String,
+                              backendProvider: String = "") {
+    /** Register the configured [[StorageBackends.Provider]] (idempotent) —
+      * runs on DRIVER AND EXECUTORS before any storage resolution, so a
+      * schemed root works wherever the partition lands; mirrors the
+      * reference's `storage.backend.class` being instantiated inside each
+      * broker's plugin (`RemoteStorageManagerConfig.java`). */
+    def ensureBackend(): Unit =
+      if (backendProvider.nonEmpty) StorageBackends.registerProvider(backendProvider)
+    def storage: graft.sources.StorageBackend = {
+      ensureBackend()
+      StorageBackends.forRoot(root)
+    }
     def jobConfig: SegmentJobConfig = {
       val dec = java.util.Base64.getDecoder
       SegmentJobConfig(
@@ -90,7 +102,8 @@ object GraftSegments {
       require(root != null && root.nonEmpty, "graft-segments requires option 'root'")
       SourceConf(root, Option(o.get("prefix")).getOrElse(""),
         Option(o.get("rsaPublicKeyB64")).getOrElse(""),
-        Option(o.get("rsaPrivateKeyB64")).getOrElse(""))
+        Option(o.get("rsaPrivateKeyB64")).getOrElse(""),
+        Option(o.get("backend.provider")).getOrElse(""))
     }
   }
 }
@@ -151,7 +164,7 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
   /** Driver-side planning: manifest KEY LISTING only (strings; no manifest
     * is parsed, no byte fetched until an executor runs its partition). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val storage = FileSystemStorage(conf.root)
+    val storage = conf.storage
     val manifestSuffix = "." + graft.sources.ObjectKey.Suffix.Manifest.value
     storage.listKeys(conf.prefix)
       .filter(_.endsWith(manifestSuffix))
@@ -232,6 +245,7 @@ final class SegmentsReader(conf: GraftSegments.SourceConf, required: StructType,
     RowSchema.kafkaStruct.fieldNames.zipWithIndex.toMap
 
   private lazy val iter: Iterator[InternalRow] = {
+    conf.ensureBackend() // executor-side transport registration
     val bytes = SegmentFetchJob.fetchRange(conf.jobConfig, segKey, BytesRange(0L, Long.MaxValue - 1L))
     KafkaWireCodec.parseSegment(bytes).iterator.flatMap { b =>
       b.records.iterator.map { r =>
@@ -300,7 +314,7 @@ final class SegmentsWrite(conf: GraftSegments.SourceConf, schema: StructType)
   /** Per-segment manifests already committed each segment atomically. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val storage = FileSystemStorage(conf.root)
+    val storage = conf.storage
     messages.collect { case SegmentsCommitMessage(keys) => keys }.flatten.foreach { seg =>
       graft.sources.ObjectKey.Suffix.all.foreach(s => storage.delete(s"$seg.${s.value}"))
     }
@@ -377,7 +391,7 @@ final class SegmentsDataWriter(conf: GraftSegments.SourceConf, schema: StructTyp
 
   override def commit(): WriterCommitMessage = {
     val cfg = conf.jobConfig
-    val storage = FileSystemStorage(conf.root)
+    val storage = conf.storage
     val ring = if (cfg.encryption) cfg.ring else null
     buffered.foreach { case (segKey, rows) =>
       val res = graft.operators.SegmentUploadJob.uploadOne(
@@ -390,7 +404,7 @@ final class SegmentsDataWriter(conf: GraftSegments.SourceConf, schema: StructTyp
   }
 
   override def abort(): Unit = {
-    val storage = FileSystemStorage(conf.root)
+    val storage = conf.storage
     uploaded.foreach(seg =>
       graft.sources.ObjectKey.Suffix.all.foreach(s => storage.delete(s"$seg.${s.value}")))
   }

@@ -112,6 +112,47 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     }
   }
 
+  test("backend pluggability: schemed roots ride the S3/GCS/Azure protocol stacks") {
+    // The `backend.provider` option names a StorageBackends.Provider CLASS —
+    // the reference's storage.backend.class shape — which binds a scheme to
+    // a transport (here: the enforcing in-memory fakes; in production: an
+    // SDK client). The SAME tiered layout + crypto then rides any backend.
+    val (srcStore, cfg, _) = setup()
+    val enc = java.util.Base64.getEncoder
+    val df = reader(srcStore, cfg).load()
+    val matrix = Seq(
+      ("s3://tiered-bucket/topicA", classOf[FakeS3Provider].getName,
+        () => FakeCloud.s3.objects.keys.toVector),
+      ("gs://tiered-bucket/topicA", classOf[FakeGcsProvider].getName,
+        () => FakeCloud.gcs.objects.keys.toVector),
+      ("azure://tiered-container/topicA", classOf[FakeAzureProvider].getName,
+        () => FakeCloud.azure.blobs.keys.toVector))
+    matrix.foreach { case (root, provider, listObjects) =>
+      df.write.format("graft-segments")
+        .option("root", root)
+        .option("backend.provider", provider)
+        .option("rsaPublicKeyB64", enc.encodeToString(cfg.rsaPublicKey))
+        .option("rsaPrivateKeyB64", enc.encodeToString(cfg.rsaPrivateKey))
+        .mode("append").save()
+      assert(listObjects().count(_.endsWith(".log")) == 3, s"$root objects: ${listObjects()}")
+      assert(listObjects().count(_.endsWith(".rsm-manifest")) == 3, root)
+      val back = reader(root, cfg).option("backend.provider", provider).load()
+        .select(col("kafka.offset"), col("value_raw").cast("string")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(back == (0L until 30L).map(o => (o, s"v$o")).toSet,
+        s"$root read-back differs from source store")
+    }
+    // unregistered scheme fails loudly, not with a path-not-found
+    StorageBackends.unregister("wasb")
+    val e = intercept[Exception] {
+      reader("wasb://c/x", cfg).load().count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(_.contains("no storage backend registered"))))
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING graft-segments, then pure SQL") {
     val (store, cfg, keys) = setup()
     val enc = java.util.Base64.getEncoder
@@ -234,4 +275,28 @@ class GraftSegmentsSourceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), new String(r.getAs[Array[Byte]](3), "UTF-8"))).toSet
     assert(viaSource == viaParse)
   }
+}
+
+/** One shared in-memory service per cloud, like an SDK's bucket handle —
+  * every Provider.create() returns a NEW backend over the SAME service, so
+  * driver and executors (and repeated resolutions) see one object store. */
+object FakeCloud {
+  val s3 = new InMemoryS3
+  val gcs = new InMemoryGcs
+  val azure = new InMemoryAzure
+}
+
+/** Top-level no-arg classes: what a `backend.provider` config value names
+  * (Class.forName + newInstance, the reference's storage.backend.class). */
+class FakeS3Provider extends StorageBackends.Provider {
+  override def scheme: String = "s3"
+  override def create(root: String): StorageBackend = new S3Storage(FakeCloud.s3)
+}
+class FakeGcsProvider extends StorageBackends.Provider {
+  override def scheme: String = "gs"
+  override def create(root: String): StorageBackend = new GcsStorage(FakeCloud.gcs)
+}
+class FakeAzureProvider extends StorageBackends.Provider {
+  override def scheme: String = "azure"
+  override def create(root: String): StorageBackend = new AzureBlobStorage(FakeCloud.azure)
 }
