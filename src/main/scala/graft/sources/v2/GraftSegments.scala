@@ -204,10 +204,31 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
   }
 }
 
-/** Streaming offset: how many (sorted) segments have been consumed. */
-final case class SegmentCountOffset(n: Long)
+/** Streaming offset: how many (sorted) segments have been consumed, PLUS
+  * the last consumed key — the count alone cannot detect a violated
+  * append-order contract (a backfilled/re-uploaded segment sorting before
+  * consumed keys silently shifts every subsequent slice), so the key is
+  * checkpointed and re-validated on every plan. */
+final case class SegmentCountOffset(n: Long, last: String = "")
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = n.toString
+  override def json(): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("n", n); node.put("last", last)
+    m.writeValueAsString(node)
+  }
+}
+
+object SegmentCountOffset {
+  def parse(json: String): SegmentCountOffset = {
+    val t = json.trim
+    if (t.forall(_.isDigit)) SegmentCountOffset(t.toLong) // pre-r4 checkpoints
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+      SegmentCountOffset(node.get("n").asLong(),
+        Option(node.get("last")).map(_.asText()).getOrElse(""))
+    }
+  }
 }
 
 final class SegmentsMicroBatchStream(scan: SegmentsScan)
@@ -215,13 +236,30 @@ final class SegmentsMicroBatchStream(scan: SegmentsScan)
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   override def initialOffset(): Offset = SegmentCountOffset(0L)
-  override def latestOffset(): Offset = SegmentCountOffset(scan.segmentKeys().length.toLong)
-  override def deserializeOffset(json: String): Offset = SegmentCountOffset(json.trim.toLong)
+  override def latestOffset(): Offset = {
+    val keys = scan.segmentKeys()
+    SegmentCountOffset(keys.length.toLong, if (keys.isEmpty) "" else keys.last)
+  }
+  override def deserializeOffset(json: String): Offset = SegmentCountOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val a = start.asInstanceOf[SegmentCountOffset].n.toInt
+    val s = start.asInstanceOf[SegmentCountOffset]
     val b = end.asInstanceOf[SegmentCountOffset].n.toInt
-    scan.segmentKeys().slice(a, b).map(SegmentPartition(_): InputPartition)
+    val a = s.n.toInt
+    val keys = scan.segmentKeys()
+    // enforce the append-ordered-keys contract: the consumed prefix must
+    // still end at the checkpointed key, or offsets no longer index the
+    // same slice and records would be silently skipped or re-emitted
+    if (s.last.nonEmpty) {
+      require(keys.length >= a && keys(a - 1) == s.last,
+        s"graft-segments stream offset is stale: checkpoint says $a segments " +
+          s"ending at '${s.last}', but the listing's ${a}th key is now " +
+          s"'${keys.lift(a - 1).getOrElse("<missing>")}' — a segment was added, " +
+          "removed or renamed BEFORE already-consumed keys (append-ordered " +
+          "key contract violated; scope the stream with a single-partition " +
+          "prefix, or restart from a fresh checkpoint)")
+    }
+    keys.slice(a, b).map(SegmentPartition(_): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = scan.readerFactory()

@@ -196,10 +196,17 @@ object EventStreams {
     * Exactness contract: sums reproduce the batch query's
     * DECIMAL(18,2)-cast arithmetic (per-element HALF_UP, exact
     * accumulation), so an in-order stream yields bit-identical rows to
-    * w03. Events are processed in (ts, event_id) order within a batch;
-    * across batches the per-user stream must be non-decreasing in time
-    * (the watermarked-source contract) — a straggler older than the
-    * evicted horizon would undercount its frame. */
+    * w03. RANGE frames include ALL equal-timestamp peers for every peer
+    * row, so rows are processed one PEER GROUP (equal `us`) at a time:
+    * the whole group enters the buffer before any of its outputs are
+    * computed — one row at a time, the first of two same-`us` events
+    * would emit a frame excluding its peer. Events are processed in
+    * (ts, event_id) order within a batch; across batches the per-user
+    * stream must be non-decreasing in time AND peer groups must not be
+    * split across micro-batches (the watermarked-source contract: a
+    * watermark boundary never lands inside one timestamp) — a straggler
+    * older than the evicted horizon, or a peer arriving after its group's
+    * batch, would undercount its frame. */
   def trailingCounts(spark: SparkSession, events: DataFrame,
                      windowUs: Long = 3600L * 1000000): Dataset[TrailUpdate] = {
     import spark.implicits._
@@ -209,17 +216,27 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, Long, Double)], state: GroupState[TrailState]) =>
           var buf = state.getOption.map(_.buf).getOrElse(Nil)
-          val out = rows.toVector.sortBy(r => (r._3, r._2)).map { case (_, id, us, v) =>
-            buf = (buf :+ (us, v)).filter(_._1 >= us - windowUs)
-            val inFrame = buf.filter(_._1 <= us) // peers included, like RANGE
+          val sorted = rows.toVector.sortBy(r => (r._3, r._2))
+          val out = Vector.newBuilder[TrailUpdate]
+          var i = 0
+          while (i < sorted.length) {
+            val us = sorted(i)._3
+            var j = i
+            while (j < sorted.length && sorted(j)._3 == us) j += 1
+            val peers = sorted.slice(i, j)
+            buf = (buf ++ peers.map(p => (p._3, p._4))).filter(_._1 >= us - windowUs)
+            val inFrame = buf.filter(_._1 <= us) // whole peer group included
             val sum = inFrame.foldLeft(java.math.BigDecimal.ZERO) { (acc, t) =>
               acc.add(java.math.BigDecimal.valueOf(t._2)
                 .setScale(2, java.math.RoundingMode.HALF_UP))
             }
-            TrailUpdate(id, user, us, inFrame.size.toLong, sum.doubleValue)
+            peers.foreach { case (_, id, pus, _) =>
+              out += TrailUpdate(id, user, pus, inFrame.size.toLong, sum.doubleValue)
+            }
+            i = j
           }
           state.update(TrailState(buf))
-          out.iterator
+          out.result().iterator
       }
   }
 

@@ -153,6 +153,32 @@ class GraftSegmentsSourceSpec extends SparkSpec {
       chain(e).exists(t => Option(t.getMessage).exists(_.contains("no storage backend registered"))))
   }
 
+  test("streaming offsets carry the last consumed key and fail loudly on append-order violations") {
+    import graft.sources.v2._
+    val (store, _, keys) = setup()
+    val scan = new SegmentsScan(GraftSegments.SourceConf(store, "", "", ""),
+      GraftSegments.fullSchema, Array.empty)
+    val stream = scan.toMicroBatchStream("unused")
+    val off0 = stream.initialOffset()
+    val off1 = stream.latestOffset().asInstanceOf[SegmentCountOffset]
+    assert(off1.n == 3 && off1.last == keys.last)
+    // offset JSON round-trips the key; bare pre-r4 counts still parse
+    assert(SegmentCountOffset.parse(off1.json()) == off1)
+    assert(SegmentCountOffset.parse("2") == SegmentCountOffset(2L, ""))
+    assert(stream.planInputPartitions(off0, off1).length == 3)
+    // a NEW segment with an append-ordered key: normal progression
+    val st = FileSystemStorage(store)
+    st.uploadBytes(kb("m"), s"zzz-after.${ObjectKey.Suffix.Manifest.value}")
+    val off2 = stream.latestOffset().asInstanceOf[SegmentCountOffset]
+    assert(off2.n == 4 && stream.planInputPartitions(off1, off2).length == 1)
+    // a BACKFILLED segment sorting before consumed keys: every subsequent
+    // slice would shift — the stream must refuse, not skip/re-emit
+    st.uploadBytes(kb("m"), s"0000-backfill.${ObjectKey.Suffix.Manifest.value}")
+    val off3 = stream.latestOffset()
+    val e = intercept[IllegalArgumentException](stream.planInputPartitions(off1, off3))
+    assert(e.getMessage.contains("append-ordered"))
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING graft-segments, then pure SQL") {
     val (store, cfg, keys) = setup()
     val enc = java.util.Base64.getEncoder

@@ -119,6 +119,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("trailing RANGE twin: equal-timestamp peers all share the full peer frame") {
+    // RANGE frames include ALL equal-timestamp peers for every peer row —
+    // the first of two same-microsecond events must emit n/sum that
+    // INCLUDE its peer (one-row-at-a-time processing gets this wrong; the
+    // corpus has no duplicate per-user timestamps, so only this synthetic
+    // case exercises it).
+    import spark.implicits._
+    val t0 = 1700000000000000L // us
+    val src = Files.createTempDirectory("graft-trail-peers").toString
+    Seq(
+      (1L, 10L, t0, 1.11), (1L, 11L, t0, 2.22), // peers at t0
+      (1L, 12L, t0 + 1800L * 1000000, 3.33), // inside the 1h frame
+      (1L, 13L, t0 + 7200L * 1000000, 4.44) // outside: fresh frame
+    ).toDF("user_id", "event_id", "us", "value")
+      .selectExpr("user_id", "event_id", "timestamp_micros(us) AS ts", "value")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = EventStreams.trailingCounts(spark, stream).writeStream
+      .format("memory").queryName("trail_peers")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT event_id, n_1h, v_1h FROM trail_peers")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((10L, 2L, 3.33), (11L, 2L, 3.33), (12L, 3L, 6.66), (13L, 1L, 4.44)))
+  }
+
   test("session windows: streaming sessionization equals the batch aggregate") {
     val src = Files.createTempDirectory("graft-sess-src").toString
     graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
