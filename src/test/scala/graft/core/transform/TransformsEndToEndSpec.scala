@@ -102,6 +102,52 @@ class TransformsEndToEndSpec extends AnyFunSuite {
     intercept[Exception](TransformPipeline.detransformAll(seg, badSpec))
   }
 
+  test("GOLDEN: pre-r3 stored segment (tag-less deflate chunks, no manifest codec field) still serves fetches") {
+    // The full legacy persistence layout, not just one chunk: chunks are
+    // `[4-byte size][zlib stream]` with NO codec tag (what pre-codec-tag
+    // builds wrote), the manifest omits `compressionCodec` entirely, and
+    // the segment is served through the real fetch path — proving the
+    // historical default (manifest) + CMF-nibble routing (chunk) compose.
+    import graft.core.{BytesRange, SegmentManifest, VariableSizeChunkIndex}
+    import graft.operators.{SegmentFetchJob, SegmentJobConfig}
+    import graft.sources.{FileSystemStorage, ObjectKey}
+    val payload = ("graft legacy layout fixture " * 2000).getBytes("UTF-8")
+    val chunkSize = 8192
+    def legacyDeflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+      d.end()
+      out.toByteArray
+    }
+    val transformed = payload.grouped(chunkSize).toVector.map(legacyDeflate)
+    transformed.foreach(c => assert((c(4) & 0x0F) == 8, "fixture must be tag-less zlib"))
+    val manifest = SegmentManifest(
+      VariableSizeChunkIndex(chunkSize, payload.length, transformed.map(_.length)),
+      None, compression = true, None)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(manifest.toJson)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("compressionCodec") // a pre-r3 writer simply never emitted it
+    val legacyJson = mapper.writeValueAsString(node)
+    assert(!legacyJson.contains("compressionCodec"))
+    val store = java.nio.file.Files.createTempDirectory("graft-legacy-seg").toString
+    val st = FileSystemStorage(store)
+    st.uploadBytes(transformed.toArray.flatten, s"legacy-000.${ObjectKey.Suffix.Log.value}")
+    st.uploadBytes(legacyJson.getBytes("UTF-8"), s"legacy-000.${ObjectKey.Suffix.Manifest.value}")
+    val cfg = SegmentJobConfig(storageRoot = store, encryption = false)
+    val full = SegmentFetchJob.fetchRange(cfg, "legacy-000", BytesRange(0L, payload.length - 1L))
+    assert(java.util.Arrays.equals(full, payload))
+    // ranged fetch crossing a chunk border exercises chunksForRange + skip
+    val sub = SegmentFetchJob.fetchRange(cfg, "legacy-000",
+      BytesRange(chunkSize - 100L, chunkSize + 100L))
+    assert(java.util.Arrays.equals(sub,
+      java.util.Arrays.copyOfRange(payload, chunkSize - 100, chunkSize + 101)))
+  }
+
   test("chunked stream reader handles partial reads") {
     // a stream that returns 1 byte at a time
     val in = new java.io.InputStream {
