@@ -33,6 +33,7 @@ object SparkEntry {
     "q15_semi_anti" -> (RelationalQueries.q15SemiAnti _),
     "q16_rollup" -> (RelationalQueries.q16Rollup _),
     "q19_salted_join" -> (RelationalQueries.q19SaltedJoin _),
+    "q27_partial_salt" -> (RelationalQueries.q27PartialSaltedJoin _),
     "q20_topk_operator" -> (RelationalQueries.q20TopKOperator _),
     "q17_json_props" -> (RelationalQueries.q17JsonProps _),
     "w01_asof_funnel" -> (RelationalQueries.w01AsofFunnel _),
@@ -138,6 +139,12 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
     "q19_salted_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q27_partial_salt" ->
       """SELECT o_orderpriority,
         |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n_items

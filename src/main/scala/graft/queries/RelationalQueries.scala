@@ -197,6 +197,49 @@ object RelationalQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** Profile size for q27's partial salting: how many of the heaviest
+    * probe keys get salted (the a02 profiler's top-N, collected — a
+    * model-bounded driver value like s06's centroids, NOT data-sized). */
+  val PartialSaltHotN = 64
+
+  /** q27: PARTIALLY salted join — q19's mechanism gated by a02's profile.
+    * Full salting replicates EVERY build row R× to fix a handful of hot
+    * keys — R× build shuffle bytes and R× join hash tables as collateral.
+    * The profiled form salts ONLY the [[PartialSaltHotN]] heaviest probe
+    * keys (a02's top-N): hot build rows get [[SaltR]] replicas and hot
+    * probe rows a deterministic salt; every other row keeps salt 0 and ONE
+    * build replica — non-hot keys skip replication entirely (the
+    * generator's sequence bound is conditional on the hot flag,
+    * plan-locked in PlanChecksSpec). Every probe row still meets its key
+    * exactly once, so the result is IDENTICAL to the plain join — the
+    * oracle is the unsalted SQL. At 100 TB the build-replication cost
+    * drops from R×|build| to R×|hot| ≈ nothing, while hot keys still fan
+    * out over R reducers; AQE's skew join is the adaptive form of exactly
+    * this rewrite. */
+  def q27PartialSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    // the a02 profile reduced to its decision set (ties broken on key asc
+    // → deterministic); 64 longs ride the plan as IN-list literals
+    val hot = lineitem(s, d).groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l_orderkey").asc).limit(PartialSaltHotN)
+      .select(col("l_orderkey")).collect().map(_.getLong(0)).sorted
+    val probe = lineitem(s, d).select(
+      col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+      when(col("l_orderkey").isin(hot.map(Long.box): _*),
+          pmod(col("l_orderkey") + col("l_linenumber"), lit(SaltR)))
+        .otherwise(lit(0)).as("salt"))
+    val build = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("bsalt", explode(sequence(lit(0),
+        when(col("o_orderkey").isin(hot.map(Long.box): _*), lit(SaltR - 1))
+          .otherwise(lit(0)))))
+    probe.join(build,
+        col("l_orderkey") === col("o_orderkey") && col("salt") === col("bsalt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        out6(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** q20: the custom TOP-K OPERATOR on real data — 3 most expensive orders
     * per priority via [[graft.plans.TopKPerGroup]] (custom logical node +
     * planner strategy + partial/final physical execs; the exchange moves

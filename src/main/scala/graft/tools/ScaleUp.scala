@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-probe data generator: `runMain graft.tools.ScaleUp <src> <dst> <f>`
+  * replicates the driver's sf tables `f`× with id offsets, PERTURBING text
+  * and embeddings per copy — straight duplication would make every copy a
+  * near-duplicate of its original and blow the dedup/similarity families'
+  * pair counts quadratically in `f` (measuring an artifact, not scaling):
+  *
+  *  - documents: ~half the tokens get a per-copy suffix (hash-gated), so
+  *    cross-copy Jaccard ≈ 0.33 — well under every near-dup threshold —
+  *    while token/length distributions stay put;
+  *  - embeddings: copies get hash-derived uniform vectors (same dim/ids
+  *    shape); originals keep their planted near-dup structure;
+  *  - lineitem/orders: rows copied with a consistent orderkey offset, so
+  *    join fan-out and the skew profile scale together.
+  *
+  * Writes only under the target dir (intended: /tmp/sf1); testdata stays
+  * untouched.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
+    val Array(src, dst, fs) = args
+    val f = fs.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val IdSpan = 100000000L
+    def copies(name: String)(mk: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val out = (0 until f).map(k => mk(base, k)).reduce(_ unionAll _)
+      out.repartition(Integer.parseInt(cpus))
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name: ${base.count()} -> ${spark.read.parquet(s"$dst/$name.parquet").count()}")
+    }
+
+    copies("documents") { (d, k) =>
+      if (k == 0) d
+      else d.selectExpr(
+        s"doc_id + ${k * IdSpan} AS doc_id",
+        s"array_join(transform(split(text, ' '), t -> IF(pmod(hash(t, $k), 2) = 0, t, concat(t, '~', $k))), ' ') AS text",
+        "lang", "source")
+        .selectExpr("doc_id", "text", "lang", "source", "CAST(length(text) AS BIGINT) AS n_chars")
+    }
+    copies("embeddings") { (e, k) =>
+      if (k == 0) e
+      else e.selectExpr(
+        s"vec_id + ${k * IdSpan} AS vec_id",
+        s"transform(embedding, (x, i) -> CAST((pmod(hash(vec_id, i, $k), 2001) - 1000) / 500.0 AS FLOAT)) AS embedding",
+        "label")
+    }
+    copies("orders") { (o, k) =>
+      if (k == 0) o
+      else o.withColumn("o_orderkey", col("o_orderkey") + lit(k * IdSpan))
+    }
+    copies("lineitem") { (l, k) =>
+      if (k == 0) l
+      else l.withColumn("l_orderkey", col("l_orderkey") + lit(k * IdSpan))
+    }
+    spark.stop()
+  }
+}

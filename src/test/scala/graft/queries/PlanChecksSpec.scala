@@ -197,6 +197,41 @@ class PlanChecksSpec extends SparkSpec {
     }
   }
 
+  test("q27: partial salting replicates ONLY profiled hot keys; result == plain join") {
+    val df = RelationalQueries.q27PartialSaltedJoin(spark, d)
+    val p = plan(df)
+    // the build generator's sequence bound is CONDITIONAL on the hot flag —
+    // non-hot rows produce exactly one replica (sequence(0, 0))
+    assert(p.contains("Generate explode"), p.take(3000))
+    val gen = p.split("Generate explode")(1).takeWhile(_ != '\n')
+    assert(gen.contains("CASE WHEN") && gen.contains((RelationalQueries.SaltR - 1).toString),
+      s"generator bound must be hot-conditional: $gen")
+    // row-count arithmetic: replicated build = |orders| + |hot ∩ orders|·(R-1)
+    val orders = graft.queries.Tables.orders(spark, d)
+    val hot = graft.queries.Tables.lineitem(spark, d)
+      .groupBy("l_orderkey").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc,
+        org.apache.spark.sql.functions.col("l_orderkey").asc)
+      .limit(RelationalQueries.PartialSaltHotN)
+      .select("l_orderkey").collect().map(_.getLong(0)).toSet
+    val nOrders = orders.count()
+    val nHotOrders = orders.filter(org.apache.spark.sql.functions.col("o_orderkey")
+      .isin(hot.toSeq.map(Long.box): _*)).count()
+    val replicated = orders
+      .withColumn("bsalt", org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          s"sequence(0, IF(o_orderkey IN (${hot.mkString(",")}), ${RelationalQueries.SaltR - 1}, 0))")))
+      .count()
+    assert(replicated == nOrders + nHotOrders * (RelationalQueries.SaltR - 1),
+      s"expected partial replication, got $replicated of $nOrders orders")
+    assert(replicated < nOrders * RelationalQueries.SaltR, "full replication defeats the point")
+    // and the salted result is exactly the plain join's
+    val plainish = RelationalQueries.q19SaltedJoin(spark, d)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == plainish)
+  }
+
   test("segment upload plan is shuffle-free (narrow mapPartitions)") {
     val store = java.nio.file.Files.createTempDirectory("plan-store").toString
     val in = java.nio.file.Files.createTempDirectory("plan-in").toString
