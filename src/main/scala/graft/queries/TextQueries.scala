@@ -290,18 +290,31 @@ object TextQueries {
 
   /** Shared simhash bit-sum SQL: identical text for Spark and DuckDB modulo
     * the integer-division operator and the position function name. */
+  /** Signature width. 64 since r4: the 16-bit signature collided so
+    * heavily that d09's candidate set was effectively quadratic at the
+    * 10× scale probe (BENCH_sf1: 34× runtime at 10× docs) — any banding
+    * over 16 bits keys at most 2¹⁶ buckets. 64 bits uses md5 hex digits
+    * 1–16 the same way and keeps every expression engine-portable. */
+  val SimhashBits = 64
+
   def simhashBitExprs(divOp: String, strposFn: String): Seq[String] =
-    (0 until 16).map { j =>
+    (0 until SimhashBits).map { j =>
       val digitPos = 1 + j / 4
       val pow = 1 << (j % 4)
       s"SUM(CASE WHEN (($strposFn('0123456789abcdef', substring(h, $digitPos, 1)) - 1) $divOp $pow) % 2 = 1 " +
         s"THEN 1 ELSE -1 END) AS s$j"
     }
 
+  /** Two's-complement assembly: bit 63's weight IS Long.MinValue — the
+    * mixed-sign sum stays in BIGINT range on both engines (max positive
+    * part is 2⁶³−1), so no overflow path exists. */
   def simhashAssembleExpr: String =
-    (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+    (0 until SimhashBits).map { j =>
+      val weight = if (j == 63) Long.MinValue.toString else (1L << j).toString
+      s"(CASE WHEN s$j > 0 THEN $weight ELSE 0 END)"
+    }.mkString(" + ")
 
-  /** d04: SimHash — 16-bit signature from per-token md5 bits, majority vote
+  /** d04: SimHash — 64-bit signature from per-token md5 bits, majority vote
     * per bit position. Near-dup docs land at small Hamming distance. */
   def d04SimHash(s: SparkSession, d: String): DataFrame = {
     val bitSums = simhashBitExprs("div", "instr").map(expr)
@@ -313,47 +326,51 @@ object TextQueries {
       .selectExpr("doc_id", s"CAST($simhashAssembleExpr AS BIGINT) AS simhash")
   }
 
-  /** d09 banding: 16-bit simhash split into 4 nibble bands; by pigeonhole
-    * any pair within Hamming distance ≤ 3 agrees on at least one band. */
+  /** d09 banding: the 64-bit simhash split into 4 disjoint 16-bit blocks;
+    * by pigeonhole any pair within Hamming distance ≤ 3 agrees on at
+    * least one block (3 differing bits touch ≤ 3 of the 4). 16-bit keys
+    * put random collisions at ~2⁻¹⁶ per band — the r3 nibble bands keyed
+    * only 16 values per band (~2⁻⁴), which the 10× scale probe exposed as
+    * an effectively-quadratic candidate set (BENCH_sf1). */
   val SimhashHammingMax = 3
 
   /** d09: SimHash near-dup join (Manku et al., WWW'07 "Detecting
-    * Near-Duplicates for Web Crawling"): candidate pairs from nibble-band
-    * equi-joins over d04's 16-bit signatures, verified EXACTLY with
+    * Near-Duplicates for Web Crawling"): candidate pairs from 16-bit-band
+    * equi-joins over d04's 64-bit signatures, verified EXACTLY with
     * `bit_count(a ^ b)`, then summarized per document — near-dup degree
     * and cluster representative (min doc_id over direct partners and
     * self). Banding is a complete cover for Hamming ≤
-    * [[SimhashHammingMax]] (4 bands, ≤3 differing bits ⇒ one band
-    * untouched), so the result equals the oracle's all-pairs scan at
-    * O(n·collisions) instead of O(n²). Output is n rows, not pairs —
-    * 16-bit signatures on a same-domain corpus collide heavily, and the
-    * per-doc summary is what a dedup pipeline consumes (d07 does the
-    * transitive version over MinHash edges).
+    * [[SimhashHammingMax]], so the result equals the oracle's all-pairs
+    * scan at O(n·collisions) instead of O(n²). Output is n rows, not
+    * pairs — the per-doc summary is what a dedup pipeline consumes (d07
+    * does the transitive version over MinHash edges).
     *
     * Scale: the signature scan runs ONCE (localCheckpoint, d03
-    * precedent); the band join shuffles (band, nibble)-keyed 3-column
-    * rows — signatures, never documents; popcount verify and the degree
-    * aggregation are codegen'd integer arithmetic. At 64-bit signatures /
-    * billions of docs the same shape holds — more bands, same joins. */
+    * precedent); the band join shuffles (band, key)-keyed 3-column rows —
+    * signatures, never documents; popcount verify and the degree
+    * aggregation are codegen'd integer arithmetic. Band extraction is
+    * shiftright+mask, sign-safe for bit-63 signatures. At billions of
+    * docs the same shape holds — wider signatures/more bands, same
+    * joins. */
   def d09SimhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = d04SimHash(s, d).localCheckpoint(true)
     val bands = sig.selectExpr("doc_id", "simhash",
-      """stack(4, 0L, simhash % 16,
-        |         1L, (simhash div 16) % 16,
-        |         2L, (simhash div 256) % 16,
-        |         3L, (simhash div 4096) % 16) AS (band, nibble)""".stripMargin)
-    val a = bands.toDF("a", "sha", "band", "nibble")
-    val b = bands.toDF("b", "shb", "band", "nibble")
+      """stack(4, 0L, simhash & 65535,
+        |         1L, shiftright(simhash, 16) & 65535,
+        |         2L, shiftright(simhash, 32) & 65535,
+        |         3L, shiftright(simhash, 48) & 65535) AS (band, bkey)""".stripMargin)
+    val a = bands.toDF("a", "sha", "band", "bkey")
+    val b = bands.toDF("b", "shb", "band", "bkey")
     // dedup WITHOUT a distinct: a pair sharing several bands is emitted
     // only from its FIRST shared band — decidable row-locally from the
-    // two signatures (codegen'd integer ops), so no 3-million-row
-    // distinct exchange exists in the plan
-    val pairs = a.join(b, Seq("band", "nibble"))
+    // two signatures (codegen'd integer ops), so no distinct exchange
+    // exists in the plan
+    val pairs = a.join(b, Seq("band", "bkey"))
       .filter(col("a") < col("b"))
       .filter(expr(
-        """(band < 1 OR (sha % 16)         != (shb % 16)) AND
-          |(band < 2 OR ((sha div 16) % 16)  != ((shb div 16) % 16)) AND
-          |(band < 3 OR ((sha div 256) % 16) != ((shb div 256) % 16))""".stripMargin))
+        """(band < 1 OR (sha & 65535)                 != (shb & 65535)) AND
+          |(band < 2 OR (shiftright(sha, 16) & 65535) != (shiftright(shb, 16) & 65535)) AND
+          |(band < 3 OR (shiftright(sha, 32) & 65535) != (shiftright(shb, 32) & 65535))""".stripMargin))
       .filter(expr(s"bit_count(sha ^ shb) <= $SimhashHammingMax"))
       // materialized once: the symmetric union below references pairs
       // twice, and an un-checkpointed plan would run the band join +
