@@ -910,15 +910,18 @@ object SparkEntry {
   /** DuckDB mirror of [[graft.queries.TextQueries.d02MinHashSig]]: k 32-bit
     * hash functions as disjoint 8-hex slices of one md5 per shingle. */
   private def minHashSigSql: String = {
-    val mins = (0 until TextQueries.MinHashK)
-      .map(i => s"min(substring(m, ${i * 8 + 1}, 8)) AS h$i").mkString(", ")
+    // 8 slices from TWO digests per shingle (second salted with '!'),
+    // mirroring d02From's kernel exactly; bands of 4 hashes each
+    val mins = ((0 until 4).map(i => s"min(substring(m, ${i * 8 + 1}, 8)) AS h$i") ++
+      (0 until 4).map(i => s"min(substring(m2, ${i * 8 + 1}, 8)) AS h${i + 4}")).mkString(", ")
     s"""WITH n AS (SELECT doc_id, $dNorm AS norm FROM documents),
        |sh0 AS (SELECT doc_id, norm,
        |          unnest(generate_series(1, greatest(length(norm) - ${TextQueries.ShingleSize - 1}, 1))) AS pos
        |        FROM n),
-       |sh AS (SELECT doc_id, md5(substring(norm, pos, ${TextQueries.ShingleSize})) AS m FROM sh0),
+       |sh AS (SELECT doc_id, md5(substring(norm, pos, ${TextQueries.ShingleSize})) AS m,
+       |              md5(substring(norm, pos, ${TextQueries.ShingleSize}) || '!') AS m2 FROM sh0),
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
-       |SELECT doc_id, h0, h1, h2, h3,
-       |       md5(h0 || h1) AS band0, md5(h2 || h3) AS band1 FROM sig""".stripMargin
+       |SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7,
+       |       md5(h0 || h1 || h2 || h3) AS band0, md5(h4 || h5 || h6 || h7) AS band1 FROM sig""".stripMargin
   }
 }

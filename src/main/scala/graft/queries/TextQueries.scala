@@ -27,7 +27,11 @@ object TextQueries {
   val StopFr = Seq("le", "la", "les", "et", "est", "un", "dans", "que")
   val StopEs = Seq("el", "los", "las", "y", "es", "en", "por", "que")
   val ShingleSize = 5
-  val MinHashK = 4
+  /** MinHash hashes per signature (8 since r4: 2 bands × 4 rows — see
+    * [[d02MinHashSig]]'s band-steepness note). */
+  val MinHashK = 8
+  /** Hashes per LSH band. */
+  val MinHashBandRows = 4
   val JaccardThreshold = 0.9
 
   def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
@@ -216,6 +220,26 @@ object TextQueries {
     }
   }
 
+  /** Like [[foreachShingleDigest]], but yields TWO digests per shingle —
+    * md5(shingle) and md5(shingle‖'!') — giving d02 its 8 independent
+    * 32-bit hash slices (one md5 only has four). The oracle mirrors the
+    * same salted second digest. */
+  private def foreachShingleDigestPair(md: java.security.MessageDigest, norm: String)(
+      f: (Array[Byte], Array[Byte]) => Unit): Unit = {
+    val last = math.max(norm.length - (ShingleSize - 1), 1)
+    val bufA = new Array[Byte](16)
+    val bufB = new Array[Byte](16)
+    var i = 0
+    while (i < last) {
+      val s = norm.substring(i, math.min(i + ShingleSize, norm.length))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      md.reset(); md.update(s); md.digest(bufA, 0, 16)
+      md.reset(); md.update(s); md.update('!'.toByte); md.digest(bufB, 0, 16)
+      f(bufA, bufB)
+      i += 1
+    }
+  }
+
   private def hex32(d: Array[Byte]): String = {
     val sb = new java.lang.StringBuilder(32)
     var i = 0
@@ -227,8 +251,18 @@ object TextQueries {
     sb.toString
   }
 
-  /** d02: MinHash signatures — k independent 8-hex-char slices of ONE md5
-    * per character shingle, plus LSH band keys (bands of 2).
+  /** d02: MinHash signatures — [[MinHashK]] independent 8-hex-char slices
+    * from TWO md5 digests per character shingle (the second salted with
+    * `!`), plus LSH band keys of [[MinHashBandRows]] hashes each.
+    *
+    * Band steepness is the r4 scale fix: with 2-hash bands the collision
+    * probability at background similarity j is ~2j² — on this small-
+    * vocabulary corpus (cross-doc char-shingle Jaccard ≈ 0.1–0.3) that
+    * admitted ~1.2% of ALL pairs as candidates, i.e. an O(n²) candidate
+    * set that the 10× probe exposed through d07/p01/g01 (15M edges at 50k
+    * docs). 4-hash bands put background collisions at ~2j⁴ (≲2·10⁻⁴ at
+    * j=0.1) while real near-dups (j ≥ 0.9) still collide at ~88% — the
+    * standard production steepening, mirrored exactly in the oracle.
     *
     * Physical plan: a per-doc mapPartitions kernel (digest reused per task,
     * mins folded in-place) — no shingle-row explosion, no shuffle; the
@@ -246,26 +280,31 @@ object TextQueries {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, norm) =>
-          // each 8-hex slice == one big-endian uint32 of the digest; track
+          // each 8-hex slice == one big-endian uint32 of a digest; track
           // mins as ints (unsigned compare), format once per doc. The
           // 0xFFFFFFFF start loses to every slice (a tie formats the same).
           val mins = Array.fill(MinHashK)(-1)
-          foreachShingleDigest(md, norm) { dg =>
+          foreachShingleDigestPair(md, norm) { (dgA, dgB) =>
             var k = 0
-            while (k < MinHashK) {
-              val v = ((dg(4 * k) & 0xff) << 24) | ((dg(4 * k + 1) & 0xff) << 16) |
-                ((dg(4 * k + 2) & 0xff) << 8) | (dg(4 * k + 3) & 0xff)
-              if (java.lang.Integer.compareUnsigned(v, mins(k)) < 0) mins(k) = v
+            while (k < 4) {
+              def be32(dg: Array[Byte]): Int =
+                ((dg(4 * k) & 0xff) << 24) | ((dg(4 * k + 1) & 0xff) << 16) |
+                  ((dg(4 * k + 2) & 0xff) << 8) | (dg(4 * k + 3) & 0xff)
+              val vA = be32(dgA)
+              if (java.lang.Integer.compareUnsigned(vA, mins(k)) < 0) mins(k) = vA
+              val vB = be32(dgB)
+              if (java.lang.Integer.compareUnsigned(vB, mins(k + 4)) < 0) mins(k + 4) = vB
               k += 1
             }
           }
-          (id, f"${mins(0)}%08x", f"${mins(1)}%08x", f"${mins(2)}%08x", f"${mins(3)}%08x")
+          (id, f"${mins(0)}%08x", f"${mins(1)}%08x", f"${mins(2)}%08x", f"${mins(3)}%08x",
+            f"${mins(4)}%08x", f"${mins(5)}%08x", f"${mins(6)}%08x", f"${mins(7)}%08x")
         }
       }
-      .toDF("doc_id", "h0", "h1", "h2", "h3")
-      .selectExpr("doc_id", "h0", "h1", "h2", "h3",
-        "md5(CAST(concat(h0, h1) AS BINARY)) AS band0",
-        "md5(CAST(concat(h2, h3) AS BINARY)) AS band1")
+      .toDF("doc_id", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
+      .selectExpr("doc_id", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7",
+        "md5(CAST(concat(h0, h1, h2, h3) AS BINARY)) AS band0",
+        "md5(CAST(concat(h4, h5, h6, h7) AS BINARY)) AS band1")
   }
 
   /** d03: MinHash+LSH candidate pairs — docs sharing any band key. The

@@ -44,19 +44,20 @@ trait RegistryTransport {
 final class RestSchemaRegistry(
     transport: RegistryTransport,
     userInfo: Option[String] = None,
-    maxCachedSchemas: Int = 1000
+    maxCachedSchemas: Int = 1000,
+    /** Pre-built `Authorization` value (basic OR bearer) from
+      * [[RegistryConfig]]; wins over `userInfo` when both are set. */
+    authHeaderValue: Option[String] = None
 ) extends RegistryEnvelope with Serializable {
 
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[Int, AvroLite.Schema]()
   @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def headers: Map[String, String] = userInfo match {
-    case Some(info) =>
-      Map("Authorization" ->
-        ("Basic " + Base64.getEncoder.encodeToString(info.getBytes(StandardCharsets.UTF_8))))
-    case None => Map.empty
-  }
+  private def headers: Map[String, String] =
+    authHeaderValue.orElse(userInfo.map(info =>
+      "Basic " + Base64.getEncoder.encodeToString(info.getBytes(StandardCharsets.UTF_8))))
+      .map(v => Map("Authorization" -> v)).getOrElse(Map.empty)
 
   override def lookup(id: Int): Option[AvroLite.Schema] = {
     val hit = cache.get(id)
@@ -82,4 +83,50 @@ final class RestSchemaRegistry(
 
   /** Cache size, for tests/metrics. */
   def cachedSchemas: Int = cache.size()
+}
+
+/** URL-list failover (the Confluent RestService contract): transports are
+  * tried in order starting from the last one that answered; CONNECTION
+  * failures rotate to the next URL, while HTTP-level errors (404 "no such
+  * id", auth failures) propagate immediately — a registry that ANSWERED is
+  * authoritative, and retrying a 404 elsewhere would just hide a
+  * misconfigured cluster. */
+final class FailoverTransport(delegates: Seq[RegistryTransport]) extends RegistryTransport {
+  require(delegates.nonEmpty, "no registry transports")
+  @volatile private var preferred = 0
+
+  override def get(path: String, headers: Map[String, String]): String = {
+    val n = delegates.size
+    var lastIo: Exception = null
+    var i = 0
+    while (i < n) {
+      val idx = (preferred + i) % n
+      try {
+        val r = delegates(idx).get(path, headers)
+        preferred = idx
+        return r
+      } catch {
+        case e: RegistryHttpError => throw e
+        case e: Exception => lastIo = e
+      }
+      i += 1
+    }
+    throw lastIo
+  }
+}
+
+object RestSchemaRegistry {
+  /** Build the client from the Confluent serde config map
+    * ([[RegistryConfig]]): URL-list failover, basic/bearer auth header,
+    * TLS context — over the real [[HttpRegistryTransport]] by default, or
+    * any transport factory (tests inject fakes per URL). */
+  def fromConfig(
+      conf: Map[String, String],
+      transportFactory: (String, Option[javax.net.ssl.SSLContext]) => RegistryTransport =
+        new HttpRegistryTransport(_, _)): RestSchemaRegistry = {
+    val cfg = RegistryConfig.parse(conf)
+    new RestSchemaRegistry(
+      new FailoverTransport(cfg.urls.map(u => transportFactory(u, cfg.sslContext))),
+      authHeaderValue = cfg.authHeader)
+  }
 }

@@ -32,6 +32,9 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events.ts is parquet TIMESTAMP(NANOS); read it as raw long (the
+    // copy is written back as int64, which Tables.events handles the same)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val IdSpan = 100000000L
     def copies(name: String)(mk: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit = {
@@ -64,6 +67,21 @@ object ScaleUp {
     copies("lineitem") { (l, k) =>
       if (k == 0) l
       else l.withColumn("l_orderkey", col("l_orderkey") + lit(k * IdSpan))
+    }
+    // events: same users and time range, f× the density — event_id offset
+    // keeps identity unique; per-user windows/sessions get f× heavier,
+    // which is the growth a busier deployment actually shows. ts is raw
+    // parquet NANOS (read as long, Tables.events converts) — keep it raw.
+    copies("events") { (e, k) =>
+      if (k == 0) e
+      else e.withColumn("event_id", col("event_id") + lit(k * IdSpan))
+    }
+    // dimension tables ride along unscaled (TPC-H ratios keep dims small;
+    // the copies reuse the same custkeys/nationkeys, so joins stay valid)
+    Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t: copied")
     }
     spark.stop()
   }

@@ -95,4 +95,159 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
     assert(reg.cachedSchemas <= 2)
     assert(reg.lookup(1).isDefined) // refetch after eviction still works
   }
+
+  // --- Confluent config surface (RegistryConfig) ---------------------------
+
+  test("config parse: URL list, USER_INFO basic auth") {
+    val cfg = RegistryConfig.parse(Map(
+      "schema.registry.url" -> "http://sr1:8081, http://sr2:8081",
+      "basic.auth.credentials.source" -> "USER_INFO",
+      "basic.auth.user.info" -> "alice:s3cret"))
+    assert(cfg.urls == Vector("http://sr1:8081", "http://sr2:8081"))
+    assert(cfg.authHeader.contains(
+      "Basic " + java.util.Base64.getEncoder.encodeToString("alice:s3cret".getBytes)))
+    assert(cfg.sslContext.isEmpty)
+  }
+
+  test("config parse: URL-embedded credentials are stripped and become the header") {
+    val cfg = RegistryConfig.parse(Map(
+      "schema.registry.url" -> "https://bob:pw@sr1:8081/base",
+      "basic.auth.credentials.source" -> "URL"))
+    assert(cfg.urls == Vector("https://sr1:8081/base"), "credentials must not stay in the URL")
+    assert(cfg.authHeader.contains(
+      "Basic " + java.util.Base64.getEncoder.encodeToString("bob:pw".getBytes)))
+  }
+
+  test("config parse: STATIC_TOKEN bearer auth; basic+bearer rejected") {
+    val cfg = RegistryConfig.parse(Map(
+      "schema.registry.url" -> "http://sr:8081",
+      "bearer.auth.credentials.source" -> "STATIC_TOKEN",
+      "bearer.auth.token" -> "tok123"))
+    assert(cfg.authHeader.contains("Bearer tok123"))
+    intercept[IllegalArgumentException](RegistryConfig.parse(Map(
+      "schema.registry.url" -> "http://sr:8081",
+      "basic.auth.credentials.source" -> "USER_INFO",
+      "basic.auth.user.info" -> "a:b",
+      "bearer.auth.credentials.source" -> "STATIC_TOKEN",
+      "bearer.auth.token" -> "t")))
+    intercept[IllegalArgumentException](RegistryConfig.parse(Map.empty))
+  }
+
+  test("failover: connection errors rotate URLs and stick; HTTP errors do NOT fail over") {
+    val down = new RegistryTransport {
+      var calls = 0
+      override def get(p: String, h: Map[String, String]): String = {
+        calls += 1; throw new java.net.ConnectException("sr1 down")
+      }
+    }
+    val up = new FakeRest(Map(7 -> schemaJson))
+    val reg = RestSchemaRegistry.fromConfig(
+      Map("schema.registry.url" -> "http://sr1:8081,http://sr2:8081"),
+      transportFactory = (url, _) =>
+        if (url.contains("sr1")) down else up)
+    assert(reg.lookup(7).isDefined)
+    assert(down.calls == 1 && up.requests.size == 1)
+    // sticky: the next MISS starts at sr2 (7 is cached; use a 404 id)
+    assert(reg.lookup(8).isEmpty)
+    assert(down.calls == 1, "preferred URL must stick after failover")
+    assert(up.requests.size == 2)
+    // 404 from an answering registry is authoritative: no rotation back
+    val bothDown = intercept[Exception] {
+      RestSchemaRegistry.fromConfig(
+        Map("schema.registry.url" -> "http://a,http://b"),
+        transportFactory = (_, _) => new RegistryTransport {
+          override def get(p: String, h: Map[String, String]): String =
+            throw new java.net.ConnectException("down")
+        }).lookup(1)
+    }
+    assert(bothDown.isInstanceOf[java.net.ConnectException])
+  }
+
+  test("HttpRegistryTransport: real JDK HTTP client end-to-end against a live server") {
+    // the one network transport the offline sandbox CAN exercise for real:
+    // an in-process HTTP server speaking the Confluent response shape,
+    // with a bearer-token gate
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/schemas/ids/7", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      val (code, body) =
+        if (!auth.contains("Bearer tok123")) (401, """{"message":"unauthorized"}""")
+        else {
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          val n = m.createObjectNode(); n.put("schema", schemaJson)
+          (200, m.writeValueAsString(n))
+        }
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val reg = RestSchemaRegistry.fromConfig(Map(
+        "schema.registry.url" -> base,
+        "bearer.auth.credentials.source" -> "STATIC_TOKEN",
+        "bearer.auth.token" -> "tok123"))
+      assert(reg.lookup(7).isDefined, "live HTTP fetch through the real transport")
+      // wrong token → 401 surfaces as RegistryHttpError, not a decode error
+      val bad = RestSchemaRegistry.fromConfig(Map(
+        "schema.registry.url" -> base,
+        "bearer.auth.credentials.source" -> "STATIC_TOKEN",
+        "bearer.auth.token" -> "wrong"))
+      val e = intercept[RegistryHttpError](bad.lookup(7))
+      assert(e.statusCode == 401)
+    } finally server.stop(0)
+  }
+
+  test("TLS config: generated keystore compiles into a working SSLContext (HTTPS end-to-end)") {
+    // generate a self-signed cert with the JDK's keytool, serve HTTPS from
+    // it, trust it via the config's truststore — the full mTLS-less TLS
+    // path with zero external dependencies
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg-tls")
+    val ks = dir.resolve("server.p12").toString
+    val keytool = java.nio.file.Paths.get(System.getProperty("java.home"), "bin", "keytool")
+    val cmd = Array(keytool.toString, "-genkeypair", "-alias", "sr", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "1", "-storetype", "PKCS12",
+      "-keystore", ks, "-storepass", "changeit",
+      "-dname", "CN=127.0.0.1", "-ext", "SAN=IP:127.0.0.1")
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    assert(p.waitFor() == 0, new String(p.getInputStream.readAllBytes()))
+
+    // server side: HTTPS from the generated keystore
+    val serverKs = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(ks)
+    try serverKs.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(serverKs, "changeit".toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val server = com.sun.net.httpserver.HttpsServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(serverCtx))
+    server.createContext("/schemas/ids/7", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = m.createObjectNode(); n.put("schema", schemaJson)
+      val bytes = m.writeValueAsString(n).getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"https://127.0.0.1:${server.getAddress.getPort}"
+      // client side: the same keystore is the truststore (self-signed)
+      val reg = RestSchemaRegistry.fromConfig(Map(
+        "schema.registry.url" -> base,
+        "schema.registry.ssl.truststore.location" -> ks,
+        "schema.registry.ssl.truststore.password" -> "changeit"))
+      assert(reg.lookup(7).isDefined, "HTTPS fetch with config-built trust")
+      // and WITHOUT the truststore the handshake must fail (self-signed)
+      val untrusted = RestSchemaRegistry.fromConfig(
+        Map("schema.registry.url" -> base))
+      intercept[Exception](untrusted.lookup(7))
+    } finally server.stop(0)
+  }
 }
