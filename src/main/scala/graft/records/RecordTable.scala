@@ -642,43 +642,72 @@ object BatchReserializer {
         col("kafka.timestamp").as("timestamp"),
         col("kafka"), col("headers"), col("key_raw"), col("value_raw")))).as("members"))
     grouped.map { row =>
-      val members = row.getSeq[org.apache.spark.sql.Row](3)
-      val firstKafka = members.head.getStruct(2)
+      val members = row.getSeq[org.apache.spark.sql.Row](3).map { m =>
+        BatchAssembly.Member(
+          offset = m.getAs[Long]("offset"),
+          timestamp = m.getAs[Long]("timestamp"),
+          kafka = m.getStruct(2),
+          headers = Option(m.getSeq[org.apache.spark.sql.Row](3)).getOrElse(Seq.empty),
+          key = m.getAs[Array[Byte]]("key_raw"),
+          value = m.getAs[Array[Byte]]("value_raw"))
+      }
       val baseOffset = row.getLong(0)
-      val batch = KafkaWireCodec.Batch(
-        baseOffset = baseOffset,
-        partitionLeaderEpoch = firstKafka.getAs[Int]("batch_partition_leader_epoch"),
-        magic = firstKafka.getAs[Int]("batch_magic").toByte,
-        attributes = ((firstKafka.getAs[Int]("batch_compression_type") & 0x07)
-          | (firstKafka.getAs[Int]("batch_timestamp_type") << 3)).toShort,
-        lastOffsetDelta = (members.last.getAs[Long]("offset") - baseOffset).toInt,
-        baseTimestamp = batchBaseTimestamp(members, baseOffset),
-        maxTimestamp = firstKafka.getAs[Long]("batch_max_timestamp"),
-        producerId = row.getLong(1),
-        producerEpoch = firstKafka.getAs[Int]("batch_producer_epoch").toShort,
-        baseSequence = row.getInt(2),
-        records = members.iterator.map { m =>
-          KafkaWireCodec.Record(
-            offsetDelta = (m.getAs[Long]("offset") - baseOffset).toInt,
-            timestampDelta = m.getAs[Long]("timestamp") - batchBaseTimestamp(members, baseOffset),
-            key = m.getAs[Array[Byte]]("key_raw"),
-            value = m.getAs[Array[Byte]]("value_raw"),
-            headers = Option(m.getSeq[org.apache.spark.sql.Row](3)).getOrElse(Seq.empty)
-              .map(h => KafkaWireCodec.Header(h.getString(0), h.getAs[Array[Byte]](1))).toVector)
-        }.toVector,
-        byteOffset = 0)
+      val batch = BatchAssembly.assemble(baseOffset, row.getLong(1), row.getInt(2), members)
       (baseOffset, KafkaWireCodec.writeBatch(batch))
     }.toDF("base_offset", "wire_bytes")
   }
+}
 
-  /** The batch's base timestamp is carried per row as
-    * `timestamp = base + delta`; the first record of a v2 batch has delta of
-    * its own — we recover base from the stored per-batch metadata instead:
-    * rows keep `batch_max_timestamp` but not base, so we use the minimum
-    * member timestamp, which equals base when deltas are non-negative and
-    * the first record has delta 0 (true for producer-built batches). */
-  private def batchBaseTimestamp(members: Seq[org.apache.spark.sql.Row], baseOffset: Long): Long =
-    members.iterator.map(_.getAs[Long]("timestamp")).min
+/** The shared I8 batch-rebuild core: one batch's member rows (the 13-field
+  * kafka struct + headers + raw key/value) back into a wire
+  * [[KafkaWireCodec.Batch]] with its ORIGINAL attributes. Used by
+  * [[BatchReserializer]] (DataFrame regroup) and the `graft-segments`
+  * DSv2 writer (per-task row buffers) so the two serving paths cannot
+  * drift. */
+object BatchAssembly {
+
+  final case class Member(
+      offset: Long,
+      timestamp: Long,
+      kafka: org.apache.spark.sql.Row,
+      headers: Seq[org.apache.spark.sql.Row],
+      key: Array[Byte],
+      value: Array[Byte])
+
+  /** `members` may arrive in any order; offset order is restored here.
+    *
+    * Base timestamp: rows carry `timestamp = base + delta` but not base
+    * itself — the minimum member timestamp equals base when deltas are
+    * non-negative and the first record has delta 0 (true for
+    * producer-built batches). */
+  def assemble(baseOffset: Long, producerId: Long, baseSequence: Int,
+               members0: Seq[Member]): KafkaWireCodec.Batch = {
+    val members = members0.sortBy(_.offset)
+    val k0 = members.head.kafka
+    val baseTs = members.iterator.map(_.timestamp).min
+    KafkaWireCodec.Batch(
+      baseOffset = baseOffset,
+      partitionLeaderEpoch = k0.getAs[Int]("batch_partition_leader_epoch"),
+      magic = k0.getAs[Int]("batch_magic").toByte,
+      attributes = ((k0.getAs[Int]("batch_compression_type") & 0x07)
+        | (k0.getAs[Int]("batch_timestamp_type") << 3)).toShort,
+      lastOffsetDelta = (members.last.offset - baseOffset).toInt,
+      baseTimestamp = baseTs,
+      maxTimestamp = k0.getAs[Long]("batch_max_timestamp"),
+      producerId = producerId,
+      producerEpoch = k0.getAs[Int]("batch_producer_epoch").toShort,
+      baseSequence = baseSequence,
+      records = members.iterator.map { m =>
+        KafkaWireCodec.Record(
+          offsetDelta = (m.offset - baseOffset).toInt,
+          timestampDelta = m.timestamp - baseTs,
+          key = m.key,
+          value = m.value,
+          headers = m.headers
+            .map(h => KafkaWireCodec.Header(h.getString(0), h.getAs[Array[Byte]](1))).toVector)
+      }.toVector,
+      byteOffset = 0)
+  }
 }
 
 object RecordTable {

@@ -389,40 +389,22 @@ final class SegmentsDataWriter(conf: GraftSegments.SourceConf, schema: StructTyp
   }
 
   private def segmentPayload(rows: Seq[Row]): Array[Byte] = {
-    val kafkaOf = (r: Row) => r.getStruct(idx("kafka"))
     val out = new java.io.ByteArrayOutputStream()
-    rows.groupBy { r =>
-      val k = kafkaOf(r)
-      (k.getAs[Long]("batch_base_offset"), k.getAs[Long]("batch_producer_id"),
-        k.getAs[Int]("batch_base_sequence"))
-    }.toSeq.sortBy(_._1._1).foreach { case ((baseOffset, producerId, baseSequence), members0) =>
-      val members = members0.sortBy(r => kafkaOf(r).getAs[Long]("offset"))
-      val k0 = kafkaOf(members.head)
-      val baseTs = members.iterator.map(r => kafkaOf(r).getAs[Long]("timestamp")).min
-      val batch = KafkaWireCodec.Batch(
-        baseOffset = baseOffset,
-        partitionLeaderEpoch = k0.getAs[Int]("batch_partition_leader_epoch"),
-        magic = k0.getAs[Int]("batch_magic").toByte,
-        attributes = ((k0.getAs[Int]("batch_compression_type") & 0x07)
-          | (k0.getAs[Int]("batch_timestamp_type") << 3)).toShort,
-        lastOffsetDelta = (kafkaOf(members.last).getAs[Long]("offset") - baseOffset).toInt,
-        baseTimestamp = baseTs,
-        maxTimestamp = k0.getAs[Long]("batch_max_timestamp"),
-        producerId = producerId,
-        producerEpoch = k0.getAs[Int]("batch_producer_epoch").toShort,
-        baseSequence = baseSequence,
-        records = members.iterator.map { r =>
-          val k = kafkaOf(r)
-          KafkaWireCodec.Record(
-            offsetDelta = (k.getAs[Long]("offset") - baseOffset).toInt,
-            timestampDelta = k.getAs[Long]("timestamp") - baseTs,
-            key = r.getAs[Array[Byte]](idx("key_raw")),
-            value = r.getAs[Array[Byte]](idx("value_raw")),
-            headers = Option(r.getSeq[Row](idx("headers"))).getOrElse(Seq.empty)
-              .map(h => KafkaWireCodec.Header(h.getString(0), h.getAs[Array[Byte]](1))).toVector)
-        }.toVector,
-        byteOffset = 0)
-      out.write(KafkaWireCodec.writeBatch(batch))
+    rows.map { r =>
+      val k = r.getStruct(idx("kafka"))
+      graft.records.BatchAssembly.Member(
+        offset = k.getAs[Long]("offset"),
+        timestamp = k.getAs[Long]("timestamp"),
+        kafka = k,
+        headers = Option(r.getSeq[Row](idx("headers"))).getOrElse(Seq.empty),
+        key = r.getAs[Array[Byte]](idx("key_raw")),
+        value = r.getAs[Array[Byte]](idx("value_raw")))
+    }.groupBy { m =>
+      (m.kafka.getAs[Long]("batch_base_offset"), m.kafka.getAs[Long]("batch_producer_id"),
+        m.kafka.getAs[Int]("batch_base_sequence"))
+    }.toSeq.sortBy(_._1._1).foreach { case ((baseOffset, producerId, baseSequence), members) =>
+      out.write(KafkaWireCodec.writeBatch(
+        graft.records.BatchAssembly.assemble(baseOffset, producerId, baseSequence, members)))
     }
     out.toByteArray
   }

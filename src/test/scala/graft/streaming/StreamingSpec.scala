@@ -249,14 +249,18 @@ class StreamingSpec extends SparkSpec {
     val watch = Files.createTempDirectory("graft-topic-watch").toString
     val ckpt = Files.createTempDirectory("graft-topic-ckpt").toString
     val tableDir = Files.createTempDirectory("graft-topic-table").toString
-    def segment(base: Long): Array[Byte] = {
+    // seg-005 is producer-compressed (lz4): the streaming ingest path must
+    // parse compressed interiors like the batch path does
+    def segment(base: Long, codec: Int = KafkaWireCodec.CodecNone): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       out.write(KafkaWireCodec.writeBatch(KafkaWireCodec.buildBatch(base, base * 3,
-        (0 until 5).map(i => (s"k${base + i}".getBytes, s"v${base + i}".getBytes, Seq.empty)))))
+        (0 until 5).map(i => (s"k${base + i}".getBytes, s"v${base + i}".getBytes, Seq.empty)),
+        compression = codec)))
       out.toByteArray
     }
     Files.write(java.nio.file.Paths.get(watch, "seg-000.log"), segment(0))
-    Files.write(java.nio.file.Paths.get(watch, "seg-005.log"), segment(5))
+    Files.write(java.nio.file.Paths.get(watch, "seg-005.log"),
+      segment(5, KafkaWireCodec.CodecLz4))
     Files.write(java.nio.file.Paths.get(watch, "ignored.txt"), Array[Byte](1)) // glob-filtered
 
     val q = TopicIngestStream.start(spark, watch, ckpt, tableDir)
@@ -264,6 +268,11 @@ class StreamingSpec extends SparkSpec {
     val table = new RecordTable(tableDir)
     assert(table.listManifests().map(_.segment).sorted == Vector("seg-000", "seg-005"))
     assert(table.read(spark).count() == 10)
+    // the compressed segment's rows decoded and kept their codec id
+    val codecs = table.read(spark)
+      .selectExpr("kafka.batch_compression_type").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(codecs == Seq(KafkaWireCodec.CodecNone, KafkaWireCodec.CodecLz4))
     // replay: same checkpoint, no duplicates
     val q2 = TopicIngestStream.start(spark, watch, ckpt, tableDir)
     q2.awaitTermination(60000)
