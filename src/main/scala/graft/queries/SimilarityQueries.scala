@@ -34,11 +34,20 @@ object SimilarityQueries {
   val AnchorFrom = 100
   val AnchorCount = 8
 
-  /** Block count for the s02 exact all-pairs join. Sized so one task's two
-    * blocks fit comfortably in executor memory: per task memory is
-    * 2·(n/B)·dim·8 bytes, so at 100 TB you raise B ~ sqrt(n²·dim·8 / mem)
-    * and get B(B+1)/2 evenly-sized tasks. 8 gives 36 tasks at test SFs. */
+  /** Minimum block count for the s02 exact all-pairs join. Per task memory
+    * is 2·(n/B)·dim·8 bytes; [[nearDupBlocks]] raises B with the corpus so
+    * one task's two blocks always fit (B(B+1)/2 evenly-sized tasks; 8 →
+    * 36 tasks at test SFs). */
   val NearDupBlocks = 8
+
+  /** Vectors one block may hold — the per-task memory budget (2 blocks ×
+    * 2000 × dim·8 B ≈ 2 MB at dim 64). Exact for ANY B (same rule as
+    * [[graft.queries.TextQueries.jaccardBlocks]], implemented in r4). */
+  val NearDupBlockVecs = 2000L
+
+  def nearDupBlocks(corpusSize: Long): Int =
+    math.max(NearDupBlocks,
+      ((corpusSize + NearDupBlockVecs - 1) / NearDupBlockVecs).toInt)
 
   /** vec_id, v (double array), nrm (L2 norm). Dot products go through the
     * codegen'd [[graft.plans.VecDot]] expression — the HOF formulation
@@ -105,7 +114,7 @@ object SimilarityQueries {
     * is B, work per task n²/B²). The sublinear approximate path is s03. */
   def s02EmbedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val b = NearDupBlocks
+    val b = nearDupBlocks(embeddings(s, d).count())
     val threshold = NearDupThreshold
     val vecs = embeddings(s, d)
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")

@@ -466,11 +466,21 @@ object TextQueries {
     ranks
   }
 
-  /** Block count for d05's exact all-pairs join (see
-    * [[graft.queries.SimilarityQueries.NearDupBlocks]] for the sizing
-    * rule: per-task memory = 2·n/B documents' token sets; raise B with
-    * corpus size, task count grows as B²/2). */
+  /** Minimum block count for d05's exact all-pairs join. */
   val JaccardBlocks = 8
+
+  /** Documents one block may hold: the task-memory budget of the block-pair
+    * kernel (per task ≈ 2·budget token sets + their local-vocab bitsets). */
+  val JaccardBlockDocs = 2000L
+
+  /** The sizing rule, IMPLEMENTED (r4 — it was prose before): B grows with
+    * the corpus so per-task memory stays CONSTANT while task count grows as
+    * B²/2 — the quadratic work is intrinsic to the exact baseline, but no
+    * task ever outgrows its executor. The block-pair decomposition is exact
+    * for ANY B, so the oracle is unaffected by the choice. */
+  def jaccardBlocks(corpusSize: Long): Int =
+    math.max(JaccardBlocks,
+      ((corpusSize + JaccardBlockDocs - 1) / JaccardBlockDocs).toInt)
 
   /** d05: n-gram Jaccard near-dup pairs — within-language token-set
     * Jaccard, EXACT, as a distributed BLOCK-PAIR join: each document is
@@ -494,7 +504,9 @@ object TextQueries {
     * sweep entirely. */
   def d05JaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val b = JaccardBlocks
+    // one metadata-cheap count sizes the decomposition (the count reads
+    // parquet row-group stats, not the data)
+    val b = jaccardBlocks(documents(s, d).count())
     val threshold = JaccardThreshold
     val docs = documents(s, d)
       .selectExpr("doc_id", "lang", s"array_distinct($toksExpr) AS t")
