@@ -252,6 +252,14 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => TokensToHashBitset(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot",
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)), "scala_udf")
+    // Spark's OWN codegen'd bloom-probe expression (what InjectRuntimeFilter
+    // plants), registered for explicit use: the engine's always-on bloom
+    // semi-join (q21) probes inside whole-stage codegen instead of a Scala
+    // UDF. Args: (serialized util.sketch.BloomFilter binary, long value).
+    reg.createOrReplaceTempFunction("graft_might_contain",
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)),
+      "scala_udf")
   }
 }
 

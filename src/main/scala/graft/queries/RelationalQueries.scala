@@ -581,19 +581,26 @@ object RelationalQueries {
     *
     * Plan: `stat.bloomFilter` is one map-side-combined aggregate over the
     * (already filtered) build side producing a fixed-size bit array; the
-    * probe scan applies `mightContain` in its projection — at TPC-H
-    * selectivity (~20% of orders are 1-URGENT) the probe shuffle moves
-    * ~5× fewer rows. */
+    * probe scan applies Spark's own `BloomFilterMightContain` expression —
+    * the exact predicate `InjectRuntimeFilter` plants, CODEGEN'D inside the
+    * probe's whole-stage span (a Scala UDF here would box every key and
+    * break the span — r4 swapped it out) — so at TPC-H selectivity (~20%
+    * of orders are 1-URGENT) the probe shuffle moves ~5× fewer rows at
+    * scan speed. */
   def q21BloomJoin(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     val build = orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
     val bloom = build.stat.bloomFilter("o_orderkey", BloomExpectedKeys, BloomFpp)
-    val bc = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
     val probe = lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .filter(mightContain(col("l_orderkey")))
+      .filter(call_function("graft_might_contain", lit(bloomBytes), col("l_orderkey")))
     probe.join(build, col("l_orderkey") === col("o_orderkey"))
       .groupBy(month(col("o_orderdate")).cast("long").as("mth"))
       .agg(

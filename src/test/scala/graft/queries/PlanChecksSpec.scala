@@ -197,6 +197,28 @@ class PlanChecksSpec extends SparkSpec {
     }
   }
 
+  test("q21: bloom probe is Spark's codegen'd expression, no Scala UDF; filter is selective") {
+    val df = RelationalQueries.q21BloomJoin(spark, d)
+    val p = plan(df)
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(!p.contains("UDF"), "bloom probe must not be a boxed Scala UDF:\n" + p.take(2000))
+    // the filter must actually DROP rows (a bloom that deserialized to
+    // always-true would still match the oracle — the join re-checks)
+    graft.plans.GraftFunctions.register(spark)
+    val build = graft.queries.Tables.orders(spark, d)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+    val bloom = build.stat.bloomFilter("o_orderkey",
+      RelationalQueries.BloomExpectedKeys, RelationalQueries.BloomFpp)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+    val li = graft.queries.Tables.lineitem(spark, d)
+    val total = li.count()
+    val kept = li.filter(org.apache.spark.sql.functions.call_function("graft_might_contain",
+      org.apache.spark.sql.functions.lit(bytes),
+      org.apache.spark.sql.functions.col("l_orderkey"))).count()
+    assert(kept < total * 0.5, s"bloom kept $kept of $total - not filtering")
+    assert(kept > 0)
+  }
+
   test("q27: partial salting replicates ONLY profiled hot keys; result == plain join") {
     val df = RelationalQueries.q27PartialSaltedJoin(spark, d)
     val p = plan(df)

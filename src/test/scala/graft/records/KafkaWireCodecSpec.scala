@@ -211,6 +211,51 @@ class KafkaWireCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: arbitrary bytes and truncations never hang or OOM the parser") {
+    // the records path feeds parseSegment whatever the object store serves;
+    // corrupt or truncated segments must fail FAST with a validation error
+    // (or parse a valid prefix), never loop, allocate absurdly, or return
+    // silently-wrong records
+    val rnd = new java.util.Random(99)
+    (0 until 200).foreach { i =>
+      val garbage = new Array[Byte](rnd.nextInt(4096))
+      rnd.nextBytes(garbage)
+      try { parseSegment(garbage); () }
+      catch {
+        case _: IllegalArgumentException | _: java.io.IOException |
+             _: java.nio.BufferUnderflowException | _: IndexOutOfBoundsException |
+             _: NegativeArraySizeException => ()
+      }
+    }
+    // every truncation point of a VALID compressed segment
+    val (seg, _) = e2eStyleSegment(CodecZstd)
+    (0 until seg.length by 7).foreach { cut =>
+      val t = java.util.Arrays.copyOfRange(seg, 0, cut)
+      try { parseSegment(t); () }
+      catch {
+        case _: IllegalArgumentException | _: java.io.IOException |
+             _: java.nio.BufferUnderflowException | _: IndexOutOfBoundsException |
+             _: NegativeArraySizeException => ()
+      }
+    }
+    // and bit-flips inside batch bodies are caught by the CRC, not decoded
+    (0 until 50).foreach { _ =>
+      val bad = seg.clone()
+      val pos = 21 + rnd.nextInt(bad.length - 21) // past batch 0's CRC field
+      bad(pos) = (bad(pos) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val parsed = parseSegment(bad)
+        // a flip that lands in a LATER batch can leave batch 0 valid; any
+        // parsed result must re-serialize consistently (no silent damage)
+        parsed.foreach(b => writeBatch(b))
+      } catch {
+        case _: IllegalArgumentException | _: java.io.IOException |
+             _: java.nio.BufferUnderflowException | _: IndexOutOfBoundsException |
+             _: NegativeArraySizeException => ()
+      }
+    }
+  }
+
   test("varint law: round trip over full int/long range") {
     forAllN(Gen.chooseNum(Int.MinValue, Int.MaxValue)) { v =>
       val out = new java.io.ByteArrayOutputStream()
