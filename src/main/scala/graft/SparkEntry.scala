@@ -93,6 +93,7 @@ object SparkEntry {
     "q25_sliding_windows" -> (RelationalQueries.q25SlidingWindows _),
     "q26_correlated_subquery" -> (RelationalQueries.q26CorrelatedSubquery _),
     "w04_window_zoo" -> (RelationalQueries.w04WindowZoo _),
+    "w05_scd2_dim" -> (RelationalQueries.w05Scd2Join _),
     "a04_histogram" -> (RelationalQueries.a04Histogram _),
     "g01_pagerank" -> (TextQueries.g01PageRank _),
   )
@@ -144,6 +145,21 @@ object SparkEntry {
         |       COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "w05_scd2_dim" ->
+      """WITH dim AS (SELECT o_custkey AS d_custkey, o_orderkey AS d_orderkey,
+        |               o_orderdate AS valid_from, o_orderpriority AS prio,
+        |               lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |             FROM orders),
+        |f AS (SELECT o.o_custkey, l.l_shipdate, l.l_extendedprice, l.l_discount
+        |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT d.prio AS prio_at_ship,
+        |       CAST(SUM(CAST(f.l_extendedprice * (1.0 - f.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM f JOIN dim d ON f.o_custkey = d.d_custkey
+        |  AND f.l_shipdate >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+        |GROUP BY 1""".stripMargin,
     "q27_partial_salt" ->
       """SELECT o_orderpriority,
         |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

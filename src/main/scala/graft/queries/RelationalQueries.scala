@@ -633,6 +633,47 @@ object RelationalQueries {
       .select(col("event_id"), col("user_id"), col("us"), col("n_1h"), col("v_1h"))
   }
 
+  /** w05: SCD2 — the slowly-changing-dimension TYPE-2 join every
+    * warehouse runs: the dimension's versions carry [valid_from, valid_to)
+    * intervals (valid_to = next version's start via `lead`, NULL = current)
+    * and each fact row joins the version valid AT ITS OWN TIMESTAMP.
+    * Here the versioned dimension is each customer's order-priority
+    * history (a new order = a new version) and facts are line items at
+    * ship time — revenue attributed to the customer's priority as of
+    * shipment, not as of order.
+    *
+    * Scale shape: the join is an EQUI-join on the dimension key with the
+    * interval test as a residual filter — both sides co-partition on
+    * custkey, no range explosion, no nested loop (versions per key are
+    * few; the residual runs within the hash-join row stream). Building
+    * the intervals is one `lead` window per key — one shuffle. The total
+    * order (valid_from, orderkey) makes same-day re-orders deterministic:
+    * the earlier version's interval is empty, the later one owns the day
+    * (both engines compute identical intervals). Every fact matches
+    * EXACTLY one version (shipdate ≥ its own order's date ≥ the key's
+    * first version start; intervals partition the timeline). */
+  def w05Scd2Join(s: SparkSession, d: String): DataFrame = {
+    val wv = Window.partitionBy(col("d_custkey"))
+      .orderBy(col("valid_from"), col("d_orderkey"))
+    val dim = orders(s, d).select(
+        col("o_custkey").as("d_custkey"), col("o_orderkey").as("d_orderkey"),
+        col("o_orderdate").as("valid_from"), col("o_orderpriority").as("prio"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+    val fact = lineitem(s, d)
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+    fact.join(dim,
+        col("o_custkey") === col("d_custkey") &&
+          col("l_shipdate") >= col("valid_from") &&
+          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+      .groupBy(col("prio").as("prio_at_ship"))
+      .agg(
+        out6(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("prio_at_ship"), col("revenue"), col("n_items"))
+  }
+
   /** w04: the ranking/navigation window-function family in one pass —
     * row_number, ntile, lead/lag, first_value, percent_rank, cume_dist
     * over ONE total order (price DESC, key ASC). The total order is what

@@ -197,6 +197,13 @@ class PlanChecksSpec extends SparkSpec {
     }
   }
 
+  test("w05: SCD2 interval test rides the custkey EQUI-join as residual, never nested-loop") {
+    val p = plan(RelationalQueries.w05Scd2Join(spark, d))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "SCD2 must join on the dimension key, interval as residual:\n" + p.take(3000))
+    assert(p.contains("Join") || p.contains("HashJoin"), p.take(1000))
+  }
+
   test("q21: bloom probe is Spark's codegen'd expression, no Scala UDF; filter is selective") {
     val df = RelationalQueries.q21BloomJoin(spark, d)
     val p = plan(df)
