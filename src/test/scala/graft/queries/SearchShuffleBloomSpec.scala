@@ -152,7 +152,8 @@ class SearchShuffleBloomSpec extends SparkSpec {
   test("q21: the probe-side bloom filter is visible in the plan") {
     val p = RelationalQueries.q21BloomJoin(spark, d)
       .queryExecution.executedPlan.toString
-    // the UDF pre-filter must sit on the lineitem scan side
-    assert(p.contains("UDF") || p.contains("mightContain"), p.take(2000))
+    // the codegen'd bloom pre-filter must sit on the lineitem scan side
+    // (r4: Spark's BloomFilterMightContain expression, not a Scala UDF)
+    assert(p.contains("might_contain"), p.take(2000))
   }
 }
