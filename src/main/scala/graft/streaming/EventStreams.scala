@@ -266,6 +266,47 @@ object EventStreams {
       }
   }
 
+  final case class Scd2State(attr: String, since: Long)
+  final case class Scd2Version(key: Long, attr: String, valid_from: Long, valid_to: Long)
+
+  /** SCD2 dimension MAINTENANCE from a change stream — the CDC twin of the
+    * batch w05 dimension build (`lead` over each key's version order): one
+    * open version per key lives in state; each arriving change CLOSES the
+    * previous version (emitting it with `valid_to` = the change's time)
+    * and opens a new one. Emitted rows are exactly the batch
+    * formulation's CLOSED intervals (the open current version is state,
+    * not output — it has no `valid_to` yet), so batch and stream agree row
+    * for row on any prefix of the change log. State per key is ONE
+    * (attr, since) pair — bounded forever. Changes carrying the SAME attr
+    * as the open version are no-ops (CDC dedup), matching the batch
+    * build over distinct-attr change logs. Within a batch, changes apply
+    * in (ts, then attr) order; across batches the per-key stream must be
+    * time-ordered (same watermarked-source contract as
+    * [[trailingCounts]]). */
+  def scd2Versions(spark: SparkSession, changes: DataFrame): Dataset[Scd2Version] = {
+    import spark.implicits._
+    changes.selectExpr("key", "us", "attr")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, String)], state: GroupState[Scd2State]) =>
+          var cur = state.getOption
+          val out = Vector.newBuilder[Scd2Version]
+          rows.toVector.sortBy(r => (r._2, r._3)).foreach { case (_, us, attr) =>
+            cur match {
+              case Some(open) if open.attr == attr => () // no-op change
+              case Some(open) =>
+                out += Scd2Version(key, open.attr, open.since, us)
+                cur = Some(Scd2State(attr, us))
+              case None =>
+                cur = Some(Scd2State(attr, us))
+            }
+          }
+          cur.foreach(c => state.update(c))
+          out.result().iterator
+      }
+  }
+
   final case class PackState(nextPos: Long)
   final case class PackedDoc(doc_id: Long, lang: String, n_tokens: Long, bin_id: Long)
 

@@ -148,6 +148,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((10L, 2L, 3.33), (11L, 2L, 3.33), (12L, 3L, 6.66), (13L, 1L, 4.44)))
   }
 
+  test("SCD2 dimension maintenance: streamed closed versions equal the batch lead() build") {
+    // the CDC twin of w05's dimension construction: user_id's event_type
+    // history is the "slowly changing attribute"; the stream must emit
+    // exactly the CLOSED versions the batch lead() formulation computes
+    // (open current versions live in state), across a micro-batch split
+    import org.apache.spark.sql.expressions.Window
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    val src = Files.createTempDirectory("graft-scd2-src").toString
+    val cut = events.selectExpr("percentile_approx(ts, 0.5) AS m").head().getTimestamp(0)
+    events.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    events.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .selectExpr("user_id AS key", "unix_micros(ts) AS us", "event_type AS attr")
+    val q = EventStreams.scd2Versions(spark, stream).writeStream
+      .format("memory").queryName("scd2")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT key, attr, valid_from, valid_to FROM scd2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // batch reference: per key in (us, attr) order, collapse consecutive
+    // duplicate attrs (CDC no-ops), close each version at the next change
+    val w = Window.partitionBy(col("key")).orderBy(col("us"), col("attr"))
+    val changes = events
+      .selectExpr("user_id AS key", "unix_micros(ts) AS us", "event_type AS attr")
+      .withColumn("prev", lag(col("attr"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
+    val w2 = Window.partitionBy(col("key")).orderBy(col("us"), col("attr"))
+    val batch = changes
+      .withColumn("valid_to", lead(col("us"), 1).over(w2))
+      .filter(col("valid_to").isNotNull)
+      .select(col("key"), col("attr"), col("us").as("valid_from"), col("valid_to"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("session windows: streaming sessionization equals the batch aggregate") {
     val src = Files.createTempDirectory("graft-sess-src").toString
     graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
