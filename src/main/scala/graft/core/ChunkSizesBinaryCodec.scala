@@ -52,12 +52,25 @@ object ChunkSizesBinaryCodec {
   }
 
   def decode(bytes: Array[Byte]): Vector[Int] = {
+    // manifests arrive off the object store: corrupt/truncated payloads
+    // must fail VALIDATION here (clear message, caught by the serving
+    // path), not leak a raw BufferUnderflowException — found by the r4
+    // manifest fuzz.
+    require(bytes.length >= 4, s"chunk-sizes payload truncated: ${bytes.length} bytes")
     val buf = ByteBuffer.wrap(bytes)
     val count = buf.getInt()
+    require(count >= 0, s"negative chunk count $count")
     if (count == 0) return Vector.empty
+    require(bytes.length >= 8, s"chunk-sizes payload truncated: ${bytes.length} bytes for count $count")
     if (count == 1) return Vector(buf.getInt())
     val base = buf.getInt()
+    require(buf.remaining() >= 1, "chunk-sizes payload truncated before width byte")
     val bytesPerValue = buf.get().toInt
+    require(bytesPerValue >= 1 && bytesPerValue <= 4,
+      s"invalid chunk-size width $bytesPerValue (expected 1..4)")
+    require(buf.remaining().toLong == (count - 1).toLong * bytesPerValue + 4,
+      s"chunk-sizes payload has ${buf.remaining()} bytes; " +
+        s"count $count at width $bytesPerValue needs ${(count - 1).toLong * bytesPerValue + 4}")
     val valBuf = ByteBuffer.allocate(4)
     val offset = 4 - bytesPerValue
     val out = Vector.newBuilder[Int]

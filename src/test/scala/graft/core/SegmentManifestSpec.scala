@@ -84,4 +84,37 @@ class SegmentManifestSpec extends AnyFunSuite {
     assert(m.compressionCodec == SegmentManifest.CodecLz4Name)
     assert(m.encryption.get.wrapAlg == SegmentManifest.WrapAlgOaepSha256)
   }
+
+  test("fuzz: corrupt manifest JSON fails with a validation error, never hangs or NPEs silently") {
+    // manifests come off the object store — truncations, field deletions
+    // and random garbage must all surface as clean parse/validation
+    // failures on the serving path (never a decoded-garbage manifest)
+    val valid =
+      """{"version":"1","chunkIndex":{"type":"variable","originalChunkSize":64,""" +
+        """"originalFileSize":150,"transformedChunks":"AAAAAwAAACgBCgAAAAAe"},""" +
+        """"segmentIndexes":null,"compression":true,"compressionCodec":"lz4",""" +
+        """"encryption":{"keyId":"key-1","dataKey":"AQI=","aad":"Aw==","wrapAlg":"RSA-OAEP-SHA256"}}"""
+    def parses(j: String): Boolean =
+      try { SegmentManifest.fromJson(j); true }
+      catch {
+        case _: IllegalArgumentException | _: NullPointerException |
+             _: com.fasterxml.jackson.core.JacksonException |
+             _: NegativeArraySizeException => false
+      }
+    assert(parses(valid))
+    // every truncation point
+    (0 until valid.length by 3).foreach { cut => parses(valid.substring(0, cut)); () }
+    // random garbage
+    val rnd = new java.util.Random(4)
+    (0 until 100).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(512)); rnd.nextBytes(b)
+      parses(new String(b, "ISO-8859-1")); ()
+    }
+    // structurally valid JSON with a corrupt binary-codec payload must be
+    // rejected by the codec's validation, not decoded into a wrong index
+    val badCodec = valid.replace("AAAAAwAAACgBCgAAAAAe", "////////////")
+    assert(!parses(badCodec), "corrupt transformedChunks must not decode")
+    // unknown chunk-index type fails loudly
+    assert(!parses(valid.replace("\"variable\"", "\"mystery\"")))
+  }
 }
