@@ -60,9 +60,16 @@ object ChunkSizesBinaryCodec {
     val buf = ByteBuffer.wrap(bytes)
     val count = buf.getInt()
     require(count >= 0, s"negative chunk count $count")
-    if (count == 0) return Vector.empty
-    require(bytes.length >= 8, s"chunk-sizes payload truncated: ${bytes.length} bytes for count $count")
-    if (count == 1) return Vector(buf.getInt())
+    // the count==0/1 short forms enforce EXACT length like the general
+    // branch below — trailing junk is corruption, not padding
+    if (count == 0) {
+      require(bytes.length == 4, s"chunk-sizes payload has ${bytes.length} bytes; count 0 needs exactly 4")
+      return Vector.empty
+    }
+    if (count == 1) {
+      require(bytes.length == 8, s"chunk-sizes payload has ${bytes.length} bytes; count 1 needs exactly 8")
+      return Vector(buf.getInt())
+    }
     val base = buf.getInt()
     require(buf.remaining() >= 1, "chunk-sizes payload truncated before width byte")
     val bytesPerValue = buf.get().toInt

@@ -60,20 +60,44 @@ object BatchCompression {
     case other => throw new IllegalArgumentException(s"unsupported compression codec $other")
   }
 
+  /** Decompression-bomb cap: batch payloads arrive off the object store,
+    * so a small malicious frame must not allocate unbounded memory. The
+    * 64 MiB floor clears any real producer batch (Kafka batches are
+    * MiB-scale) even at zstd's extreme all-zero ratios; beyond that a
+    * payload may only expand 4096:1, and never past 1 GiB. */
+  private[records] def maxDecompressed(compressedLen: Int): Long =
+    math.min(math.max(4096L * compressedLen, 64L << 20), 1L << 30)
+
+  private def readBounded(in: java.io.InputStream, compressedLen: Int): Array[Byte] = {
+    val limit = maxDecompressed(compressedLen)
+    val out = new ByteArrayOutputStream(math.min(compressedLen.toLong * 4 + 64, 1L << 20).toInt)
+    val buf = new Array[Byte](64 * 1024)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) {
+      total += n
+      require(total <= limit,
+        s"decompressed batch exceeds $limit bytes from a $compressedLen-byte payload (decompression bomb?)")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
   def decompress(codec: Int, payload: Array[Byte]): Array[Byte] = codec match {
     case None => payload
     case Gzip =>
       val in = new GZIPInputStream(new ByteArrayInputStream(payload))
-      try in.readAllBytes() finally in.close()
+      try readBounded(in, payload.length) finally in.close()
     case Snappy =>
       val in = new SnappyInputStream(new ByteArrayInputStream(payload))
-      try in.readAllBytes() finally in.close()
+      try readBounded(in, payload.length) finally in.close()
     case Lz4 => Lz4Frame.decompress(payload)
     case Zstd =>
       // streaming read: decodes frames with OR without the embedded
       // content size (foreign producers use streaming writers that omit it)
       val in = new ZstdInputStream(new ByteArrayInputStream(payload))
-      try in.readAllBytes() finally in.close()
+      try readBounded(in, payload.length) finally in.close()
     case other => throw new IllegalArgumentException(s"unsupported compression codec $other")
   }
 }
@@ -156,9 +180,15 @@ private[records] object Lz4Frame {
     require(hc == computedHc, f"LZ4 frame header checksum mismatch: stored 0x$hc%02x computed 0x$computedHc%02x")
 
     val decomp = factory.safeDecompressor()
+    // running bomb cap: the declared content size is only verified after a
+    // full decode, so enforce the growth bound block-by-block as well
+    val limit = BatchCompression.maxDecompressed(payload.length)
+    require(contentSize < 0 || contentSize <= limit,
+      s"LZ4 frame declares $contentSize bytes from a ${payload.length}-byte payload (decompression bomb?)")
     val out = new ByteArrayOutputStream(
       if (contentSize >= 0 && contentSize <= Int.MaxValue) contentSize.toInt else maxBlock)
     val block = new Array[Byte](maxBlock)
+    var produced = 0L
     var endSeen = false
     while (!endSeen) {
       require(buf.remaining() >= 4, "truncated LZ4 frame (missing end mark)")
@@ -176,11 +206,14 @@ private[records] object Lz4Frame {
           val computed = xx.hash(payload, off, len, 0)
           require(bc == computed, "LZ4 block checksum mismatch")
         }
-        if (stored) out.write(payload, off, len)
+        if (stored) { produced += len; out.write(payload, off, len) }
         else {
           val n = decomp.decompress(payload, off, len, block, 0)
+          produced += n
           out.write(block, 0, n)
         }
+        require(produced <= limit,
+          s"decompressed LZ4 frame exceeds $limit bytes from a ${payload.length}-byte payload (decompression bomb?)")
       }
     }
     val result = out.toByteArray

@@ -41,14 +41,41 @@ trait RegistryTransport {
   * `magic‖id‖avro` wire framing work identically to the local
   * directory-backed [[SchemaRegistry]] — the two are drop-in
   * interchangeable wherever records are exploded. */
-final class RestSchemaRegistry(
-    transport: RegistryTransport,
-    userInfo: Option[String] = None,
-    maxCachedSchemas: Int = 1000,
+final class RestSchemaRegistry private (
+    @transient private val transport0: RegistryTransport,
+    userInfo: Option[String],
+    maxCachedSchemas: Int,
     /** Pre-built `Authorization` value (basic OR bearer) from
       * [[RegistryConfig]]; wins over `userInfo` when both are set. */
-    authHeaderValue: Option[String] = None
+    authHeaderValue: Option[String],
+    /** The raw serde config captured by [[RestSchemaRegistry.fromConfig]]:
+      * a serializable recipe to REBUILD the HTTP transport after the
+      * client ships inside a Spark task closure (the transport itself
+      * holds a non-serializable `HttpClient`/`SSLContext`). `None` means
+      * the transport was injected directly — such instances are
+      * driver-only and fail loudly if deserialized and used. */
+    private val rebuildConf: Option[Map[String, String]]
 ) extends RegistryEnvelope with Serializable {
+
+  /** Direct-injection constructor (tests, driver-only use). */
+  def this(
+      transport: RegistryTransport,
+      userInfo: Option[String] = None,
+      maxCachedSchemas: Int = 1000,
+      authHeaderValue: Option[String] = None) =
+    this(transport, userInfo, maxCachedSchemas, authHeaderValue, None)
+
+  /** Live transport: the injected one on the driver; rebuilt from
+    * `rebuildConf` on an executor after closure serialization nulls the
+    * `@transient` field. */
+  @transient private lazy val transport: RegistryTransport =
+    if (transport0 != null) transport0
+    else rebuildConf match {
+      case Some(conf) => RestSchemaRegistry.buildTransport(RegistryConfig.parse(conf))
+      case None => throw new IllegalStateException(
+        "this RestSchemaRegistry was built with an injected transport (driver-only); " +
+          "build via RestSchemaRegistry.fromConfig to ship it in a task closure")
+    }
 
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[Int, AvroLite.Schema]()
@@ -127,6 +154,16 @@ object RestSchemaRegistry {
     val cfg = RegistryConfig.parse(conf)
     new RestSchemaRegistry(
       new FailoverTransport(cfg.urls.map(u => transportFactory(u, cfg.sslContext))),
-      authHeaderValue = cfg.authHeader)
+      userInfo = None,
+      maxCachedSchemas = 1000,
+      authHeaderValue = cfg.authHeader,
+      // executor-side rebuild always binds the REAL HttpRegistryTransport:
+      // a custom factory (tests inject fakes) need not be serializable
+      rebuildConf = Some(conf))
   }
+
+  /** Production transport stack from a parsed config (also the
+    * post-deserialization rebuild path). */
+  private[records] def buildTransport(cfg: RegistryConfig): RegistryTransport =
+    new FailoverTransport(cfg.urls.map(u => new HttpRegistryTransport(u, cfg.sslContext)))
 }

@@ -222,12 +222,18 @@ final case class SegmentCountOffset(n: Long, last: String = "")
 object SegmentCountOffset {
   def parse(json: String): SegmentCountOffset = {
     val t = json.trim
-    if (t.forall(_.isDigit)) SegmentCountOffset(t.toLong) // pre-r4 checkpoints
-    else {
+    // an empty string satisfies forall(_.isDigit) — guard with nonEmpty so
+    // a blank/garbage checkpoint fails with a descriptive error, not a raw
+    // NumberFormatException from the legacy numeric branch
+    if (t.nonEmpty && t.forall(_.isDigit)) SegmentCountOffset(t.toLong) // pre-r4 checkpoints
+    else if (t.startsWith("{")) {
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
       SegmentCountOffset(node.get("n").asLong(),
         Option(node.get("last")).map(_.asText()).getOrElse(""))
-    }
+    } else
+      throw new IllegalArgumentException(
+        s"invalid graft-segments stream offset '$json': expected a JSON object " +
+          """{"n":N,"last":"key"} or a legacy non-negative integer""")
   }
 }
 

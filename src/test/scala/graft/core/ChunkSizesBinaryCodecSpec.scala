@@ -44,6 +44,17 @@ class ChunkSizesBinaryCodecSpec extends AnyFunSuite {
     assert(ChunkSizesBinaryCodec.decode(ChunkSizesBinaryCodec.encode(xs)) == xs.toVector)
   }
 
+  test("count 0 and count 1 payloads reject trailing junk (exact-length, r4 advice)") {
+    val empty = ChunkSizesBinaryCodec.encode(Seq.empty)
+    val single = ChunkSizesBinaryCodec.encode(Seq(42))
+    assert(empty.length == 4 && single.length == 8)
+    intercept[IllegalArgumentException](ChunkSizesBinaryCodec.decode(empty :+ 0.toByte))
+    intercept[IllegalArgumentException](ChunkSizesBinaryCodec.decode(single :+ 0.toByte))
+    intercept[IllegalArgumentException](ChunkSizesBinaryCodec.decode(single.take(7)))
+    assert(ChunkSizesBinaryCodec.decode(empty) == Vector.empty)
+    assert(ChunkSizesBinaryCodec.decode(single) == Vector(42))
+  }
+
   test("round-trip law: decode(encode(xs)) == xs for non-negative xs") {
     val gen = Gen.listOf(Gen.chooseNum(0, Int.MaxValue))
     forAllN(gen) { xs => assert(ChunkSizesBinaryCodec.decode(ChunkSizesBinaryCodec.encode(xs)) == xs.toVector) }

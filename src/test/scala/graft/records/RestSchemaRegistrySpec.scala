@@ -191,6 +191,27 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
         "bearer.auth.credentials.source" -> "STATIC_TOKEN",
         "bearer.auth.token" -> "tok123"))
       assert(reg.lookup(7).isDefined, "live HTTP fetch through the real transport")
+      // closure shippability (r4 advice): the HttpClient-backed transport
+      // is @transient; a fromConfig client java-serializes and the revived
+      // copy REBUILDS its transport from the captured config
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(reg); oos.close()
+      val revived = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray)).readObject()
+        .asInstanceOf[RestSchemaRegistry]
+      assert(revived.lookup(7).isDefined, "deserialized client rebuilds its transport and re-fetches")
+      // an injected-transport instance (no rebuild recipe) serializes but
+      // fails LOUDLY on first use, not with an anonymous NPE
+      val injected = new RestSchemaRegistry(new FakeRest(Map(7 -> schemaJson)))
+      val bos2 = new java.io.ByteArrayOutputStream()
+      val oos2 = new java.io.ObjectOutputStream(bos2)
+      oos2.writeObject(injected); oos2.close()
+      val revived2 = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos2.toByteArray)).readObject()
+        .asInstanceOf[RestSchemaRegistry]
+      val err = intercept[IllegalStateException](revived2.lookup(7))
+      assert(err.getMessage.contains("fromConfig"))
       // wrong token → 401 surfaces as RegistryHttpError, not a decode error
       val bad = RestSchemaRegistry.fromConfig(Map(
         "schema.registry.url" -> base,

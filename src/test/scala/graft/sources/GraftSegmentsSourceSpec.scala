@@ -165,6 +165,11 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     // offset JSON round-trips the key; bare pre-r4 counts still parse
     assert(SegmentCountOffset.parse(off1.json()) == off1)
     assert(SegmentCountOffset.parse("2") == SegmentCountOffset(2L, ""))
+    // blank/garbage checkpoints fail with a descriptive error, not a raw
+    // NumberFormatException from the legacy numeric branch (r4 advice)
+    for (bad <- Seq("", "   ", "abc", "12x"))
+      assert(intercept[IllegalArgumentException](SegmentCountOffset.parse(bad))
+        .getMessage.contains("invalid graft-segments stream offset"))
     assert(stream.planInputPartitions(off0, off1).length == 3)
     // a NEW segment with an append-ordered key: normal progression
     val st = FileSystemStorage(store)
