@@ -70,6 +70,7 @@ object SparkEntry {
     "t07_vocab_mask" -> (TextQueries.t07VocabMask _),
     "m01_media_features" -> (MultimodalQueries.m01MediaFeatures _),
     "m02_frame_sample" -> (MultimodalQueries.m02FrameSample _),
+    "m03_media_codec" -> (MultimodalQueries.m03MediaCodec _),
     "s01_ann_topk" -> (SimilarityQueries.s01AnnTopK _),
     "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
     "s03_ann_lsh" -> (SimilarityQueries.s03AnnLsh _),
@@ -535,6 +536,24 @@ object SparkEntry {
          |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
          |       md5(frame) AS frame_md5, CAST(length(frame) AS BIGINT) AS frame_len
          |FROM s""".stripMargin,
+    "m03_media_codec" -> {
+      import MultimodalQueries.{M03Width => W, M03Height => H, M03Samples => N}
+      s"""WITH px AS (SELECT doc_id, unnest(generate_series(0, ${W - 1})) AS x FROM documents),
+         |pxy AS (SELECT doc_id, x, unnest(generate_series(0, ${H - 1})) AS y FROM px),
+         |img AS (SELECT doc_id,
+         |    CAST(SUM((doc_id*7 + x*3 + y*5) % 256) AS BIGINT) AS r_sum,
+         |    CAST(SUM((doc_id*11 + x*13 + y) % 256) AS BIGINT) AS g_sum,
+         |    CAST(SUM((x*y + doc_id) % 256) AS BIGINT) AS b_sum
+         |  FROM pxy GROUP BY doc_id),
+         |smp AS (SELECT doc_id, unnest(generate_series(0, ${N - 1})) AS t FROM documents),
+         |aud AS (SELECT doc_id, COUNT(*) AS pcm_n,
+         |    CAST(SUM(s) AS BIGINT) AS pcm_sum, CAST(SUM(abs(s)) AS BIGINT) AS pcm_abs
+         |  FROM (SELECT doc_id, ((doc_id*31 + t*17) % 4001) - 2000 AS s FROM smp)
+         |  GROUP BY doc_id)
+         |SELECT i.doc_id, CAST($W AS BIGINT) AS img_w, CAST($H AS BIGINT) AS img_h,
+         |       r_sum, g_sum, b_sum, pcm_n, pcm_sum, pcm_abs
+         |FROM img i JOIN aud a ON i.doc_id = a.doc_id""".stripMargin
+    },
     "t01_token_stats" ->
       s"""SELECT doc_id, len($dToks) AS ws_tokens,
          | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS re_tokens

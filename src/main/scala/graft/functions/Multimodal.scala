@@ -32,18 +32,69 @@ object Multimodal {
   /** What a decoder yields per media payload: fixed-shape frame batches. */
   final case class DecodedFrames(nFrames: Int, frameBytes: Array[Array[Byte]])
 
-  /** The codec boundary. A real implementation would call an image/audio
-    * library here; none ships in this container, so production wiring is
-    * intentionally unimplemented and tests inject
-    * [[DeterministicFakeDecoder]]. */
+  /** The codec boundary. [[RealDecoder]] binds the JDK's built-in codecs;
+    * tests may inject [[DeterministicFakeDecoder]] for byte-predictable
+    * frames. */
   trait MediaDecoder extends Serializable {
     def decode(bytes: Array[Byte], mime: String): DecodedFrames
   }
 
-  /** STUB (marked per task brief): real codec integration point. */
+  /** Real codec integration: dispatches on the envelope mime to the JDK's
+    * built-in decoders — `javax.imageio` for images (PNG/JPEG/GIF/BMP ship
+    * in every JDK), `javax.sound.sampled` for audio (WAV/PCM). No external
+    * libraries. */
   object RealDecoder extends MediaDecoder {
     def decode(bytes: Array[Byte], mime: String): DecodedFrames =
-      ??? // real image/audio codecs are not available in this environment
+      if (mime.startsWith("image/")) JdkImageDecoder.decode(bytes, mime)
+      else if (mime.startsWith("audio/")) JdkAudioDecoder.decode(bytes, mime)
+      else throw new IllegalArgumentException(
+        s"unsupported media mime '$mime' (supported: image/* via javax.imageio, audio/* via javax.sound.sampled)")
+  }
+
+  /** `javax.imageio` decoder: one frame per scanline, each `width*3` bytes
+    * of row-major RGB — a deterministic layout regardless of the source
+    * format's color model (palette GIF, BGR BMP, RGBA PNG all normalize
+    * through `getRGB`). Width recovers as `frame.length/3`, height as
+    * `nFrames`. */
+  object JdkImageDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte], mime: String): DecodedFrames = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"javax.imageio cannot decode this payload (mime '$mime')")
+      val w = img.getWidth
+      val h = img.getHeight
+      val rows = new Array[Array[Byte]](h)
+      var y = 0
+      while (y < h) {
+        val row = new Array[Byte](w * 3)
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          row(x * 3) = ((p >> 16) & 0xFF).toByte
+          row(x * 3 + 1) = ((p >> 8) & 0xFF).toByte
+          row(x * 3 + 2) = (p & 0xFF).toByte
+          x += 1
+        }
+        rows(y) = row
+        y += 1
+      }
+      DecodedFrames(h, rows)
+    }
+  }
+
+  /** `javax.sound.sampled` decoder: container-parsed PCM sliced into
+    * fixed 1024-byte blocks (512 samples at 16-bit mono), last block
+    * partial — the batch shape feature extraction wants. */
+  object JdkAudioDecoder extends MediaDecoder {
+    val BlockBytes = 1024
+    def decode(bytes: Array[Byte], mime: String): DecodedFrames = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val pcm = in.readAllBytes()
+        val blocks = pcm.grouped(BlockBytes).toArray
+        DecodedFrames(blocks.length, blocks)
+      } finally in.close()
+    }
   }
 
   /** Deterministic stand-in: frames are consecutive `frameSize`-byte slices
@@ -107,6 +158,89 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic RGB test image for `id` — pixel (x,y) has
+    * r=(id*7+x*3+y*5)%256, g=(id*11+x*13+y)%256, b=(x*y+id)%256 — encoded
+    * as a REAL PNG via the JDK writer. PNG truecolor is lossless, so the
+    * decoded channel sums equal the closed form the oracle computes. */
+  private[graft] def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+        val g = ((id * 11 + x * 13 + y) % 256).toInt
+        val b = ((x.toLong * y + id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic 16-bit mono PCM for `id` — sample t is
+    * ((id*31+t*17)%4001)-2000 — in a REAL WAV container via the JDK
+    * writer. PCM is verbatim in WAV, so decoded sample sums equal the
+    * closed form. */
+  private[graft] def encodeWav(id: Long, n: Int): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = (((id * 31 + t.toLong * 17) % 4001) - 2000).toInt
+      pcm(t * 2) = (s & 0xFF).toByte
+      pcm(t * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** m03's engine side: build the closed-form PNG + WAV payload per id,
+    * push the REAL bytes through [[RealDecoder]] (JDK codecs), and emit
+    * integer statistics of the decoded pixels/samples. All narrow — one
+    * mapPartitions, zero shuffles; at 100 TB this is the same
+    * embarrassingly-parallel shape as [[extractFeatures]]. */
+  def mediaCodecStats(ids: DataFrame, idCol: String,
+                      w: Int = 16, h: Int = 12, nSamples: Int = 4096): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val dec = RealDecoder.decode(encodePng(id, w, h), "image/png")
+          val width = dec.frameBytes.headOption.map(_.length / 3).getOrElse(0)
+          var rSum = 0L; var gSum = 0L; var bSum = 0L
+          dec.frameBytes.foreach { row =>
+            var i = 0
+            while (i < row.length) {
+              rSum += row(i) & 0xFF; gSum += row(i + 1) & 0xFF; bSum += row(i + 2) & 0xFF
+              i += 3
+            }
+          }
+          val adec = RealDecoder.decode(encodeWav(id, nSamples), "audio/wav")
+          var n = 0L; var sSum = 0L; var sAbs = 0L
+          adec.frameBytes.foreach { block =>
+            var i = 0
+            while (i + 1 < block.length) {
+              // little-endian int16: the signed high byte shifts with sign extension
+              val s = (block(i) & 0xFF) | (block(i + 1).toInt << 8)
+              n += 1; sSum += s; sAbs += math.abs(s)
+              i += 2
+            }
+          }
+          (id, width.toLong, dec.nFrames.toLong, rSum, gSum, bSum, n, sSum, sAbs)
+        }
+      }
+      .toDF("doc_id", "img_w", "img_h", "r_sum", "g_sum", "b_sum", "pcm_n", "pcm_sum", "pcm_abs")
   }
 
   /** Frame sampling: keep every `every`-th frame, exploded to one row per

@@ -38,4 +38,23 @@ object MultimodalQueries {
       .selectExpr("id AS doc_id", "CAST(frame_idx AS BIGINT) AS frame_idx",
         "md5(frame) AS frame_md5", "CAST(length(frame) AS BIGINT) AS frame_len")
   }
+
+  /** m03 image dimensions / sample count — small enough that the DuckDB
+    * oracle can enumerate every pixel and sample, big enough to exercise
+    * multi-block audio (8192 PCM bytes = 8 decoder blocks). */
+  val M03Width = 16
+  val M03Height = 12
+  val M03Samples = 4096
+
+  /** m03: REAL codecs end-to-end — for each document a closed-form RGB
+    * image is encoded as a real PNG and a closed-form waveform as a real
+    * WAV (JDK writers), then decoded back through [[Multimodal.RealDecoder]]
+    * (`javax.imageio` / `javax.sound.sampled`) and reduced to integer
+    * pixel/PCM statistics. PNG truecolor and WAV PCM are lossless, so the
+    * oracle recomputes the same statistics from the closed form — proving
+    * the real decode path, not a fake, byte-for-byte. */
+  def m03MediaCodec(s: SparkSession, d: String): DataFrame =
+    Multimodal.mediaCodecStats(
+      Tables.documents(s, d).selectExpr("doc_id"), "doc_id",
+      w = M03Width, h = M03Height, nSamples = M03Samples)
 }

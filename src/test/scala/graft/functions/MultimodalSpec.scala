@@ -53,7 +53,59 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(r2.take(5), "UTF-8") == "short" && r2.drop(5).forall(_ == 0))
   }
 
-  test("real decoder boundary is an explicit stub") {
-    intercept[NotImplementedError](RealDecoder.decode(Array[Byte](1), "image/png"))
+  test("JdkImageDecoder: real PNG round-trips to exact closed-form pixels") {
+    val (id, w, h) = (42L, 16, 12)
+    val dec = RealDecoder.decode(Multimodal.encodePng(id, w, h), "image/png")
+    assert(dec.nFrames == h)
+    assert(dec.frameBytes.forall(_.length == w * 3))
+    // spot-check every pixel against the closed form PNG encoding came from
+    for (y <- 0 until h; x <- 0 until w) {
+      val row = dec.frameBytes(y)
+      assert((row(x * 3) & 0xFF) == ((id * 7 + x * 3 + y * 5) % 256).toInt, s"r($x,$y)")
+      assert((row(x * 3 + 1) & 0xFF) == ((id * 11 + x * 13 + y) % 256).toInt, s"g($x,$y)")
+      assert((row(x * 3 + 2) & 0xFF) == ((x.toLong * y + id) % 256).toInt, s"b($x,$y)")
+    }
+  }
+
+  test("JdkAudioDecoder: real WAV round-trips to exact closed-form PCM") {
+    val (id, n) = (7L, 4096)
+    val dec = RealDecoder.decode(Multimodal.encodeWav(id, n), "audio/wav")
+    assert(dec.nFrames == (n * 2 + JdkAudioDecoder.BlockBytes - 1) / JdkAudioDecoder.BlockBytes)
+    val pcm = dec.frameBytes.flatten
+    assert(pcm.length == n * 2)
+    for (t <- 0 until n) {
+      val s = (pcm(t * 2) & 0xFF) | (pcm(t * 2 + 1).toInt << 8)
+      assert(s == (((id * 31 + t.toLong * 17) % 4001) - 2000).toInt, s"sample $t")
+    }
+  }
+
+  test("RealDecoder rejects unsupported mimes with a clear error") {
+    val e = intercept[IllegalArgumentException](RealDecoder.decode(Array[Byte](1), "video/mp4"))
+    assert(e.getMessage.contains("video/mp4"))
+  }
+
+  test("mediaCodecStats: real decode path over a DataFrame, zero shuffles") {
+    import spark.implicits._
+    val out = Multimodal.mediaCodecStats(Seq(1L, 2L, 9L).toDF("doc_id"), "doc_id",
+      w = 4, h = 3, nSamples = 100)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val r = out.collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // closed-form reference for id=1, w=4, h=3, n=100
+    val id = 1L
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    for (y <- 0 until 3; x <- 0 until 4) {
+      rs += (id * 7 + x * 3 + y * 5) % 256
+      gs += (id * 11 + x * 13 + y) % 256
+      bs += (x.toLong * y + id) % 256
+    }
+    var (ss, sa) = (0L, 0L)
+    for (t <- 0 until 100) {
+      val s = ((id * 31 + t.toLong * 17) % 4001) - 2000
+      ss += s; sa += math.abs(s)
+    }
+    val row = r(1L)
+    assert(row.getAs[Long]("img_w") == 4 && row.getAs[Long]("img_h") == 3)
+    assert(row.getAs[Long]("r_sum") == rs && row.getAs[Long]("g_sum") == gs && row.getAs[Long]("b_sum") == bs)
+    assert(row.getAs[Long]("pcm_n") == 100 && row.getAs[Long]("pcm_sum") == ss && row.getAs[Long]("pcm_abs") == sa)
   }
 }
