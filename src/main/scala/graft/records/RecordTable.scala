@@ -563,6 +563,12 @@ final class RecordTable(tableDir: String) {
       .map(n => metaFromJson(Files.readString(manifestDir.resolve(s"$n.json"))))
       .sortBy(_.minOffset)
 
+  // accessors for the Iceberg metadata exporter (IcebergExport)
+  private[records] def manifestExists(name: String): Boolean =
+    Files.exists(manifestDir.resolve(s"$name.json"))
+  private[records] def manifestMeta(name: String): DataFileMeta =
+    metaFromJson(Files.readString(manifestDir.resolve(s"$name.json")))
+
   // --- read (S10/I7/I10) ----------------------------------------------------
 
   /** Scan the table from `startOffset`, with BOTH pruning levels:
