@@ -56,6 +56,28 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Sub-binning knob: bins of width ceil(w/k) instead of w. At high axis
+    * density, w-wide bins admit ~2× the true pairs as candidates (the
+    * adjacent-bin slop spans a full extra window); k sub-bins shrink the
+    * slop to ~w/k at the cost of exploding the y side to ceil(w/b)+1 rows
+    * — cheap when y is the SMALLER side (the band-probe norm). Set
+    * per-session from a density sample (one count/min/max aggregate; see
+    * `RelationalQueries.i02BandJoinAuto`) — the r4 10× scale probe showed
+    * fixed-width bins degrading as values densify (ratio 6.7× at 10×). */
+  val SubdivisionsKey = "spark.graft.rangebin.subdivisions"
+
+  /** Rows-per-bin target a density sample should aim for when choosing k:
+    * k = ceil(rowsPerWindow / TargetRowsPerBin), clamped to [1, 64]. The
+    * y side explodes to just k+1 rows, so sub-binning is nearly free;
+    * candidate slop over the true band pairs is (1 + 1/k)/2 of the k=1
+    * plan, so k only needs to be modestly above 1 to reclaim most of it —
+    * 256 engages once a window holds more than a few bin-loads while
+    * leaving sparse axes (and the sf0.1 bench) on the classic plan. */
+  val TargetRowsPerBin = 256L
+
+  def chooseSubdivisions(rowsPerWindow: Double): Int =
+    math.min(64L, math.max(1L, math.ceil(rowsPerWindow / TargetRowsPerBin).toLong)).toInt
+
   /** Band `lower <= x − y <= upper-ish`: concretely x >= y − w (or >) and
     * x < y (or <=). `x` from one side, `y` from the other. */
   private final case class Band(x: Expression, y: Expression, width: Long)
@@ -149,14 +171,23 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
     val xOnLeft = band.x.references.subsetOf(j.left.outputSet)
     val (xSide, ySide) = if (xOnLeft) (j.left, j.right) else (j.right, j.left)
 
+    // bin width b = ceil(w/k); k=1 (default) reproduces the classic
+    // [bin−1, bin] two-bin rewrite exactly
+    val k = math.max(1, conf.getConfString(SubdivisionsKey, "1").toInt)
+    val b = math.max(1L, (band.width + k - 1) / k)
+    // x ∈ [y−w, y) ⟹ floor(x/b) ∈ [floor((y−w)/b), floor(y/b)] ⊇-safely
+    // [floor(y/b)−m, floor(y/b)] with m = ceil(w/b); each matching pair
+    // still lands in exactly ONE x-bin, so no dedup is needed
+    val m = ((band.width + b - 1) / b).toInt
+
     // x side: one bin column
-    val binX = Alias(floorDiv(band.x, band.width), "graft_bin")()
+    val binX = Alias(floorDiv(band.x, b), "graft_bin")()
     val newXSide = Project(xSide.output :+ binX, xSide)
 
-    // y side: explode to the two bins a matching x can fall in
-    val binY = floorDiv(band.y, band.width)
-    val gen = Explode(CreateArray(Seq(
-      Subtract(binY, Literal(1L, LongType)), binY)))
+    // y side: explode to the m+1 bins a matching x can fall in
+    val binY = floorDiv(band.y, b)
+    val gen = Explode(CreateArray(
+      (m to 0 by -1).map(d => Subtract(binY, Literal(d.toLong, LongType)): Expression)))
     // nullable: y itself may be nullable (null axis → null bin → the null
     // band predicate already excludes the row under inner-join semantics)
     val binYOut = AttributeReference("graft_bin_y", LongType, nullable = true)()

@@ -367,6 +367,19 @@ object RelationalQueries {
     val winUs = 3600L * 1000000
     val acts = events(s, d)
       .select(unix_micros(col("ts")).as("us"), col("event_id").as("act_id"))
+    // Stats-driven bin width (r4 verdict task 3): ONE count/min/max
+    // aggregate estimates rows-per-window; RangeBinJoin then subdivides
+    // its bins so each holds ~TargetRowsPerBin candidates regardless of
+    // axis density. At sf0.1 this stays k=1 (the classic two-bin plan);
+    // at the 10× replica density crosses the target and k rises, holding
+    // the candidate slop flat instead of doubling with density.
+    val st = acts.agg(count(lit(1)), min(col("us")), max(col("us"))).head()
+    if (st.getLong(0) > 0 && !st.isNullAt(1)) {
+      val span = math.max(st.getLong(2) - st.getLong(1), 1L) + winUs
+      val rowsPerWindow = st.getLong(0).toDouble * winUs / span
+      s.conf.set(graft.plans.RangeBinJoin.SubdivisionsKey,
+        graft.plans.RangeBinJoin.chooseSubdivisions(rowsPerWindow).toString)
+    }
     val errors = events(s, d).filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id"),
         col("ts").as("err_ts"), unix_micros(col("ts")).as("err_us"))

@@ -50,6 +50,30 @@ class RangeBinJoinSpec extends SparkSpec {
     assert(sortedRows(q) == expected)
   }
 
+  test("stats-driven sub-binning (k>1): same results, still no nested loop") {
+    GraftFunctions.register(spark)
+    val expected = withoutRule(sortedRows(
+      probe.join(build, $"bx" >= $"px" - 10L && $"bx" < $"px")))
+    // widths that divide evenly and widths that don't; k past the width
+    for (k <- Seq(2, 3, 4, 7, 64)) {
+      spark.conf.set(RangeBinJoin.SubdivisionsKey, k.toString)
+      try {
+        def q = probe.join(build, $"bx" >= $"px" - 10L && $"bx" < $"px")
+        val plan = physical(q)
+        assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("graft_bin"),
+          s"k=$k lost the rewrite:\n$plan")
+        assert(sortedRows(q) == expected, s"k=$k changed the results")
+      } finally spark.conf.unset(RangeBinJoin.SubdivisionsKey)
+    }
+  }
+
+  test("chooseSubdivisions: density below target stays at the classic k=1") {
+    assert(RangeBinJoin.chooseSubdivisions(0.0) == 1)
+    assert(RangeBinJoin.chooseSubdivisions(RangeBinJoin.TargetRowsPerBin.toDouble) == 1)
+    assert(RangeBinJoin.chooseSubdivisions(RangeBinJoin.TargetRowsPerBin * 3.5) == 4)
+    assert(RangeBinJoin.chooseSubdivisions(1e12) == 64) // clamped
+  }
+
   test("join with an equi-key keeps its hash join (no rewrite)") {
     GraftFunctions.register(spark)
     val l = probe.withColumn("k", $"pid" % 5)
