@@ -85,6 +85,11 @@ final class LruByteCache(
   def stats: CacheStats = synchronized(CacheStats(hits, misses, evictions, loadNanos))
   def currentWeight: Long = synchronized(weight)
   def size: Int = synchronized(map.size())
+  def cachedKeys: Vector[String] = synchronized {
+    import scala.jdk.CollectionConverters._
+    map.keySet().asScala.toVector
+  }
+  def invalidateAll(): Unit = synchronized { map.clear(); weight = 0L }
 }
 
 /** Disk-backed chunk cache: temp-file write + ATOMIC_MOVE into the cache dir
@@ -137,13 +142,14 @@ final class DiskChunkCache(dir: Path, maxWeightBytes: Long) {
 final class CachingChunkFetcher(
     cfg: graft.operators.SegmentJobConfig,
     cache: LruByteCache,
-    prefetchMaxBytes: Long = 0L) {
+    prefetchMaxBytes: Long = 0L,
+    prefetchThreads: Int = 4) {
   import graft.core._
   import graft.core.transform._
   import graft.operators.SegmentFetchJob
 
   private val storage = StorageBackends.forRoot(cfg.storageRoot)
-  private val pool = Executors.newFixedThreadPool(2, r => {
+  private val pool = Executors.newFixedThreadPool(prefetchThreads, r => {
     val t = new Thread(r, "graft-prefetch"); t.setDaemon(true); t
   })
   private val manifests = new ConcurrentHashMap[String, SegmentManifest]()
@@ -155,6 +161,27 @@ final class CachingChunkFetcher(
     val key = m.encryption.map(e => cfg.ring.unwrapDataKey(e.keyId, e.wrappedDataKey, e.wrapAlg))
     TransformSpec(m.chunkIndex.originalChunkSize, m.compression, key,
       m.encryption.map(_.aad).getOrElse(Array.emptyByteArray), m.compressionCodec)
+  }
+
+  /** Whole segment assembled chunk-by-chunk through the cache — the DSv2
+    * partition reader's entry. Unlike one monolithic ranged GET, each
+    * chunk access schedules prefetch of the next `prefetchMaxBytes`, so
+    * fetch+detransform of chunk k+1.. overlaps the consumer's work on
+    * chunk k (2 pool threads + the caller), and re-scans of a cached
+    * segment touch storage zero times. */
+  def segmentBytes(segKey: String): Array[Byte] = {
+    val m = manifest(segKey)
+    val n = m.chunkIndex.chunks.size
+    if (n == 0) return Array.emptyByteArray
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(m.chunkIndex.originalFileSize, Int.MaxValue.toLong - 8).toInt)
+    var i = 0
+    while (i < n) {
+      val b = getChunk(segKey, i)
+      out.write(b, 0, b.length)
+      i += 1
+    }
+    out.toByteArray
   }
 
   /** Detransformed chunk bytes, cached; triggers prefetch of the following

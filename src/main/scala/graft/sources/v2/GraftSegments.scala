@@ -76,7 +76,17 @@ object GraftSegments {
 
   final case class SourceConf(root: String, prefix: String,
                               rsaPublicKeyB64: String, rsaPrivateKeyB64: String,
-                              backendProvider: String = "") {
+                              backendProvider: String = "",
+                              /** >0 routes partition reads through the
+                                * executor-shared [[graft.sources.CachingChunkFetcher]]
+                                * (C2): chunk-granular cache + background
+                                * prefetch of this many original bytes ahead
+                                * of the consumer. 0 (default) = one direct
+                                * ranged fetch per segment. */
+                              prefetchBytes: Long = 0L,
+                              /** Executor-wide chunk-cache budget for the
+                                * prefetch path. */
+                              cacheBytes: Long = 256L << 20) {
     /** Register the configured [[StorageBackends.Provider]] (idempotent) —
       * runs on DRIVER AND EXECUTORS before any storage resolution, so a
       * schemed root works wherever the partition lands; mirrors the
@@ -103,9 +113,39 @@ object GraftSegments {
       SourceConf(root, Option(o.get("prefix")).getOrElse(""),
         Option(o.get("rsaPublicKeyB64")).getOrElse(""),
         Option(o.get("rsaPrivateKeyB64")).getOrElse(""),
-        Option(o.get("backend.provider")).getOrElse(""))
+        Option(o.get("backend.provider")).getOrElse(""),
+        Option(o.get("read.prefetch.bytes")).map(_.toLong).getOrElse(0L),
+        Option(o.get("read.cache.bytes")).map(_.toLong).getOrElse(256L << 20))
     }
   }
+}
+
+/** Executor-lifetime chunk cache + prefetcher registry for the DSv2 read
+  * path (C2 wiring, r4 verdict task 8): one [[graft.sources.LruByteCache]]
+  * + [[graft.sources.CachingChunkFetcher]] per (root, key material,
+  * prefetch, budget) tuple, shared by every partition reader in the JVM —
+  * so a segment fetched by one task (or a previous query) is served from
+  * memory for the next, and prefetch threads overlap fetch+detransform
+  * with the consumer. Keyed by the full config: two sources on the same
+  * root with different keys or budgets never share entries. */
+private[graft] object SegmentsReadCache {
+  import java.util.concurrent.ConcurrentHashMap
+  private val fetchers =
+    new ConcurrentHashMap[String, (graft.sources.LruByteCache, graft.sources.CachingChunkFetcher)]()
+
+  def forConf(cfg: graft.operators.SegmentJobConfig, prefetchBytes: Long,
+              cacheBytes: Long): (graft.sources.LruByteCache, graft.sources.CachingChunkFetcher) = {
+    val keyHash = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(cfg.rsaPublicKey ++ cfg.rsaPrivateKey))
+    fetchers.computeIfAbsent(s"${cfg.storageRoot}#$keyHash#$prefetchBytes#$cacheBytes", _ => {
+      val cache = new graft.sources.LruByteCache(cacheBytes)
+      (cache, new graft.sources.CachingChunkFetcher(cfg, cache, prefetchBytes))
+    })
+  }
+
+  /** Test hook: drop every cached fetcher (fake backends re-register roots). */
+  private[graft] def reset(): Unit = fetchers.clear()
 }
 
 final class SegmentsTable(conf: GraftSegments.SourceConf) extends Table
@@ -290,7 +330,12 @@ final class SegmentsReader(conf: GraftSegments.SourceConf, required: StructType,
 
   private lazy val iter: Iterator[InternalRow] = {
     conf.ensureBackend() // executor-side transport registration
-    val bytes = SegmentFetchJob.fetchRange(conf.jobConfig, segKey, BytesRange(0L, Long.MaxValue - 1L))
+    val bytes =
+      if (conf.prefetchBytes > 0)
+        SegmentsReadCache.forConf(conf.jobConfig, conf.prefetchBytes, conf.cacheBytes)._2
+          .segmentBytes(segKey)
+      else
+        SegmentFetchJob.fetchRange(conf.jobConfig, segKey, BytesRange(0L, Long.MaxValue - 1L))
     KafkaWireCodec.parseSegment(bytes).iterator.flatMap { b =>
       b.records.iterator.map { r =>
         val full = RowSchema.recordRow(b, r, 0)

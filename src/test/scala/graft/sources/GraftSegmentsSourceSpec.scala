@@ -306,6 +306,58 @@ class GraftSegmentsSourceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), new String(r.getAs[Array[Byte]](3), "UTF-8"))).toSet
     assert(viaSource == viaParse)
   }
+
+  test("read.prefetch.bytes: C2 chunk cache serves re-scans; prefetch pulls surplus chunks") {
+    import graft.sources.v2.SegmentsReadCache
+    SegmentsReadCache.reset()
+    // fatter records than setup()'s so each segment spans SEVERAL 512-byte
+    // chunks (the whole point of chunk-granular caching)
+    val in = Files.createTempDirectory("dsv2-pf-in").toString
+    val store = Files.createTempDirectory("dsv2-pf-store").toString
+    (0 until 3).foreach { s =>
+      val out = new java.io.ByteArrayOutputStream()
+      val base = s * 10L
+      val recs = (0 until 10).map(i =>
+        (kb(s"k${base + i}"), kb(s"v${base + i}" * 60), Seq.empty[Header]))
+      out.write(writeBatch(buildBatch(base, 1700000000000L + base, recs)))
+      Files.write(java.nio.file.Paths.get(in, f"seg$s%03d.log"), out.toByteArray)
+    }
+    val cfg = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 512, compression = false)
+    assert(SegmentUploadJob.run(spark, in, cfg).collect().forall(_.getAs[Boolean]("success")))
+    val keys = FileSystemStorage(store).listKeys("")
+      .filter(_.endsWith(".log")).map(_.dropRight(".log".length)).sorted
+    val prefetch = 1L << 20
+
+    // first scan fills the executor-shared chunk cache; rows decode intact
+    val df = reader(store, cfg).option("read.prefetch.bytes", prefetch.toString).load()
+    val got = df.select(col("kafka.offset"), col("value_raw").cast("string")).collect()
+    assert(got.map(_.getLong(0)).toSet == (0L until 30L).toSet)
+    got.foreach(r => assert(r.getString(1) == s"v${r.getLong(0)}" * 60))
+    val (cache, fetcher) = SegmentsReadCache.forConf(
+      SegmentJobConfig(storageRoot = store,
+        rsaPublicKey = cfg.rsaPublicKey, rsaPrivateKey = cfg.rsaPrivateKey),
+      prefetch, 256L << 20)
+    // chunkSize=512 → multiple chunks per segment, all cached after the scan
+    val cachedSegs = cache.cachedKeys.map(_.takeWhile(_ != '#')).toSet
+    assert(cachedSegs == keys.toSet, s"cache holds $cachedSegs")
+    assert(cache.cachedKeys.exists(_.endsWith("#1")), "multi-chunk segments expected")
+
+    // re-scan: storage is never touched again (no new cache loads)
+    val before = cache.stats
+    assert(reader(store, cfg).option("read.prefetch.bytes", prefetch.toString)
+      .load().count() == 30)
+    val after = cache.stats
+    assert(after.misses == before.misses, "re-scan must not reload from storage")
+    assert(after.hits > before.hits, "re-scan must be served by the cache")
+
+    // surplus: ask ONLY for chunk 0 — prefetch brings chunk 1 in the background
+    cache.invalidateAll()
+    fetcher.getChunk(keys.head, 0)
+    val deadline = System.nanoTime() + 2_000_000_000L
+    def surplusCached = cache.cachedKeys.contains(s"${keys.head}#1")
+    while (!surplusCached && System.nanoTime() < deadline) Thread.sleep(10)
+    assert(surplusCached, "prefetch should cache the next chunk without a request for it")
+  }
 }
 
 /** One shared in-memory service per cloud, like an SDK's bucket handle —
