@@ -53,8 +53,22 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):  # Spark-written replica (e.g. /tmp/sf1): dir of parts
+            src = f"read_parquet('{p}/*.parquet')"
+        elif os.path.exists(p):
+            src = f"read_parquet('{p}')"
+        else:
+            continue
+        sel = "*"
+        if t == "events":
+            # driver testdata carries ts as parquet ns-timestamps; the Spark-
+            # written replica carries the raw BIGINT nanos (nanosAsLong read).
+            # Mirror the engine's timestamp_micros(ts div 1000) so both shapes
+            # present the same TIMESTAMP column to every oracle.
+            (ts_type,) = [r[1] for r in con.execute(f"DESCRIBE SELECT ts FROM {src}").fetchall()]
+            if ts_type == "BIGINT":
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM {src}")
 
     failures = 0
     for name in sorted(oracle):

@@ -96,12 +96,16 @@ object Bench {
     // headline of each mbps matrix; the full matrices, per-pass runs and
     // full precision live in BENCH_DETAIL.json.
     val totalStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
-    val headline = Seq(
-      "zstd_mbps" -> tMbps.collectFirst { case (k, v) if k.contains("zstd") => v }.getOrElse(0.0),
-      "fetch_mbps" -> fMbps.collectFirst { case (k, v) if k.startsWith("full") => v }.getOrElse(0.0))
+    // trimmed 2-decimal values ("0.10" -> 0.1, "1.00" -> 1): the driver tail
+    // is a hard 2000 chars incl. sbt's success trailer, and every saved char
+    // is headroom for the next round's queries
+    def trim2(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
+    val qJson = results.map { case (k, v) => s""""$k":${trim2(v)}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$totalStr,"unit":"sec",""" +
-      s""""queries":${jmap(results, "%.2f")},"sf":"$sfDir"$failedJson,""" +
-      s"""${jmap(headline, "%.0f").drop(1).dropRight(1)}}""")
+      s""""queries":$qJson,"sf":"$sfDir"$failedJson}""")
     spark.stop()
   }
 

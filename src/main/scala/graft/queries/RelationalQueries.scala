@@ -178,7 +178,15 @@ object RelationalQueries {
     * result is IDENTICAL to the plain join: the oracle is the unsalted SQL.
     * (Production salts only detected-hot keys rather than the whole build
     * side, and AQE skew-join does this adaptively per-partition; the
-    * mechanism — and the correctness argument — is exactly this one.) */
+    * mechanism — and the correctness argument — is exactly this one.)
+    *
+    * STATUS — NAIVE BASELINE, kept deliberately (r4 verdict task 5): full
+    * salting replicates the ENTIRE build side R× by design, so its cost
+    * scales R× worse than needed (4.5× time ratio at the 10× probe, the
+    * bench's slowest row). The production form is [[q27PartialSalted]]:
+    * a02's profile gates replication to the detected-hot keys only (1.4×
+    * at 10×). q19 exists as the reference point that makes q27's win
+    * measurable — compare the two rows in any BENCH artifact. */
   def q19SaltedJoin(s: SparkSession, d: String): DataFrame = {
     // salt must COVER 0..R-1: l_linenumber alone is 1..7, which would
     // leave the bsalt=0 replica dead and spread hot keys over R-1
