@@ -60,6 +60,7 @@ object SparkEntry {
     "d06_bitset_jaccard" -> (TextQueries.d06BitsetJaccardExpr _),
     "d07_dedup_clusters" -> (TextQueries.d07DedupClusters _),
     "d08_decontaminate" -> (TextQueries.d08Decontaminate _),
+    "d10_bloom_decontaminate" -> (TextQueries.d10BloomDecontaminate _),
     "t08_repetition" -> (TextQueries.t08Repetition _),
     "t09_salient_terms" -> (TextQueries.t09SalientTerms _),
     "t10_mix_sample" -> (TextQueries.t10MixSample _),
@@ -712,18 +713,10 @@ object SparkEntry {
          |FROM s0 $joins""".stripMargin
     },
     "d07_dedup_clusters" -> d07Sql,
-    "d08_decontaminate" ->
-      s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
-         |g AS (SELECT doc_id,
-         |        array_to_string(toks[pos:pos + ${TextQueries.DecontamN - 1}], ' ') AS gram
-         |      FROM (SELECT doc_id, toks,
-         |              unnest(generate_series(1, greatest(len(toks) - ${TextQueries.DecontamN - 1}, 1))) AS pos
-         |            FROM t)),
-         |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % ${TextQueries.BenchmarkMod} = 0),
-         |c AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % ${TextQueries.BenchmarkMod} <> 0)
-         |SELECT c.doc_id, COUNT(*) AS n_overlap,
-         |       COUNT(*) >= ${TextQueries.ContamMin} AS contaminated
-         |FROM c JOIN b USING (gram) GROUP BY c.doc_id""".stripMargin,
+    "d08_decontaminate" -> d08Sql,
+    // the bloom pre-filter is semantics-free (FPs re-checked by the exact
+    // join, no FNs) — d10's oracle IS d08's
+    "d10_bloom_decontaminate" -> d08Sql,
     "t08_repetition" ->
       s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
          |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
@@ -871,6 +864,19 @@ object SparkEntry {
   }
 
   /** Shared oracle fragments (also composed into p01_clean_corpus). */
+  private def d08Sql: String =
+    s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        array_to_string(toks[pos:pos + ${TextQueries.DecontamN - 1}], ' ') AS gram
+       |      FROM (SELECT doc_id, toks,
+       |              unnest(generate_series(1, greatest(len(toks) - ${TextQueries.DecontamN - 1}, 1))) AS pos
+       |            FROM t)),
+       |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % ${TextQueries.BenchmarkMod} = 0),
+       |c AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % ${TextQueries.BenchmarkMod} <> 0)
+       |SELECT c.doc_id, COUNT(*) AS n_overlap,
+       |       COUNT(*) >= ${TextQueries.ContamMin} AS contaminated
+       |FROM c JOIN b USING (gram) GROUP BY c.doc_id""".stripMargin
+
   private def t02Sql: String =
     s"""WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_txt, $dToks AS toks FROM documents),
        |c AS (SELECT doc_id, n_chars_txt, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,

@@ -664,6 +664,47 @@ object TextQueries {
         s"n_overlap >= $ContamMin AS contaminated")
   }
 
+  /** d10: decontamination behind a BLOOM pre-filter — d08's exact
+    * semantics in the shape that survives a benchmark set too large to
+    * broadcast as grams. d08 broadcasts the distinct benchmark n-grams
+    * (fine for one eval suite; at a consortium-scale suite the gram set
+    * is GBs); here ONE map-side-combined aggregate folds the benchmark
+    * grams into a fixed-size bloom (q21's pattern: Spark's own
+    * `BloomFilterMightContain`, codegen'd in the corpus scan's
+    * whole-stage span), the 100 TB corpus side drops ~all non-overlapping
+    * grams at scan speed, and only the bloom SURVIVORS reach the exact
+    * gram join — unhinted, so Catalyst picks shuffle vs broadcast from
+    * the survivors' size, not the benchmark's. False positives are
+    * harmless (the exact join re-checks), false negatives impossible, so
+    * the result — and the oracle — is IDENTICAL to d08's. Both sides key
+    * the bloom on `xxhash64(gram)` longs (an engine-internal hash is fine
+    * here: it never reaches the output, unlike the md5-based oracle-visible
+    * keys). */
+  def d10BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val grams = normToks(s, d)
+      .selectExpr("doc_id",
+        s"explode(sequence(1, greatest(size(toks) - ${DecontamN - 1}, 1))) AS pos",
+        "toks")
+      .selectExpr("doc_id", s"array_join(slice(toks, pos, $DecontamN), ' ') AS gram")
+    val bench = grams.filter(col("doc_id") % BenchmarkMod === 0)
+      .select("gram").distinct()
+    val bloom = bench.select(xxhash64(col("gram")).as("gh"))
+      .stat.bloomFilter("gh", 1 << 20, 0.01) // ~1.2 MB whatever the suite size
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    grams.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .filter(call_function("graft_might_contain", lit(bloomBytes), xxhash64(col("gram"))))
+      .join(bench, "gram") // exact re-check over bloom survivors only
+      .select("doc_id", "gram").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .selectExpr("doc_id", "n_overlap",
+        s"n_overlap >= $ContamMin AS contaminated")
+  }
+
   /** t08: repetition quality filters (the Gopher/MassiveText family) —
     * per-document top-2-gram fraction (what share of all 2-grams is the
     * single most frequent one), duplicate-3-gram fraction (share of

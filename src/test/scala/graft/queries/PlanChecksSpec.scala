@@ -226,6 +226,18 @@ class PlanChecksSpec extends SparkSpec {
     assert(kept > 0)
   }
 
+  test("d10: bloom pre-filter guards the decontamination join; result == d08") {
+    val df = TextQueries.d10BloomDecontaminate(spark, d)
+    val p = plan(df)
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(!p.contains("UDF"), "bloom probe must not be a boxed Scala UDF:\n" + p.take(2000))
+    // semantics-free pre-filter: bit-identical to the broadcast-gram form
+    val viaBloom = df.collect().map(_.toString).sorted.toSeq
+    val viaBroadcast = TextQueries.d08Decontaminate(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaBloom == viaBroadcast)
+  }
+
   test("q27: partial salting replicates ONLY profiled hot keys; result == plain join") {
     val df = RelationalQueries.q27PartialSaltedJoin(spark, d)
     val p = plan(df)
