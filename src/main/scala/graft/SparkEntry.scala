@@ -47,6 +47,7 @@ object SparkEntry {
     "q12_chunk_index" -> (SegmentQueries.q12ChunkIndex _),
     "q13_chunks_for_range" -> (SegmentQueries.q13ChunksForRange _),
     "r01_format_route" -> (SegmentQueries.r01FormatRoute _),
+    "r02_iceberg_stats" -> (SegmentQueries.r02IcebergStats _),
     "t01_token_stats" -> (TextQueries.t01TokenStats _),
     "t02_quality" -> (TextQueries.t02Quality _),
     "t03_langid" -> (TextQueries.t03LangId _),
@@ -509,6 +510,10 @@ object SparkEntry {
         |       coalesce(kfmt, rfmt) AS route,
         |       coalesce(kn, rn) AS n_chars
         |FROM k FULL OUTER JOIN r ON kid = rid""".stripMargin,
+    "r02_iceberg_stats" ->
+      s"""SELECT doc_id % ${SegmentQueries.R02Buckets} AS bucket,
+         |       COUNT(*) AS n_rows, MIN(doc_id) AS min_off, MAX(doc_id) AS max_off
+         |FROM documents GROUP BY 1""".stripMargin,
     "q18_exact_quantiles" ->
       """WITH r AS (SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,

@@ -84,4 +84,59 @@ object SegmentQueries {
         "coalesce(kfmt, rfmt) AS route",
         "coalesce(kn, rn) AS n_chars")
   }
+
+  /** Segment count for [[r02IcebergStats]] — model-bounded (a driver loop
+    * over 4 appends, like s06's K centroids), not data-sized. */
+  val R02Buckets = 4
+
+  /** r02: the ICEBERG EXPORT LOOP, oracle-gated end-to-end. Documents
+    * become record rows (offset = doc_id), land in a fresh
+    * [[graft.records.RecordTable]] as [[R02Buckets]] segments, the table
+    * exports its Iceberg v2 metadata tree
+    * ([[graft.records.IcebergExport]]), and the OUTPUT is read back
+    * exclusively from the Iceberg files — version-hint → metadata.json →
+    * Avro manifest list → Avro manifests → per-file record counts and
+    * kafka.offset bounds. The DuckDB oracle recomputes the same numbers
+    * straight from `documents`, so a pass certifies the whole chain:
+    * append txn → snapshot → AvroOcf encoding → spec field layout →
+    * bounds serialization → self-read. (Spec-level golden checks live in
+    * IcebergExportSpec; this row makes the loop driver-visible.) */
+  def r02IcebergStats(s: SparkSession, d: String): DataFrame = {
+    import graft.records.{IcebergExport, RecordTable}
+    val rows = documents(s, d).selectExpr(
+      "doc_id % " + R02Buckets + " AS bucket",
+      s"""named_struct(
+         |  'partition', 0,
+         |  'offset', doc_id,
+         |  'timestamp', 1700000000000 + doc_id,
+         |  'batch_byte_offset', 0,
+         |  'batch_base_offset', doc_id,
+         |  'batch_partition_leader_epoch', 0,
+         |  'batch_magic', 2,
+         |  'batch_timestamp_type', 0,
+         |  'batch_compression_type', 0,
+         |  'batch_max_timestamp', 1700000000000 + doc_id,
+         |  'batch_producer_id', CAST(-1 AS BIGINT),
+         |  'batch_producer_epoch', -1,
+         |  'batch_base_sequence', -1) AS kafka""".stripMargin,
+      "CAST(array() AS ARRAY<STRUCT<key: STRING, value: BINARY>>) AS headers",
+      "CAST(CONCAT('k', doc_id) AS BINARY) AS key_raw",
+      "CAST(text AS BINARY) AS value_raw")
+    val dir = java.nio.file.Files.createTempDirectory("graft-r02").toString
+    val table = new RecordTable(dir)
+    (0 until R02Buckets).foreach { b =>
+      table.appendSegment(s, f"seg-$b%02d",
+        rows.filter(col("bucket") === b).drop("bucket"))
+    }
+    val exp = new IcebergExport(dir)
+    exp.export()
+    val state = exp.readState()
+    val SegRe = ".*seg-(\\d+)\\.parquet$".r
+    val stats = state.currentFiles.map { f =>
+      val SegRe(b) = f.path
+      (b.toLong, f.recordCount, f.lowerOffset.get, f.upperOffset.get)
+    }
+    import s.implicits._
+    stats.toDF("bucket", "n_rows", "min_off", "max_off")
+  }
 }
