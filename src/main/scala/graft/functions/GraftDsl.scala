@@ -119,4 +119,49 @@ object GraftDsl {
     * (codegen'd). */
   def bitsetJaccard(a: Column, b: Column): Column =
     call_function("bitset_jaccard", a, b)
+
+  // --- DataFrame-level scale helpers (r5) ---------------------------------
+
+  import org.apache.spark.sql.DataFrame
+
+  /** Tune [[graft.plans.RangeBinJoin]]'s sub-binning from a density sample
+    * of the band axis: ONE count/min/max aggregate estimates rows per
+    * window, and `spark.graft.rangebin.subdivisions` is set so each bin
+    * holds ~[[graft.plans.RangeBinJoin.TargetRowsPerBin]] candidates
+    * regardless of density. Call before running a band join (the i02
+    * pattern); returns the chosen k for observability. Sparse axes keep
+    * the classic two-bin plan (k = 1). */
+  def tuneRangeBins(axis: DataFrame, axisCol: Column, windowWidth: Long): Int = {
+    val s = axis.sparkSession
+    val st = axis.agg(count(lit(1)), min(axisCol), max(axisCol)).head()
+    val k =
+      if (st.getLong(0) == 0 || st.isNullAt(1)) 1
+      else {
+        val span = math.max(st.getLong(2) - st.getLong(1), 1L) + windowWidth
+        graft.plans.RangeBinJoin.chooseSubdivisions(
+          st.getLong(0).toDouble * windowWidth / span)
+      }
+    s.conf.set(graft.plans.RangeBinJoin.SubdivisionsKey, k.toString)
+    k
+  }
+
+  /** Fold `keys` (long-valued) into a serialized bloom filter with one
+    * map-side-combined aggregate — the build side of the q21/d10 pattern.
+    * The returned bytes are a broadcastable fixed-size pre-filter whatever
+    * the key count. */
+  def buildBloom(df: DataFrame, key: Column,
+                 expectedKeys: Long, fpp: Double): Array[Byte] = {
+    val bloom = df.select(key.as("k")).stat.bloomFilter("k", expectedKeys, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Probe-side bloom membership — Spark's own codegen'd
+    * `BloomFilterMightContain` (requires
+    * [[graft.plans.GraftFunctions.register]]), NEVER a boxed UDF. False
+    * positives only: follow with the exact join, never with a bare trust
+    * of the filter. */
+  def bloomMightContain(bloomBytes: Array[Byte], key: Column): Column =
+    call_function("graft_might_contain", lit(bloomBytes), key)
 }

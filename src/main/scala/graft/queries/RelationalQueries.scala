@@ -381,13 +381,7 @@ object RelationalQueries {
     // axis density. At sf0.1 this stays k=1 (the classic two-bin plan);
     // at the 10× replica density crosses the target and k rises, holding
     // the candidate slop flat instead of doubling with density.
-    val st = acts.agg(count(lit(1)), min(col("us")), max(col("us"))).head()
-    if (st.getLong(0) > 0 && !st.isNullAt(1)) {
-      val span = math.max(st.getLong(2) - st.getLong(1), 1L) + winUs
-      val rowsPerWindow = st.getLong(0).toDouble * winUs / span
-      s.conf.set(graft.plans.RangeBinJoin.SubdivisionsKey,
-        graft.plans.RangeBinJoin.chooseSubdivisions(rowsPerWindow).toString)
-    }
+    graft.functions.GraftDsl.tuneRangeBins(acts, col("us"), winUs)
     val errors = events(s, d).filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id"),
         col("ts").as("err_ts"), unix_micros(col("ts")).as("err_us"))
@@ -613,15 +607,11 @@ object RelationalQueries {
     val build = orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
-    val bloom = build.stat.bloomFilter("o_orderkey", BloomExpectedKeys, BloomFpp)
-    val bloomBytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val bloomBytes = graft.functions.GraftDsl.buildBloom(
+      build, col("o_orderkey"), BloomExpectedKeys, BloomFpp)
     val probe = lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .filter(call_function("graft_might_contain", lit(bloomBytes), col("l_orderkey")))
+      .filter(graft.functions.GraftDsl.bloomMightContain(bloomBytes, col("l_orderkey")))
     probe.join(build, col("l_orderkey") === col("o_orderkey"))
       .groupBy(month(col("o_orderdate")).cast("long").as("mth"))
       .agg(

@@ -689,15 +689,10 @@ object TextQueries {
       .selectExpr("doc_id", s"array_join(slice(toks, pos, $DecontamN), ' ') AS gram")
     val bench = grams.filter(col("doc_id") % BenchmarkMod === 0)
       .select("gram").distinct()
-    val bloom = bench.select(xxhash64(col("gram")).as("gh"))
-      .stat.bloomFilter("gh", 1 << 20, 0.01) // ~1.2 MB whatever the suite size
-    val bloomBytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val bloomBytes = graft.functions.GraftDsl.buildBloom(
+      bench, xxhash64(col("gram")), 1 << 20, 0.01) // ~1.2 MB whatever the suite size
     grams.filter(col("doc_id") % BenchmarkMod =!= 0)
-      .filter(call_function("graft_might_contain", lit(bloomBytes), xxhash64(col("gram"))))
+      .filter(graft.functions.GraftDsl.bloomMightContain(bloomBytes, xxhash64(col("gram"))))
       .join(bench, "gram") // exact re-check over bloom survivors only
       .select("doc_id", "gram").distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))

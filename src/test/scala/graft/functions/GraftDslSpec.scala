@@ -89,4 +89,33 @@ class GraftDslSpec extends SparkSpec {
       .collect()
     assert(r.nonEmpty && r.forall(_.getDouble(0) == 1.0))
   }
+
+  test("tuneRangeBins: density sample sets the subdivisions conf, k = choose(density)") {
+    import spark.implicits._
+    try {
+      // 100k rows over a 100k span, window 10k -> ~10k rows/window -> k > 1
+      val dense = spark.range(100000L).toDF("t")
+      val k = tuneRangeBins(dense, col("t"), 10000L)
+      assert(k == graft.plans.RangeBinJoin.chooseSubdivisions(
+        100000L.toDouble * 10000L / (99999L + 10000L)))
+      assert(k > 1)
+      assert(spark.conf.get(graft.plans.RangeBinJoin.SubdivisionsKey) == k.toString)
+      // sparse axis keeps the classic plan
+      val sparse = Seq(0L, 1000000L).toDF("t")
+      assert(tuneRangeBins(sparse, col("t"), 10L) == 1)
+      // empty input: no crash, k = 1
+      assert(tuneRangeBins(dense.limit(0), col("t"), 10L) == 1)
+    } finally spark.conf.unset(graft.plans.RangeBinJoin.SubdivisionsKey)
+  }
+
+  test("buildBloom + bloomMightContain: no false negatives, real selectivity") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val members = spark.range(0L, 1000L).toDF("k")
+    val bytes = buildBloom(members, col("k"), 1000L, 0.01)
+    val probed = spark.range(0L, 100000L).toDF("k")
+      .filter(bloomMightContain(bytes, col("k"))).collect().map(_.getLong(0)).toSet
+    assert((0L until 1000L).forall(probed), "bloom can never drop a member")
+    assert(probed.size < 5000, s"kept ${probed.size} of 100000 - not filtering")
+  }
 }
