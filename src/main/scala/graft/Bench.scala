@@ -103,9 +103,19 @@ object Bench {
       val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
-    val qJson = results.map { case (k, v) => s""""$k":${trim2(v)}""" }.mkString("{", ",", "}")
+    // r5: stdout keys are the unique id prefix ("d01", "q21", ...) — the
+    // long descriptive names cost ~10 chars × 79 queries against the hard
+    // 2000-char tail; full names + full precision stay in BENCH_DETAIL.json.
+    // Falls back to the full name on (unexpected) prefix collision.
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    val shorts = results.map(r => shortKey(r._1))
+    val unique = shorts.distinct.size == shorts.size
+    val qJson = results.map { case (k, v) =>
+      s""""${if (unique) shortKey(k) else k}":${trim2(v)}"""
+    }.mkString("{", ",", "}")
+    val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
     println(s"""{"metric":"total","value":$totalStr,"unit":"sec",""" +
-      s""""queries":$qJson,"sf":"$sfDir"$failedJson}""")
+      s""""queries":$qJson,"sf":"$sfShort"$failedJson}""")
     spark.stop()
   }
 
