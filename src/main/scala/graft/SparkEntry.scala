@@ -99,6 +99,8 @@ object SparkEntry {
     "w05_scd2_dim" -> (RelationalQueries.w05Scd2Join _),
     "a04_histogram" -> (RelationalQueries.a04Histogram _),
     "g01_pagerank" -> (TextQueries.g01PageRank _),
+    "w06_gap_fill" -> (RelationalQueries.w06GapFill _),
+    "t12_term_redact" -> (TextQueries.t12TermRedact _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -855,6 +857,38 @@ object SparkEntry {
          |       CAST(CASE WHEN list_contains(bs.brute_ids, lr.vec_id) THEN 1 ELSE 0 END AS BIGINT) AS hit,
          |       bs.best_cos - lr.cosine AS cos_gap
          |FROM bs JOIN lr USING (query_id) WHERE lr.rnk = 1""".stripMargin,
+    // w06: dense hour spine from the observed range (list-form range() —
+    // DuckDB 1.0's table-function form rejects non-constant args), LOCF
+    // via last_value IGNORE NULLS over the same (type, hour) order Spark
+    // uses; values stay DECIMAL until the final DOUBLE cast on both sides.
+    "w06_gap_fill" ->
+      s"""WITH h AS (SELECT epoch_us(date_trunc('hour', MIN(ts))) AS mn,
+         |                  epoch_us(date_trunc('hour', MAX(ts))) AS mx FROM events),
+         |hours AS (SELECT unnest(list_transform(
+         |            range(0, CAST((mx - mn) / ${RelationalQueries.GapFillStepUs} AS BIGINT) + 1),
+         |            i -> mn + i * ${RelationalQueries.GapFillStepUs})) AS hr_us FROM h),
+         |types AS (SELECT DISTINCT event_type FROM events),
+         |hourly AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hr_us,
+         |                  COUNT(*) AS n_obs, SUM(CAST(value AS DECIMAL(18,2))) AS v
+         |           FROM events GROUP BY 1, 2)
+         |SELECT t.event_type,
+         |       strftime(make_timestamp(g.hr_us), '%Y-%m-%d %H:%M:%S') AS hour,
+         |       COALESCE(h2.n_obs, 0) AS n,
+         |       CAST(h2.n_obs IS NULL AS BIGINT) AS is_gap,
+         |       CAST(COALESCE(last_value(h2.v IGNORE NULLS) OVER (
+         |              PARTITION BY t.event_type ORDER BY g.hr_us
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS DOUBLE) AS locf_value
+         |FROM hours g CROSS JOIN types t
+         |LEFT JOIN hourly h2 ON h2.event_type = t.event_type AND h2.hr_us = g.hr_us""".stripMargin,
+    // t12: the regex is interpolated VERBATIM from TextQueries.RedactPattern
+    // (Java∩RE2 common dialect); 'g' makes DuckDB's regexp_replace global,
+    // matching Java replaceAll.
+    "t12_term_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextQueries.RedactPattern}')) AS BIGINT) AS n_masked,
+         |  md5(regexp_replace(text, '${TextQueries.RedactPattern}', '[MASKED]', 'g')) AS redacted_fp,
+         |  CAST(length(regexp_replace(text, '${TextQueries.RedactPattern}', '[MASKED]', 'g')) AS BIGINT) AS redacted_len
+         |FROM documents""".stripMargin,
   )
 
   /** DuckDB mirror of [[graft.plans.TokensToHashBitset]]'s bit index: the

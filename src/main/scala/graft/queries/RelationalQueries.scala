@@ -797,4 +797,53 @@ object RelationalQueries {
         out6(sum(col("rev"))).as("revenue"),
         sum(col("cnt")).as("n_items"))
   }
+
+  /** Gap-fill step, microseconds per hour. */
+  val GapFillStepUs: Long = 3600000000L
+
+  /** w06: time-series GAP FILL + LOCF — the resampling operator every
+    * metrics store exposes (`time_bucket_gapfill`/`date_spine`): project
+    * the hourly aggregate of each event type onto a dense hour spine over
+    * the observed range, mark missing buckets, and carry the last observed
+    * value forward (last-observation-carried-forward; 0 before the first
+    * observation).
+    *
+    * Scale shape: the only event-sized operation is the first hourly
+    * pre-aggregation (map-side partials → one shuffle of (type, hour)
+    * rows). Everything after is MODEL-sized, not data-sized: the spine is
+    * `sequence()` over a 1-row min/max aggregate (scalar exchange back to
+    * the plan, narrow explode), the grid is span_hours × |types| rows
+    * however many events exist, and the aggregated hourly side — the same
+    * bounded cardinality — is broadcast into the left join, so the grid
+    * never shuffles. The LOCF window partitions by type with span_hours
+    * rows per partition (calendar-bounded, skew-free). At 100 TB the
+    * shape is unchanged: a decade of hours × 1000 types is 876M grid
+    * rows only if every type existed every hour — and still shuffle-free
+    * on the probe side.
+    *
+    * Exactness: hourly values aggregate as DECIMAL (order-independent),
+    * LOCF carries the decimal and only the final output casts to DOUBLE;
+    * the hour label is formatted from epoch-us on both engines. */
+  def w06GapFill(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .withColumn("hr_us", unix_micros(date_trunc("hour", col("ts"))))
+    val hourly = e.groupBy(col("event_type"), col("hr_us"))
+      .agg(count(lit(1)).as("n_obs"), sum(dec2(col("value"))).as("v"))
+    val spine = e.agg(min(col("hr_us")).as("mn"), max(col("hr_us")).as("mx"))
+      .selectExpr(s"explode(sequence(mn, mx, $GapFillStepUs)) AS hr_us")
+    val types = e.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.crossJoin(broadcast(types))
+      .join(broadcast(hourly), Seq("event_type", "hr_us"), "left")
+      .withColumn("is_gap", col("n_obs").isNull.cast("bigint"))
+      .withColumn("locf_value",
+        out2(coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0))))
+      .select(
+        col("event_type"),
+        date_format(timestamp_micros(col("hr_us")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n_obs"), lit(0L)).as("n"),
+        col("is_gap"),
+        col("locf_value"))
+  }
 }

@@ -1164,4 +1164,32 @@ object TextQueries {
     inSub.join(broadcast(offsets), Seq("shard", "sub"))
       .selectExpr("doc_id", "shard", "off + r_in AS pos")
   }
+
+  /** Denylist pattern for t12 — word-boundary alternation kept inside the
+    * ASCII subset where Java regex and RE2 agree exactly (`\b` is the
+    * ASCII word boundary in both; no classes, no backrefs). */
+  val RedactPattern = "\\b(customer|vector|secret)\\b"
+
+  /** t12: POLICY REDACTION — regex denylist masking over the corpus, the
+    * compliance pass every training-data pipeline runs before a corpus
+    * ships (PII patterns, forbidden terms, canary strings): every
+    * denylisted term is replaced with a fixed mask token, and each doc
+    * reports its mask count plus a fingerprint of the redacted text (the
+    * full redacted corpus would just echo megabytes through the gate; the
+    * md5 proves byte-identical redaction output).
+    *
+    * Scale shape: a pure narrow per-row projection — zero exchanges, the
+    * regex runs inside whole-stage codegen, and the scan reads exactly
+    * (doc_id, text). At 100 TB this is scan-bound by construction; the
+    * identical kernel serves streaming ingest unchanged. Patterns stay in
+    * the Java∩RE2 common dialect so the DuckDB oracle replays them
+    * verbatim. */
+  def t12TermRedact(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(RedactPattern), lit(0)))
+        .cast("bigint").as("n_masked"),
+      md5(regexp_replace(col("text"), RedactPattern, "[MASKED]")).as("redacted_fp"),
+      length(regexp_replace(col("text"), RedactPattern, "[MASKED]"))
+        .cast("bigint").as("redacted_len"))
 }

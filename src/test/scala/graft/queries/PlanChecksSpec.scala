@@ -281,4 +281,33 @@ class PlanChecksSpec extends SparkSpec {
     val p = plan(graft.operators.SegmentUploadJob.run(spark, in, cfg))
     assert(!p.contains("Exchange"), "upload must not shuffle:\n" + p)
   }
+
+  test("t12: redaction is a pure narrow projection (zero shuffles, pruned scan)") {
+    val p = plan(TextQueries.t12TermRedact(spark, d))
+    assert(shuffles(p) == 0, p.take(3000))
+    assert(!p.contains("Join"))
+    // scan reads only (doc_id, text) — no lang/source/n_chars
+    assert(p.contains("ReadSchema"))
+    assert(!p.split("ReadSchema")(1).takeWhile(_ != '\n').contains("n_chars"), p.take(3000))
+  }
+
+  test("w06: gap-fill grid joins broadcast; only the hourly agg touches event-sized data") {
+    val df = RelationalQueries.w06GapFill(spark, d)
+    val p = plan(df)
+    // grid side never shuffles: types and the hourly aggregate broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "model-sized sides must broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      "the spine x types grid must be a broadcast nested loop over 5 rows, not a cartesian:\n" + p.take(3000))
+    // LOCF must never resurrect a value across event types: the first
+    // non-gap hour of each type carries its own value, rows before it 0
+    val rows = df.collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getString(1))
+      val firstObs = sorted.indexWhere(_.getLong(3) == 0L)
+      sorted.take(firstObs).foreach(r => assert(r.getDouble(4) == 0.0,
+        s"pre-first-observation hours must LOCF to 0: $r"))
+    }
+  }
 }
