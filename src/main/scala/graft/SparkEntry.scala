@@ -101,6 +101,9 @@ object SparkEntry {
     "g01_pagerank" -> (TextQueries.g01PageRank _),
     "w06_gap_fill" -> (RelationalQueries.w06GapFill _),
     "t12_term_redact" -> (TextQueries.t12TermRedact _),
+    "d11_dup_spans" -> (TextQueries.d11DupSpans _),
+    "t13_rare_bigrams" -> (TextQueries.t13RareBigrams _),
+    "s10_range_search" -> (SimilarityQueries.s10RangeSearch _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -889,6 +892,46 @@ object SparkEntry {
          |  md5(regexp_replace(text, '${TextQueries.RedactPattern}', '[MASKED]', 'g')) AS redacted_fp,
          |  CAST(length(regexp_replace(text, '${TextQueries.RedactPattern}', '[MASKED]', 'g')) AS BIGINT) AS redacted_len
          |FROM documents""".stripMargin,
+    "d11_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |w AS (SELECT doc_id, pos,
+         |        md5(array_to_string(toks[pos:pos + ${TextQueries.DupSpanW - 1}], ' ')) AS whash
+         |      FROM (SELECT doc_id, toks,
+         |              unnest(generate_series(1, len(toks) - ${TextQueries.DupSpanW - 1})) AS pos
+         |            FROM t WHERE len(toks) >= ${TextQueries.DupSpanW})),
+         |dup AS (SELECT whash FROM
+         |          (SELECT whash, COUNT(DISTINCT doc_id) AS ndocs FROM w GROUP BY 1)
+         |        WHERE ndocs >= 2)
+         |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |       CAST(SUM(CASE WHEN dup.whash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+         |       CAST(COUNT(DISTINCT dup.whash) AS BIGINT) AS n_dup_spans
+         |FROM w LEFT JOIN dup ON w.whash = dup.whash
+         |GROUP BY 1""".stripMargin,
+    "t13_rare_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |pd AS (SELECT doc_id, bigram, COUNT(*) AS tf FROM
+         |         (SELECT doc_id, array_to_string(toks[pos:pos + 1], ' ') AS bigram
+         |          FROM (SELECT doc_id, toks,
+         |                  unnest(generate_series(1, len(toks) - 1)) AS pos
+         |                FROM t WHERE len(toks) >= 2))
+         |       GROUP BY 1, 2),
+         |cf AS (SELECT bigram, SUM(tf) AS cf FROM pd GROUP BY 1)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(CASE WHEN cf <= ${TextQueries.RareCfMax} THEN tf ELSE 0 END) AS BIGINT) AS n_rare,
+         |       CAST(SUM(CASE WHEN cf = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_hapax,
+         |       CAST(SUM(CASE WHEN cf <= ${TextQueries.RareCfMax} THEN tf ELSE 0 END) AS DOUBLE)
+         |         / SUM(tf) AS rare_ratio
+         |FROM pd JOIN cf USING (bigram)
+         |GROUP BY 1""".stripMargin,
+    "s10_range_search" ->
+      s"""WITH $dNrmCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nrm
+         |      WHERE vec_id < ${SimilarityQueries.QueryCount})
+         |SELECT query_id, vec_id AS neighbor_id,
+         |       list_dot_product(qv, v) / (qnrm * nrm) AS cosine
+         |FROM q, nrm
+         |WHERE vec_id != query_id
+         |  AND list_dot_product(qv, v) / (qnrm * nrm) >= ${SimilarityQueries.RangeTau}""".stripMargin,
   )
 
   /** DuckDB mirror of [[graft.plans.TokensToHashBitset]]'s bit index: the

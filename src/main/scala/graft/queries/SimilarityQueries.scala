@@ -436,6 +436,33 @@ object SimilarityQueries {
         "m.cosine AS cosine", "n_cand")
   }
 
+  /** Cosine floor for s10 range search — 0.3 yields a non-trivial result
+    * band at every test SF (0.4 leaves sf0.001 empty). */
+  val RangeTau = 0.3
+
+  /** s10: RANGE (radius) search — every corpus vector within cosine ≥
+    * [[RangeTau]] of each broadcast query: the "all matches above a
+    * similarity floor" API (retrieval dedup gates, near-dup cluster
+    * seeding, RAG recall floors) that top-k ANN (s01/s03/s04) cannot
+    * answer, because k is unknown a priori. Unlike s01 there is no
+    * ranking, hence no window and NO shuffle at all: broadcast query row ×
+    * corpus scan → narrow filter, one codegen span over the scan —
+    * embarrassingly parallel at any corpus size; the only data movement is
+    * the fixed-size query-set broadcast. The threshold compare is exact
+    * cross-engine because the [[graft.plans.VecDot]] fold is bit-identical
+    * to DuckDB's `list_dot_product` (see object Scaladoc). */
+  def s10RangeSearch(s: SparkSession, d: String): DataFrame = {
+    val all = normed(s, d)
+    val queries = broadcast(
+      all.filter(col("vec_id") < QueryCount)
+        .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm"))
+    queries.crossJoin(all)
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id",
+        s"$dotExpr / (qnrm * nrm) AS cosine")
+      .filter(col("cosine") >= RangeTau)
+  }
+
   def s03AnnLsh(s: SparkSession, d: String): DataFrame = {
     val bucketed = normed(s, d).crossJoin(broadcast(anchorsRow(s, d)))
       .selectExpr("vec_id", "v", "nrm", s"($bucketExpr) AS bucket")

@@ -700,6 +700,95 @@ object TextQueries {
         s"n_overlap >= $ContamMin AS contaminated")
   }
 
+  /** Exact-duplicate span width (tokens). Production exact-substring dedup
+    * uses 50-token windows (Lee et al. 2022); 8 fits the short synthetic
+    * docs while keeping spans longer than any d05 shingle. */
+  val DupSpanW = 8
+
+  /** d11: EXACT duplicated-SPAN detection — the suffix-array dedup signal
+    * of "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., 2022): any [[DupSpanW]]-token window that occurs verbatim in ≥ 2
+    * distinct documents is a duplicated span, and per document we report
+    * how many window positions are covered by one plus how many distinct
+    * duplicated spans it carries. This is the signal exact-substring dedup
+    * pipelines threshold on to CUT repeated boilerplate out of documents
+    * (where whole-doc dedup like d01 can only drop documents).
+    *
+    * Suffix arrays don't distribute; the equivalent corpus-scale plan is a
+    * window-hash inventory: every token position contributes one hash of
+    * the W-token window starting there (a rolling/narrow per-row
+    * computation, no shuffle), then ONE aggregate over uniformly
+    * distributed hash keys finds windows spanning ≥ 2 docs, and the
+    * per-doc rollup joins on those same uniform keys — no skew by
+    * construction (a hot span is still one aggregate row). Volume is the
+    * only cost: one 32-byte md5 per corpus token (md5 because the hash is
+    * oracle-visible; production would key on xxhash64 longs, 4× narrower,
+    * exactly as d10 does for its bloom keys). The per-doc `distinct`
+    * collapses within-doc repeats BEFORE the ndocs aggregate, so a
+    * boilerplate-heavy doc cannot inflate its own span's doc count. */
+  def d11DupSpans(s: SparkSession, d: String): DataFrame = {
+    val wins = normToks(s, d)
+      .filter(s"size(toks) >= $DupSpanW")
+      .selectExpr("doc_id",
+        s"explode(sequence(1, size(toks) - ${DupSpanW - 1})) AS pos", "toks")
+      .selectExpr("doc_id", "pos",
+        s"md5(array_join(slice(toks, pos, $DupSpanW), ' ')) AS whash")
+    val dup = wins.select("doc_id", "whash").distinct()
+      .groupBy("whash").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("whash"), lit(1L).as("is_dup"))
+    wins
+      .join(dup, Seq("whash"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_windows"),
+        countDistinct(when(col("is_dup").isNotNull, col("whash")))
+          .as("n_dup_spans"))
+  }
+
+  /** "Rare" corpus frequency bound for t13: bigrams the corpus has seen at
+    * most this many times. */
+  val RareCfMax = 2L
+
+  /** t13: n-gram LANGUAGE-MODEL rarity — per-document share of bigrams
+    * that are rare in the whole corpus (corpus frequency ≤ [[RareCfMax]])
+    * plus the hapax share (frequency exactly 1). This is the
+    * integer-exact stand-in for perplexity filtering: a document whose
+    * bigrams the corpus LM has barely seen is exactly a high-perplexity
+    * document (garbled text, OCR noise, wrong language), and pipelines
+    * drop or down-weight past a threshold. Counts stay integers and the
+    * one ratio is a single double division, so the oracle matches
+    * bit-for-bit — no log/exp, whose libm rounding differs across
+    * engines.
+    *
+    * Scale shape: the narrow bigram explode pre-aggregates per (doc_id,
+    * bigram) FIRST — within-doc repeats collapse map-side, so the Zipf
+    * head ("of the" in every doc) carries at most one row per document
+    * into the corpus-frequency join; corpus counts reuse that same
+    * pre-aggregate (sum of tf, partial-agg combined). Both exchanges key
+    * on the bigram string — Zipf-skewed in raw token volume but uniform
+    * after the per-doc collapse; residual head skew is row-count only (no
+    * multiplication) and AQE's skew split covers it. The final rollup is
+    * co-keyed on doc_id. */
+  def t13RareBigrams(s: SparkSession, d: String): DataFrame = {
+    val perDoc = normToks(s, d)
+      .filter("size(toks) >= 2")
+      .selectExpr("doc_id", "explode(sequence(1, size(toks) - 1)) AS pos", "toks")
+      .selectExpr("doc_id", "array_join(slice(toks, pos, 2), ' ') AS bigram")
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+    val corpus = perDoc.groupBy("bigram").agg(sum("tf").as("cf"))
+    perDoc
+      .join(corpus, "bigram")
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").as("n_bigrams"),
+        sum(when(col("cf") <= RareCfMax, col("tf")).otherwise(0L)).as("n_rare"),
+        sum(when(col("cf") === 1L, col("tf")).otherwise(0L)).as("n_hapax"))
+      .selectExpr("doc_id", "n_bigrams", "n_rare", "n_hapax",
+        "CAST(n_rare AS DOUBLE) / n_bigrams AS rare_ratio")
+  }
+
   /** t08: repetition quality filters (the Gopher/MassiveText family) —
     * per-document top-2-gram fraction (what share of all 2-grams is the
     * single most frequent one), duplicate-3-gram fraction (share of

@@ -310,4 +310,41 @@ class PlanChecksSpec extends SparkSpec {
         s"pre-first-observation hours must LOCF to 0: $r"))
     }
   }
+
+  test("d11: duplicated-span inventory aggregates on uniform hash keys, no nested loop") {
+    val df = TextQueries.d11DupSpans(spark, d)
+    val p = plan(df)
+    assert(p.contains("partial_"), "window-hash aggregates must map-side combine:\n" + p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "span detection must never go quadratic:\n" + p.take(3000))
+    // semantics on the real fixture: every duplicated window is a window,
+    // distinct spans never exceed duplicated positions, and the corpus's
+    // exact-duplicate docs (d01 groups) guarantee at least one shared span
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (n, dupW, dupS) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dupW <= n && dupS <= dupW, s"inconsistent span counts: $r")
+    }
+    assert(rows.exists(_.getLong(2) > 0),
+      "corpus contains verbatim duplicate docs, so some span must be shared")
+  }
+
+  test("t13: bigram rarity pre-aggregates per doc before the corpus-frequency join") {
+    val df = TextQueries.t13RareBigrams(spark, d)
+    val p = plan(df)
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (n, rare, hapax) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hapax <= rare && rare <= n, s"rarity counts out of order: $r")
+      assert(math.abs(r.getDouble(4) - rare.toDouble / n) == 0.0, s"ratio mismatch: $r")
+    }
+  }
+
+  test("s10: range search is broadcast + scan only — zero shuffles") {
+    val p = plan(SimilarityQueries.s10RangeSearch(spark, d))
+    assert(shuffles(p) == 0, "radius search must stay narrow:\n" + p.take(3000))
+    assert(p.contains("Broadcast"), p.take(2000))
+  }
 }
