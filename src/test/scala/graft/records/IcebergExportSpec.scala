@@ -163,6 +163,29 @@ class IcebergExportSpec extends SparkSpec {
     assert(state.currentFiles.forall(_.path.contains("compact-")))
   }
 
+  test("row-level mutations (deleteWhere, merge) export consistently: Iceberg view == native view") {
+    val (dir, table) = makeTable()
+    val n = table.deleteWhere(spark, col("kafka.offset").between(25L, 29L))
+    assert(n == 5L, "precondition: the COW delete rewrote a file")
+    val upd = table.read(spark).filter(col("kafka.offset") < 3L)
+      .withColumn("topic", lit("merged"))
+    table.merge(spark, upd, "kafka.offset", "merge-001")
+
+    val exp = new IcebergExport(dir)
+    exp.export()
+    val state = exp.readState()
+    // the exported current snapshot sees exactly the post-mutation table:
+    // rewritten files replace originals, retired ones are gone
+    val native = table.listManifests()
+    val nativePaths = native.map(m =>
+      Paths.get(dir).toAbsolutePath.normalize.resolve(m.file).toString).sorted
+    assert(state.currentFiles.map(_.path).sorted == nativePaths.toVector)
+    assert(state.currentFiles.map(_.recordCount).sum == table.read(spark).count())
+    // snapshot history stays aligned (mutations are commits like any other)
+    assert(state.snapshotIds == table.snapshots().map(_.version))
+    assert(state.currentSnapshotId == table.snapshots().last.version)
+  }
+
   test("AvroOcf: write/read round-trip with only the embedded schema") {
     import AvroLite._
     val schema = ARecord("t", Vector(
