@@ -104,6 +104,7 @@ object SparkEntry {
     "d11_dup_spans" -> (TextQueries.d11DupSpans _),
     "t13_rare_bigrams" -> (TextQueries.t13RareBigrams _),
     "s10_range_search" -> (SimilarityQueries.s10RangeSearch _),
+    "t14_split_assign" -> (TextQueries.t14SplitAssign _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -932,6 +933,17 @@ object SparkEntry {
          |FROM q, nrm
          |WHERE vec_id != query_id
          |  AND list_dot_product(qv, v) / (qnrm * nrm) >= ${SimilarityQueries.RangeTau}""".stripMargin,
+    "t14_split_assign" ->
+      s"""WITH RECURSIVE $d07Ctes,
+         |h AS (SELECT doc_id, cluster_rep,
+         |        md5(CAST(cluster_rep AS VARCHAR)) AS h FROM clusters),
+         |b AS (SELECT doc_id, cluster_rep,
+         |        CAST((${TextQueries.hex4Sql("strpos")}) % 100 AS BIGINT) AS bucket FROM h)
+         |SELECT doc_id, cluster_rep, bucket,
+         |       CASE WHEN bucket >= ${TextQueries.TestFromBucket} THEN 'test'
+         |            WHEN bucket >= ${TextQueries.ValFromBucket} THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM b""".stripMargin,
   )
 
   /** DuckDB mirror of [[graft.plans.TokensToHashBitset]]'s bit index: the
@@ -984,14 +996,21 @@ object SparkEntry {
        |      ELSE 'es' END AS pred_lang
        |FROM h""".stripMargin
 
-  private def d07Sql: String =
-    s"""WITH RECURSIVE pairs AS ($minHashPairsSql),
+  /** The d07 component computation as a reusable CTE chain (recursive
+    * closure over the LSH candidate graph, min-id representative) —
+    * composed by d07Sql and by t14's cluster-keyed split. */
+  private def d07Ctes: String =
+    s"""pairs AS ($minHashPairsSql),
        |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
        |reach(src, dst) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT r.src, e.y FROM reach r JOIN edges e ON e.x = r.dst)
-       |SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src""".stripMargin
+       |  SELECT r.src, e.y FROM reach r JOIN edges e ON e.x = r.dst),
+       |clusters AS (SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src)""".stripMargin
+
+  private def d07Sql: String =
+    s"""WITH RECURSIVE $d07Ctes
+       |SELECT doc_id, cluster_rep FROM clusters""".stripMargin
 
   /** DuckDB mirror of [[graft.queries.TextQueries.g01PageRank]]: the same
     * integer fixed-point recurrence unrolled PrIters times. */

@@ -856,6 +856,35 @@ object TextQueries {
       .groupBy("source", "rate_pct").agg(count(lit(1)).as("n_kept"))
       .selectExpr("source", "CAST(rate_pct AS BIGINT) AS rate_pct", "n_kept")
 
+  /** t14 split-bucket bounds: md5 buckets 0-89 train, 90-94 val,
+    * 95-99 test (a 90/5/5 split in expectation). */
+  val ValFromBucket = 90
+  val TestFromBucket = 95
+
+  /** t14: LEAKAGE-FREE train/val/test SPLIT assignment — each document's
+    * split is decided by hashing its dedup-cluster REPRESENTATIVE (d07's
+    * `cluster_rep`), not its own id, so two near-duplicate documents can
+    * NEVER straddle train and eval: the entire near-dup cluster moves as
+    * one unit. Splitting on raw doc ids silently leaks eval content into
+    * training through near-dups — the failure mode decontamination
+    * research keeps re-finding — and this is the standard fix. Hash
+    * splitting (vs rand()) keeps assignment reproducible across runs,
+    * engines and incremental corpus extensions, exactly as t10.
+    *
+    * Scale shape: d07's component labels (LSH-candidate union-find /
+    * large-star-small-star, corpus never shuffled) + a narrow md5-bucket
+    * projection — no exchange beyond what d07 already does. */
+  def t14SplitAssign(s: SparkSession, d: String): DataFrame =
+    d07DedupClusters(s, d)
+      .selectExpr("doc_id", "cluster_rep",
+        "md5(CAST(CAST(cluster_rep AS STRING) AS BINARY)) AS h")
+      .selectExpr("doc_id", "cluster_rep",
+        s"CAST((${hex4Sql("instr")}) % 100 AS BIGINT) AS bucket")
+      .selectExpr("doc_id", "cluster_rep", "bucket",
+        s"""CASE WHEN bucket >= $TestFromBucket THEN 'test'
+           |     WHEN bucket >= $ValFromBucket THEN 'val'
+           |     ELSE 'train' END AS split""".stripMargin)
+
   /** Salient terms kept per document (t09). */
   val SalientK = 3
 

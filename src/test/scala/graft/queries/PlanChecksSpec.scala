@@ -342,6 +342,25 @@ class PlanChecksSpec extends SparkSpec {
     }
   }
 
+  test("t14: split assignment is leakage-free (cluster-atomic) and adds no exchange over d07") {
+    val df = TextQueries.t14SplitAssign(spark, d)
+    val p = plan(df)
+    assert(shuffles(p) == 0,
+      "split bucketing must stay a narrow projection over d07's labels:\n" + p.take(3000))
+    val rows = df.collect()
+    // every document assigned exactly once, to a real split
+    assert(rows.length == spark.read.parquet(s"$d/documents.parquet").count())
+    assert(rows.forall(r => Set("train", "val", "test")(r.getString(3))))
+    // the leakage invariant: a cluster never straddles splits
+    rows.groupBy(_.getLong(1)).foreach { case (rep, rs) =>
+      assert(rs.map(_.getString(3)).distinct.length == 1,
+        s"cluster $rep straddles splits")
+    }
+    // 90/5/5 in expectation — loose bounds at this SF
+    val frac = rows.count(_.getString(3) == "train").toDouble / rows.length
+    assert(frac > 0.75 && frac < 0.98, s"train fraction $frac out of band")
+  }
+
   test("s10: range search is broadcast + scan only — zero shuffles") {
     val p = plan(SimilarityQueries.s10RangeSearch(spark, d))
     assert(shuffles(p) == 0, "radius search must stay narrow:\n" + p.take(3000))
