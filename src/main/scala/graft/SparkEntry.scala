@@ -105,6 +105,7 @@ object SparkEntry {
     "t13_rare_bigrams" -> (TextQueries.t13RareBigrams _),
     "s10_range_search" -> (SimilarityQueries.s10RangeSearch _),
     "t14_split_assign" -> (TextQueries.t14SplitAssign _),
+    "w07_retention" -> (RelationalQueries.w07Retention _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -944,6 +945,15 @@ object SparkEntry {
          |            WHEN bucket >= ${TextQueries.ValFromBucket} THEN 'val'
          |            ELSE 'train' END AS split
          |FROM b""".stripMargin,
+    "w07_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |              CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+        |            FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1)
+        |SELECT cohort_week, CAST(week - cohort_week AS BIGINT) AS week_offset,
+        |       COUNT(DISTINCT wk.user_id) AS n_users
+        |FROM wk JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
   )
 
   /** DuckDB mirror of [[graft.plans.TokensToHashBitset]]'s bit index: the

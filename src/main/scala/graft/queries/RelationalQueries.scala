@@ -846,4 +846,28 @@ object RelationalQueries {
         col("is_gap"),
         col("locf_value"))
   }
+
+  /** w07: COHORT RETENTION — users grouped by their first-activity week
+    * (the cohort), then counted per subsequent week of activity: the
+    * classic retention triangle (cohort_week × week_offset → active
+    * users). Weeks are integer epoch-day÷7 indexes, not `date_trunc`
+    * buckets — pure integer arithmetic both engines compute identically
+    * (no week-start or timezone convention in sight).
+    *
+    * Scale shape: the (user, week) distinct collapses raw events map-side
+    * first (partial agg) and every subsequent key — user for the
+    * first-week aggregate and join, (cohort, offset) for the final count
+    * — is uniform; the first-week join is co-partitioned on user_id with
+    * the distinct's output, so AQE reuses the exchange. The triangle
+    * itself is tiny (weeks² rows) whatever the corpus size. */
+  def w07Retention(s: SparkSession, d: String): DataFrame = {
+    val wk = events(s, d)
+      .selectExpr("user_id",
+        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7 AS BIGINT) AS week")
+      .distinct()
+    val first = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+    wk.join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
 }

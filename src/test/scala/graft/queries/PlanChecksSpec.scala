@@ -361,6 +361,25 @@ class PlanChecksSpec extends SparkSpec {
     assert(frac > 0.75 && frac < 0.98, s"train fraction $frac out of band")
   }
 
+  test("w07: retention triangle pre-collapses (user, week) map-side; uniform keys only") {
+    val df = RelationalQueries.w07Retention(spark, d)
+    val p = plan(df)
+    assert(p.contains("partial_"), "the (user, week) distinct must map-side combine:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    val rows = df.collect()
+    // offsets are non-negative and cohort sizes are monotone-or-equal at
+    // offset 0 vs any later offset (retention can't exceed the cohort)
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (c, rs) =>
+      val base = rs.find(_.getLong(1) == 0L)
+      assert(base.isDefined, s"cohort $c lacks its offset-0 row")
+      rs.foreach { r =>
+        assert(r.getLong(1) >= 0L)
+        assert(r.getLong(2) <= base.get.getLong(2), s"cohort $c retention exceeds its base")
+      }
+    }
+  }
+
   test("s10: range search is broadcast + scan only — zero shuffles") {
     val p = plan(SimilarityQueries.s10RangeSearch(spark, d))
     assert(shuffles(p) == 0, "radius search must stay narrow:\n" + p.take(3000))
