@@ -96,6 +96,35 @@ object GraftDsl {
       i => md5(norm.substr(i, lit(n)).cast("binary"))))
   }
 
+  /** Per-position W-token window hashes — d11's duplicated-span
+    * inventory key: element i is the md5 of the window starting at token
+    * i+1. Empty array when the document is shorter than the window. */
+  def spanHashes(toks: Column, w: Int = TextQueries.DupSpanW): Column =
+    when(size(toks) >= w,
+      transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => md5(array_join(slice(toks, i, lit(w)), " ").cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Adjacent-token bigram strings (t08's 2-grams, t13's LM units). */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => array_join(slice(toks, i, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Deterministic md5 bucket in [0, buckets) — the reproducible-split
+    * primitive behind t10's source mixing and t14's leakage-free
+    * train/val/test assignment. Same arithmetic as the oracle's
+    * strpos-hex form, so buckets agree cross-engine. */
+  def hashBucket(key: Column, buckets: Int = 100): Column = {
+    val h = md5(key.cast("string").cast("binary"))
+    val hex4 = (1 to 4).map { i =>
+      (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1) *
+        lit(1 << (4 * (4 - i)))
+    }.reduce(_ + _)
+    (hex4 % buckets).cast("long")
+  }
+
   // --- similarity / vectors (native expressions) --------------------------
 
   /** Sequential-fold dot product (codegen'd native expression — requires

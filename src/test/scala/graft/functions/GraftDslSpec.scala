@@ -118,4 +118,29 @@ class GraftDslSpec extends SparkSpec {
     assert((0L until 1000L).forall(probed), "bloom can never drop a member")
     assert(probed.size < 5000, s"kept ${probed.size} of 100000 - not filtering")
   }
+
+  test("spanHashes / bigrams equal d11's and t13's window inventories") {
+    val viaDsl = docs
+      .select(col("doc_id"),
+        size(spanHashes(tokens(col("text")))).as("n_win"),
+        size(bigrams(tokens(col("text")))).as("n_big"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getInt(2).toLong)).toMap
+    val d11 = TextQueries.d11DupSpans(spark, d).select("doc_id", "n_windows").collect()
+    assert(d11.nonEmpty)
+    d11.foreach(q => assert(viaDsl(q.getLong(0))._1 == q.getLong(1), s"d11 windows ${q.getLong(0)}"))
+    TextQueries.t13RareBigrams(spark, d).select("doc_id", "n_bigrams").collect()
+      .foreach(q => assert(viaDsl(q.getLong(0))._2 == q.getLong(1), s"t13 bigrams ${q.getLong(0)}"))
+    // short docs produce empty arrays, not nulls
+    val one = spark.sql("SELECT array('only') AS toks")
+    assert(one.select(size(spanHashes(col("toks"))), size(bigrams(col("toks"))))
+      .head() == org.apache.spark.sql.Row(0, 0))
+  }
+
+  test("hashBucket equals t14's cluster bucket and t10's doc bucket") {
+    val viaDsl = TextQueries.t14SplitAssign(spark, d).select("doc_id", "cluster_rep", "bucket")
+      .withColumn("dsl_bucket", hashBucket(col("cluster_rep")))
+      .collect()
+    assert(viaDsl.nonEmpty)
+    viaDsl.foreach(r => assert(r.getLong(2) == r.getLong(3), s"bucket mismatch at ${r.getLong(0)}"))
+  }
 }
