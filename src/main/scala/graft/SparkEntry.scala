@@ -73,6 +73,7 @@ object SparkEntry {
     "m01_media_features" -> (MultimodalQueries.m01MediaFeatures _),
     "m02_frame_sample" -> (MultimodalQueries.m02FrameSample _),
     "m03_media_codec" -> (MultimodalQueries.m03MediaCodec _),
+    "m04_image_resize" -> (MultimodalQueries.m04ImageResize _),
     "s01_ann_topk" -> (SimilarityQueries.s01AnnTopK _),
     "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
     "s03_ann_lsh" -> (SimilarityQueries.s03AnnLsh _),
@@ -102,10 +103,13 @@ object SparkEntry {
     "w06_gap_fill" -> (RelationalQueries.w06GapFill _),
     "t12_term_redact" -> (TextQueries.t12TermRedact _),
     "d11_dup_spans" -> (TextQueries.d11DupSpans _),
+    "d12_span_cut" -> (TextQueries.d12SpanCut _),
     "t13_rare_bigrams" -> (TextQueries.t13RareBigrams _),
     "s10_range_search" -> (SimilarityQueries.s10RangeSearch _),
     "t14_split_assign" -> (TextQueries.t14SplitAssign _),
     "w07_retention" -> (RelationalQueries.w07Retention _),
+    "w08_funnel" -> (RelationalQueries.w08Funnel _),
+    "i03_active_hours" -> (RelationalQueries.i03ActiveHours _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -567,6 +571,28 @@ object SparkEntry {
          |       r_sum, g_sum, b_sum, pcm_n, pcm_sum, pcm_abs
          |FROM img i JOIN aud a ON i.doc_id = a.doc_id""".stripMargin
     },
+    // m04: every output pixel of the 2x2 box-filter resize recomputed from
+    // the closed form — floor-average of the four covered input pixels per
+    // channel; px_fp verifies each resized byte (comma-joined unsigned
+    // values in (y, x, channel) order, matching the engine's layout).
+    "m04_image_resize" -> {
+      import MultimodalQueries.{M03Width => W, M03Height => H}
+      val (ow, oh) = (W / 2, H / 2)
+      def ch(f: (String, String) => String): String =
+        s"(${f("2*x", "2*y")} + ${f("2*x+1", "2*y")} + ${f("2*x", "2*y+1")} + ${f("2*x+1", "2*y+1")}) // 4"
+      val r2 = ch((x, y) => s"(doc_id*7 + ($x)*3 + ($y)*5) % 256")
+      val g2 = ch((x, y) => s"(doc_id*11 + ($x)*13 + ($y)) % 256")
+      val b2 = ch((x, y) => s"(($x)*($y) + doc_id) % 256")
+      s"""WITH px AS (SELECT doc_id, unnest(generate_series(0, ${ow - 1})) AS x FROM documents),
+         |pxy AS (SELECT doc_id, x, unnest(generate_series(0, ${oh - 1})) AS y FROM px),
+         |v AS (SELECT doc_id, x, y, $r2 AS r2, $g2 AS g2, $b2 AS b2 FROM pxy)
+         |SELECT doc_id, CAST($ow AS BIGINT) AS out_w, CAST($oh AS BIGINT) AS out_h,
+         |       CAST(SUM(r2) AS BIGINT) AS r2_sum, CAST(SUM(g2) AS BIGINT) AS g2_sum,
+         |       CAST(SUM(b2) AS BIGINT) AS b2_sum,
+         |       md5(string_agg(CAST(r2 AS VARCHAR) || ',' || CAST(g2 AS VARCHAR) || ',' ||
+         |                      CAST(b2 AS VARCHAR), ',' ORDER BY y, x)) AS px_fp
+         |FROM v GROUP BY doc_id""".stripMargin
+    },
     "t01_token_stats" ->
       s"""SELECT doc_id, len($dToks) AS ws_tokens,
          | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS re_tokens
@@ -909,6 +935,32 @@ object SparkEntry {
          |       CAST(COUNT(DISTINCT dup.whash) AS BIGINT) AS n_dup_spans
          |FROM w LEFT JOIN dup ON w.whash = dup.whash
          |GROUP BY 1""".stripMargin,
+    // d12: the cut mirrors d11's dup-window detection, explodes coverage
+    // (each dup window covers positions pos..pos+W-1), and reassembles the
+    // surviving tokens in order; string_agg skips NULLs and an all-removed
+    // doc fingerprints the empty string on both engines.
+    "d12_span_cut" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |w AS (SELECT doc_id, pos,
+         |        md5(array_to_string(toks[pos:pos + ${TextQueries.DupSpanW - 1}], ' ')) AS whash
+         |      FROM (SELECT doc_id, toks,
+         |              unnest(generate_series(1, len(toks) - ${TextQueries.DupSpanW - 1})) AS pos
+         |            FROM t WHERE len(toks) >= ${TextQueries.DupSpanW})),
+         |dup AS (SELECT whash FROM
+         |          (SELECT whash, COUNT(DISTINCT doc_id) AS ndocs FROM w GROUP BY 1)
+         |        WHERE ndocs >= 2),
+         |cov AS (SELECT DISTINCT w.doc_id, w.pos + o.off AS pos
+         |        FROM w JOIN dup USING (whash)
+         |        CROSS JOIN (SELECT unnest(generate_series(0, ${TextQueries.DupSpanW - 1})) AS off) o),
+         |tok AS (SELECT doc_id, pos, toks[pos] AS tok
+         |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM t))
+         |SELECT tok.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       md5(COALESCE(string_agg(CASE WHEN cov.pos IS NULL THEN tok.tok END,
+         |                               ' ' ORDER BY tok.pos), '')) AS cleaned_fp
+         |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+         |GROUP BY 1""".stripMargin,
     "t13_rare_bigrams" ->
       s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
          |pd AS (SELECT doc_id, bigram, COUNT(*) AS tf FROM
@@ -954,6 +1006,45 @@ object SparkEntry {
         |       COUNT(DISTINCT wk.user_id) AS n_users
         |FROM wk JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // w08: strict event-time funnel — step k's min(ts) only counts events
+    // after the user's step-(k-1) time; ratios are single double divisions
+    // of exact counts.
+    "w08_funnel" -> {
+      val st = RelationalQueries.FunnelSteps
+      s"""WITH s1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+         |            WHERE event_type = '${st(0)}' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+         |       JOIN s1 ON e.user_id = s1.user_id
+         |       WHERE e.event_type = '${st(1)}' AND e.ts > s1.ts1 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+         |       JOIN s2 ON e.user_id = s2.user_id
+         |       WHERE e.event_type = '${st(2)}' AND e.ts > s2.ts2 GROUP BY 1),
+         |c AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         |             (SELECT COUNT(*) FROM s2) AS n2,
+         |             (SELECT COUNT(*) FROM s3) AS n3)
+         |SELECT CAST(1 AS BIGINT) AS step, '${st(0)}' AS step_name,
+         |       CAST(n1 AS BIGINT) AS n_users, CAST(1.0 AS DOUBLE) AS conv_from_prev FROM c
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), '${st(1)}', CAST(n2 AS BIGINT), CAST(n2 AS DOUBLE) / n1 FROM c
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), '${st(2)}', CAST(n3 AS BIGINT), CAST(n3 AS DOUBLE) / n2 FROM c""".stripMargin
+    },
+    // i03: sweep-line concurrency — active(h) = cumStarts(h) − cumEnds(h−1)
+    // over integer hour indexes; durations via DECIMAL(18,2) minutes so both
+    // engines compute identical integer micros.
+    "i03_active_hours" ->
+      """WITH iv AS (SELECT epoch_us(ts) AS s_us,
+        |              epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,2)) * 60000000 AS BIGINT) AS e_us
+        |            FROM events),
+        |b AS (SELECT s_us // 3600000000 AS hs, e_us // 3600000000 AS he FROM iv),
+        |st AS (SELECT hs AS h, COUNT(*) AS n FROM b GROUP BY 1),
+        |en AS (SELECT he AS h, COUNT(*) AS n FROM b GROUP BY 1),
+        |g AS (SELECT unnest(generate_series((SELECT MIN(hs) FROM b), (SELECT MAX(he) FROM b))) AS h),
+        |j AS (SELECT g.h, COALESCE(st.n, 0) AS ns, COALESCE(en.n, 0) AS ne
+        |      FROM g LEFT JOIN st ON g.h = st.h LEFT JOIN en ON g.h = en.h)
+        |SELECT h AS hour_idx, CAST(ns AS BIGINT) AS n_starts, CAST(ne AS BIGINT) AS n_ends,
+        |       CAST(SUM(ns) OVER w - (SUM(ne) OVER w - ne) AS BIGINT) AS n_active
+        |FROM j WINDOW w AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
   )
 
   /** DuckDB mirror of [[graft.plans.TokensToHashBitset]]'s bit index: the

@@ -243,6 +243,77 @@ object Multimodal {
       .toDF("doc_id", "img_w", "img_h", "r_sum", "g_sum", "b_sum", "pcm_n", "pcm_sum", "pcm_abs")
   }
 
+  /** 2×2 integer box-filter downsample of a decoded RGB image (scanline
+    * frames of `width*3` bytes, [[JdkImageDecoder]]'s layout): each output
+    * channel is the floor-average of the four covered input pixels. Integer
+    * arithmetic end-to-end, so the result is bit-reproducible and
+    * oracle-checkable — the real-codec counterpart of the fake-frame
+    * [[resizeFrames]] stub. Odd trailing row/column is dropped (standard
+    * pyramid-downsample convention). */
+  private[graft] def boxDownsample2x(rows: Array[Array[Byte]]): Array[Array[Byte]] = {
+    val h = rows.length
+    val w = if (h == 0) 0 else rows(0).length / 3
+    val oh = h / 2
+    val ow = w / 2
+    val out = new Array[Array[Byte]](oh)
+    var y = 0
+    while (y < oh) {
+      val r0 = rows(2 * y)
+      val r1 = rows(2 * y + 1)
+      val o = new Array[Byte](ow * 3)
+      var x = 0
+      while (x < ow) {
+        var c = 0
+        while (c < 3) {
+          val s = (r0(6 * x + c) & 0xFF) + (r0(6 * x + 3 + c) & 0xFF) +
+            (r1(6 * x + c) & 0xFF) + (r1(6 * x + 3 + c) & 0xFF)
+          o(3 * x + c) = (s / 4).toByte
+          c += 1
+        }
+        x += 1
+      }
+      out(y) = o
+      y += 1
+    }
+    out
+  }
+
+  /** m04's engine side: the REAL resize step of the multimodal family —
+    * closed-form PNG per id, decoded through [[RealDecoder]] (`javax.imageio`),
+    * then [[boxDownsample2x]] box-filtered to half resolution, reduced to
+    * integer channel sums plus an md5 fingerprint over EVERY resized byte
+    * (comma-joined unsigned values in (y, x, channel) order) so the oracle
+    * verifies each output pixel exactly, not just in aggregate. Same
+    * embarrassingly-parallel shape as [[mediaCodecStats]]: one
+    * mapPartitions, zero shuffles at any corpus size. */
+  def resizedImageStats(ids: DataFrame, idCol: String,
+                        w: Int = 16, h: Int = 12): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val dec = RealDecoder.decode(encodePng(id, w, h), "image/png")
+          val rz = boxDownsample2x(dec.frameBytes)
+          val oh = rz.length
+          val ow = if (oh == 0) 0 else rz(0).length / 3
+          var rSum = 0L; var gSum = 0L; var bSum = 0L
+          rz.foreach { row =>
+            var i = 0
+            while (i < row.length) {
+              rSum += row(i) & 0xFF; gSum += row(i + 1) & 0xFF; bSum += row(i + 2) & 0xFF
+              i += 3
+            }
+          }
+          val joined = rz.iterator.flatMap(_.iterator.map(b => (b & 0xFF).toString)).mkString(",")
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val fp = md.digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (id, ow.toLong, oh.toLong, rSum, gSum, bSum, fp)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "r2_sum", "g2_sum", "b2_sum", "px_fp")
+  }
+
   /** Frame sampling: keep every `every`-th frame, exploded to one row per
     * sampled frame — the shape of video-frame extraction at scale. */
   def sampleFrames(df: DataFrame, idCol: String, decoder: MediaDecoder, every: Int): DataFrame = {

@@ -57,4 +57,15 @@ object MultimodalQueries {
     Multimodal.mediaCodecStats(
       Tables.documents(s, d).selectExpr("doc_id"), "doc_id",
       w = M03Width, h = M03Height, nSamples = M03Samples)
+
+  /** m04: REAL image RESIZE — the multimodal op family's resize step over
+    * real codec output (decode closed-form PNG via `javax.imageio`, 2×2
+    * integer box-filter downsample, integer channel stats + an md5 over
+    * every resized byte). The oracle recomputes each output pixel's
+    * floor-average from the closed form, so the resize kernel is verified
+    * pixel-exactly. Narrow end-to-end: one mapPartitions, zero shuffles. */
+  def m04ImageResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizedImageStats(
+      Tables.documents(s, d).selectExpr("doc_id"), "doc_id",
+      w = M03Width, h = M03Height)
 }

@@ -870,4 +870,98 @@ object RelationalQueries {
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
       .agg(countDistinct("user_id").as("n_users"))
   }
+
+  /** w08 funnel steps, in order: each step counts only events strictly
+    * AFTER the user's earliest completion of the previous step. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** w08: ordered-step conversion FUNNEL over the event stream — the
+    * product-analytics staple: of the users who viewed, how many clicked
+    * AFTER their first view, and of those, how many purchased AFTER their
+    * first qualifying click. "After" is strict event-time order per user,
+    * not mere event presence — the part naive `COUNT(DISTINCT user)` per
+    * type gets wrong.
+    *
+    * Spark-first formulation: one cascaded aggregation per step — step k
+    * is `min(ts) WHERE type = step_k AND ts > ts_{k-1}`, joined on
+    * user_id. No per-user event arrays are ever materialized (the classic
+    * `collect_list + scan` formulation holds a user's whole history in one
+    * row — unbounded on power users); every stage is a partial-agg'd
+    * groupBy plus an equi-join on user_id, so all three stages co-key on
+    * the same column and AQE coalesces the exchanges. The final summary
+    * rows are 1-row aggregates (scalar-sized traffic). Conversion ratios
+    * are single double divisions of exact counts — bit-stable.
+    *
+    * Scale: per-step state is one timestamp per qualifying user; the
+    * funnel depth multiplies stages, not data. At 100 TB of events this is
+    * 3 scans (or one scan reused via `type IN steps` + pivot — kept as 3
+    * pushdown-pruned scans so each stage's filter reaches parquet). */
+  def w08Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    // step 1: earliest 'view' per user
+    val s1 = ev.filter(col("event_type") === FunnelSteps(0))
+      .groupBy("user_id").agg(min("ts").as("ts1"))
+    // step k: earliest step-k event strictly after ts_{k-1}
+    val s2 = ev.filter(col("event_type") === FunnelSteps(1))
+      .join(s1, "user_id").where(col("ts") > col("ts1"))
+      .groupBy("user_id").agg(min("ts").as("ts2"))
+    val s3 = ev.filter(col("event_type") === FunnelSteps(2))
+      .join(s2, "user_id").where(col("ts") > col("ts2"))
+      .groupBy("user_id").agg(min("ts").as("ts3"))
+    val n1 = s1.agg(count(lit(1)).as("n1"))
+    val n2 = s2.agg(count(lit(1)).as("n2"))
+    val n3 = s3.agg(count(lit(1)).as("n3"))
+    val counts = n1.crossJoin(n2).crossJoin(n3)
+    counts.selectExpr(
+      "CAST(1 AS BIGINT) AS step", s"'${FunnelSteps(0)}' AS step_name",
+      "n1 AS n_users", "CAST(1.0 AS DOUBLE) AS conv_from_prev")
+      .unionAll(counts.selectExpr(
+        "CAST(2 AS BIGINT) AS step", s"'${FunnelSteps(1)}' AS step_name",
+        "n2 AS n_users", "CAST(n2 AS DOUBLE) / n1 AS conv_from_prev"))
+      .unionAll(counts.selectExpr(
+        "CAST(3 AS BIGINT) AS step", s"'${FunnelSteps(2)}' AS step_name",
+        "n3 AS n_users", "CAST(n3 AS DOUBLE) / n2 AS conv_from_prev"))
+  }
+
+  /** i03: interval CONCURRENCY by sweep-line — how many sessions are live
+    * during each hour, where each event opens an interval of `value`
+    * minutes. The naive formulation is an interval join of every interval
+    * against every hour bucket (i01's shape, quadratic in overlap); the
+    * sweep-line decomposition never joins intervals at all: bucket the
+    * +1 (start) and −1 (end) edges per hour, then one running sum over the
+    * hour spine gives `active(h) = #starts(< hourEnd) − #ends(< hourStart)`
+    * — exact for "interval overlaps hour h" because `end < b(h)` ⇔
+    * `endHour ≤ h−1` in integer hour arithmetic (no boundary epsilon).
+    *
+    * Durations go through DECIMAL(18,2) minutes → exact integer micros, so
+    * both engines bucket identically (a double multiply would truncate vs
+    * round differently at the ulp).
+    *
+    * Scale shape: event-sized data is touched exactly twice (two groupBys
+    * onto hour keys, both partial-agg'd map-side); everything after is
+    * TIMELINE-sized — the spine window is a single-partition running sum
+    * over one row per hour (8.8k rows/year), bounded by calendar time, not
+    * by data volume. This is the standard difference-array trick that
+    * turns 100 TB of interval overlap counting into a metadata-sized
+    * prefix sum. */
+  def i03ActiveHours(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
+    val iv = events(s, d).selectExpr(
+      "unix_micros(ts) AS s_us",
+      "unix_micros(ts) + CAST(CAST(value AS DECIMAL(18,2)) * 60000000 AS BIGINT) AS e_us")
+      .selectExpr(s"s_us DIV $hourUs AS hs", s"e_us DIV $hourUs AS he")
+    val starts = iv.groupBy(col("hs").as("h")).agg(count(lit(1)).as("ns"))
+    val ends = iv.groupBy(col("he").as("h")).agg(count(lit(1)).as("ne"))
+    val spine = iv.agg(min("hs").as("mn"), max("he").as("mx"))
+      .selectExpr("explode(sequence(mn, mx)) AS h")
+    val w = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(broadcast(starts), Seq("h"), "left")
+      .join(broadcast(ends), Seq("h"), "left")
+      .select(col("h"), coalesce(col("ns"), lit(0L)).as("ns"),
+        coalesce(col("ne"), lit(0L)).as("ne"))
+      .select(col("h").as("hour_idx"), col("ns").as("n_starts"), col("ne").as("n_ends"),
+        (sum(col("ns")).over(w) - (sum(col("ne")).over(w) - col("ne"))).as("n_active"))
+  }
 }

@@ -23,13 +23,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default; read nanos as long and convert to microsecond timestamps
-    * (identical wall-clock values to DuckDB's ns->datetime truncation). */
+  /** `events.ts` has shipped in two parquet encodings across driver testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 refuses by default — read
+    * nanos as long, truncate to micros; identical wall-clock values to
+    * DuckDB's ns->datetime truncation) and plain TIMESTAMP(MICROS)/NTZ.
+    * Normalize both to session-TZ `TimestampType` so every downstream query
+    * sees one shape regardless of the file vintage. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -747,6 +747,60 @@ object TextQueries {
           .as("n_dup_spans"))
   }
 
+  /** d12: exact duplicated-span REMOVAL — d11's detection signal turned
+    * into the actual cut: every token covered by a [[DupSpanW]]-token
+    * window that occurs verbatim in ≥ 2 distinct documents is removed, and
+    * each document is reassembled from its surviving tokens in order. This
+    * is the operation exact-substring dedup (Lee et al., 2022) exists for:
+    * whole-doc dedup (d01) can only drop documents; span cut excises the
+    * shared boilerplate (headers, license blocks, navigation chrome) while
+    * keeping the unique prose around it. Output per doc: token counts
+    * before/after plus an md5 fingerprint of the cleaned text, so the
+    * oracle verifies the reassembled string exactly.
+    *
+    * Production note: this cuts the span from EVERY document carrying it
+    * (symmetric cut — deterministic and order-free). The keep-one-copy
+    * variant adds a rank over (whash → min(doc_id, pos)) and exempts the
+    * winner; the plan shape is identical, so the symmetric form is what
+    * the oracle pins.
+    *
+    * Scale shape: everything d11 says holds (window-hash inventory over
+    * uniform keys, one aggregate finds cross-doc spans); the additional
+    * work is bounded by the DUPLICATED windows only — the coverage explode
+    * is W rows per duplicated window (unique docs never enter it), the
+    * (doc_id, pos) distinct and the token join co-key on doc_id, and the
+    * final rollup reuses that partitioning. A 100 TB corpus with 1% span
+    * duplication pays the d11 inventory plus ~8× rows on that 1%. */
+  def d12SpanCut(s: SparkSession, d: String): DataFrame = {
+    val base = normToks(s, d)
+    val wins = base
+      .filter(s"size(toks) >= $DupSpanW")
+      .selectExpr("doc_id",
+        s"explode(sequence(1, size(toks) - ${DupSpanW - 1})) AS pos", "toks")
+      .selectExpr("doc_id", "pos",
+        s"md5(array_join(slice(toks, pos, $DupSpanW), ' ')) AS whash")
+    val dup = wins.select("doc_id", "whash").distinct()
+      .groupBy("whash").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("whash")
+    val covered = wins.join(dup, "whash")
+      .selectExpr("doc_id",
+        s"explode(sequence(CAST(pos AS BIGINT), CAST(pos + ${DupSpanW - 1} AS BIGINT))) AS pos")
+      .distinct()
+      .withColumn("cut", lit(1L))
+    base
+      .selectExpr("doc_id", "posexplode(toks) AS (pos0, tok)")
+      .selectExpr("doc_id", "CAST(pos0 + 1 AS BIGINT) AS pos", "tok")
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("cut"), lit(0L))).as("n_removed"),
+        expr("md5(CAST(array_join(transform(array_sort(" +
+          "collect_list(if(cut IS NULL, struct(pos, tok), NULL))), x -> x.tok), ' ') AS BINARY))")
+          .as("cleaned_fp"))
+  }
+
   /** "Rare" corpus frequency bound for t13: bigrams the corpus has seen at
     * most this many times. */
   val RareCfMax = 2L

@@ -108,4 +108,44 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Long]("r_sum") == rs && row.getAs[Long]("g_sum") == gs && row.getAs[Long]("b_sum") == bs)
     assert(row.getAs[Long]("pcm_n") == 100 && row.getAs[Long]("pcm_sum") == ss && row.getAs[Long]("pcm_abs") == sa)
   }
+
+  test("boxDownsample2x: floor-average of each 2x2 block, odd edges dropped") {
+    // 3x5 RGB image with distinct per-pixel values → expect 1x2 output
+    val w = 5; val h = 3
+    val rows = Array.tabulate(h) { y =>
+      Array.tabulate(w * 3)(i => ((y * 100 + i) % 256).toByte)
+    }
+    val out = Multimodal.boxDownsample2x(rows)
+    assert(out.length == 1 && out(0).length == 2 * 3)
+    for (x <- 0 until 2; c <- 0 until 3) {
+      val s = (rows(0)(6 * x + c) & 0xFF) + (rows(0)(6 * x + 3 + c) & 0xFF) +
+        (rows(1)(6 * x + c) & 0xFF) + (rows(1)(6 * x + 3 + c) & 0xFF)
+      assert((out(0)(3 * x + c) & 0xFF) == s / 4, s"channel ($x,$c)")
+    }
+  }
+
+  test("resizedImageStats: real PNG decode + box resize matches closed form, zero shuffles") {
+    import spark.implicits._
+    val (w, h) = (6, 4)
+    val out = Multimodal.resizedImageStats(Seq(5L).toDF("doc_id"), "doc_id", w = w, h = h)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val row = out.collect().head
+    // closed-form reference: decode formula then 2x2 floor-average
+    val id = 5L
+    def px(x: Int, y: Int): (Long, Long, Long) =
+      (((id * 7 + x * 3 + y * 5) % 256), ((id * 11 + x * 13 + y) % 256), ((x.toLong * y + id) % 256))
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    val vals = for (y <- 0 until h / 2; x <- 0 until w / 2) yield {
+      val ps = Seq(px(2 * x, 2 * y), px(2 * x + 1, 2 * y), px(2 * x, 2 * y + 1), px(2 * x + 1, 2 * y + 1))
+      val r2 = ps.map(_._1).sum / 4; val g2 = ps.map(_._2).sum / 4; val b2 = ps.map(_._3).sum / 4
+      rs += r2; gs += g2; bs += b2
+      Seq(r2, g2, b2)
+    }
+    assert(row.getAs[Long]("out_w") == w / 2 && row.getAs[Long]("out_h") == h / 2)
+    assert(row.getAs[Long]("r2_sum") == rs && row.getAs[Long]("g2_sum") == gs && row.getAs[Long]("b2_sum") == bs)
+    val joined = vals.flatten.mkString(",")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val fp = md.digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getAs[String]("px_fp") == fp)
+  }
 }
