@@ -106,6 +106,7 @@ object SparkEntry {
     "d12_span_cut" -> (TextQueries.d12SpanCut _),
     "t13_rare_bigrams" -> (TextQueries.t13RareBigrams _),
     "s10_range_search" -> (SimilarityQueries.s10RangeSearch _),
+    "s11_ivfpq_adc" -> (SimilarityQueries.s11IvfPqAdc _),
     "t14_split_assign" -> (TextQueries.t14SplitAssign _),
     "w07_retention" -> (RelationalQueries.w07Retention _),
     "w08_funnel" -> (RelationalQueries.w08Funnel _),
@@ -749,6 +750,60 @@ object SparkEntry {
          |SELECT s0.vec_id, ${(0 until nSub).map(m => s"code$m").mkString(", ")},
          |       CAST(${(0 until nSub).map(m => s"err$m").mkString(" + ")} AS BIGINT) AS recon_err
          |FROM s0 $joins""".stripMargin
+    },
+    // s11: IVF-PQ + ADC — cells/codes/tables all on quantized integers;
+    // argmins tie-break (dist, k) = the engine's array_position-of-first-min;
+    // ADC is the sum of the query's per-subspace table entries at the
+    // candidate's codes.
+    "s11_ivfpq_adc" -> {
+      import SimilarityQueries.{AnchorFrom, AnchorCount, PqCodes, PqSubspaces, PqSubDim, QueryCount, KMeansQScale}
+      val subCtes = (0 until PqSubspaces).map { m =>
+        val lo = m * PqSubDim + 1
+        val hi = (m + 1) * PqSubDim
+        s"""d$m AS (SELECT r.vec_id, s.sk,
+           |  list_dot_product(r.r[$lo:$hi], r.r[$lo:$hi]) + list_dot_product(s.sr[$lo:$hi], s.sr[$lo:$hi])
+           |    - 2 * list_dot_product(r.r[$lo:$hi], s.sr[$lo:$hi]) AS dist
+           |  FROM r, sd s),
+           |cod$m AS (SELECT vec_id, sk AS code$m FROM
+           |  (SELECT vec_id, sk, row_number() OVER (PARTITION BY vec_id ORDER BY dist, sk) AS rk FROM d$m)
+           |  WHERE rk = 1)""".stripMargin
+      }
+      val codeJoins = (0 until PqSubspaces).map(m => s"JOIN cod$m USING (vec_id)").mkString(" ")
+      val codeCols = (0 until PqSubspaces).map(m => s"code$m").mkString(", ")
+      val tblJoins = (0 until PqSubspaces)
+        .map(m => s"JOIN d$m qt$m ON qt$m.vec_id = qs.query_id AND qt$m.sk = c.code$m").mkString("\n|         ")
+      val adcSum = (0 until PqSubspaces).map(m => s"qt$m.dist").mkString(" + ")
+      s"""WITH q AS (SELECT vec_id,
+         |             list_transform(embedding::DOUBLE[],
+         |               x -> CAST(CAST(round(x * $KMeansQScale) AS INT) AS DOUBLE)) AS qd
+         |           FROM embeddings),
+         |a AS (SELECT vec_id - $AnchorFrom AS k, qd AS ad FROM q
+         |      WHERE vec_id >= $AnchorFrom AND vec_id < ${AnchorFrom + AnchorCount}),
+         |cdst AS (SELECT q.vec_id, a.k,
+         |           list_dot_product(q.qd, q.qd) + list_dot_product(a.ad, a.ad)
+         |             - 2 * list_dot_product(q.qd, a.ad) AS dist
+         |         FROM q, a),
+         |cel AS (SELECT vec_id, k AS cell FROM
+         |          (SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rk FROM cdst)
+         |        WHERE rk = 1),
+         |r AS (SELECT q.vec_id, cel.cell,
+         |        list_transform(list_zip(q.qd, a.ad),
+         |          s -> struct_extract(s, 1) - struct_extract(s, 2)) AS r
+         |      FROM q JOIN cel ON q.vec_id = cel.vec_id JOIN a ON a.k = cel.cell),
+         |sd AS (SELECT vec_id AS sk, r AS sr FROM r WHERE vec_id < $PqCodes),
+         |${subCtes.mkString(",\n")},
+         |qs AS (SELECT vec_id AS query_id, cell AS qcell FROM cel WHERE vec_id < $QueryCount),
+         |cand AS (SELECT qs.query_id, c.cell, c.vec_id, ($adcSum) AS adc
+         |         FROM qs
+         |         JOIN (SELECT r.vec_id, r.cell, $codeCols FROM r $codeJoins) c
+         |           ON c.cell = qs.qcell AND c.vec_id != qs.query_id
+         |         $tblJoins),
+         |fin AS (SELECT query_id, cell, vec_id, adc,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+         |        FROM cand)
+         |SELECT query_id, CAST(cell AS BIGINT) AS cell, vec_id AS neighbor_id,
+         |       CAST(adc AS BIGINT) AS adc_dist
+         |FROM fin WHERE rk = 1""".stripMargin
     },
     "d07_dedup_clusters" -> d07Sql,
     "d08_decontaminate" -> d08Sql,

@@ -451,6 +451,102 @@ object SimilarityQueries {
     * the fixed-size query-set broadcast. The threshold compare is exact
     * cross-engine because the [[graft.plans.VecDot]] fold is bit-identical
     * to DuckDB's `list_dot_product` (see object Scaladoc). */
+  /** s11: IVF-PQ with ADC scoring — the full architecture of a
+    * RAM-resident billion-vector ANN index (FAISS's IVFPQ): a coarse
+    * quantizer routes each vector to its nearest anchor CELL (s04's IVF),
+    * the vector's RESIDUAL from that cell centroid is product-quantized
+    * to [[PqSubspaces]] codes (s07's PQ, applied where real systems apply
+    * it — on residuals, which are smaller and quantize better), and a
+    * query scores candidates WITHOUT reconstructing them: one
+    * [[PqCodes]]-entry lookup table per subspace (distance from the
+    * query's residual subvector to each codebook centroid), then the
+    * approximate distance of a candidate is just [[PqSubspaces]] table
+    * lookups summed — Asymmetric Distance Computation (Jégou et al.,
+    * PAMI 2011). Top-1 per query by (adc ASC, vec_id ASC).
+    *
+    * Exactness: everything runs on [[KMeansQScale]]-quantized
+    * integer-valued doubles (s06/s07's convention), so cells, codes,
+    * tables, and ADC sums are all exact integers — the oracle matches
+    * bit-for-bit under any partitioning.
+    *
+    * Scale shape: anchors and codebooks are model-size driver constants
+    * (8 + 4 short vectors — the s07-adjudicated pattern); cell assignment,
+    * residual, and PQ encode are ONE narrow projection against literal
+    * arrays (zero joins, corpus never shuffled); queries carry their ADC
+    * tables into a broadcast-hash join on cell; the only exchange is the
+    * final per-query argmin, partial-agg'd to one row per (query,
+    * partition). At 100 TB the corpus is scanned once, narrow. */
+  def s11IvfPqAdc(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    import s.implicits._
+    val qExpr =
+      s"transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(CAST(round(x * $KMeansQScale) AS INT) AS DOUBLE)) AS qd"
+    val q = embeddings(s, d).selectExpr("vec_id", qExpr)
+
+    // model constants: 8 quantized anchors (cell centroids) + 4 seed
+    // vectors whose residuals become the PQ codebooks — all bounded
+    def collectVecs(filter: String): Array[(Long, Array[Double])] =
+      q.filter(filter).orderBy("vec_id").as[(Long, Seq[Double])]
+        .collect().map { case (id, v) => (id, v.toArray) }
+    val anchors: Array[Array[Double]] =
+      collectVecs(s"vec_id >= $AnchorFrom AND vec_id < ${AnchorFrom + AnchorCount}").map(_._2)
+    val seedQd: Array[Array[Double]] = collectVecs(s"vec_id < $PqCodes").map(_._2)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    // seed residuals (the PQ codebooks), via each seed's own cell
+    val seedResid: Array[Array[Double]] = seedQd.map { sv =>
+      val cell = anchors.indices.minBy(k => (l2(sv, anchors(k)), k))
+      sv.indices.map(i => sv(i) - anchors(cell)(i)).toArray
+    }
+
+    def arrSql(c: Array[Double]) =
+      s"array(${c.map(v => s"CAST(${v.toLong} AS DOUBLE)").mkString(",")})"
+    // cell = argmin_k ||qd - anchor_k||^2 (expanded: qq + aa - 2*q.a)
+    val aDists = anchors.zipWithIndex.map { case (a, k) =>
+      val aa = a.map(v => v * v).sum.toLong
+      s"(vec_dot(qd, qd) + CAST($aa AS DOUBLE) - 2 * vec_dot(qd, ${arrSql(a)}))"
+    }
+    val anchorsLit = s"array(${anchors.map(arrSql).mkString(",")})"
+    val celled = q
+      .selectExpr("vec_id", "qd", s"array(${aDists.mkString(",")}) AS adists")
+      .selectExpr("vec_id", "qd",
+        "CAST(array_position(adists, array_min(adists)) - 1 AS BIGINT) AS cell")
+      .selectExpr("vec_id", "cell",
+        s"zip_with(qd, element_at($anchorsLit, CAST(cell + 1 AS INT)), (x, a) -> x - a) AS r")
+    // per-subspace code (corpus) and ADC lookup table (queries) share the
+    // same literal-codebook distance arrays
+    val distCols = (0 until PqSubspaces).map { m =>
+      val off = m * PqSubDim
+      val dists = (0 until PqCodes).map { kc =>
+        val c = seedResid(kc).slice(off, off + PqSubDim)
+        val cc = c.map(v => v * v).sum.toLong
+        s"(vec_dot(sub$m, sub$m) + CAST($cc AS DOUBLE) - 2 * vec_dot(sub$m, ${arrSql(c)}))"
+      }
+      s"array(${dists.mkString(",")}) AS dists$m"
+    }
+    val subSliced = celled.selectExpr(Seq("vec_id", "cell") ++
+      (0 until PqSubspaces).map(m => s"slice(r, ${m * PqSubDim + 1}, $PqSubDim) AS sub$m"): _*)
+      .selectExpr(Seq("vec_id", "cell") ++ distCols: _*)
+    val corpus = subSliced.selectExpr(Seq("vec_id", "cell") ++
+      (0 until PqSubspaces).map(m =>
+        s"CAST(array_position(dists$m, array_min(dists$m)) AS INT) AS code$m"): _*)
+    val queries = subSliced.filter(col("vec_id") < QueryCount)
+      .selectExpr(Seq("vec_id AS query_id", "cell AS qcell") ++
+        (0 until PqSubspaces).map(m => s"dists$m AS table$m"): _*)
+    val adcExpr = (0 until PqSubspaces)
+      .map(m => s"element_at(table$m, code$m)").mkString(" + ")
+    broadcast(queries)
+      .join(corpus, col("qcell") === col("cell") && col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "cell", "vec_id", s"CAST($adcExpr AS BIGINT) AS adc")
+      .groupBy("query_id")
+      .agg(min(struct(col("adc"), col("vec_id"), col("cell"))).as("best"))
+      .selectExpr("query_id", "best.cell AS cell",
+        "best.vec_id AS neighbor_id", "best.adc AS adc_dist")
+  }
+
   def s10RangeSearch(s: SparkSession, d: String): DataFrame = {
     val all = normed(s, d)
     val queries = broadcast(

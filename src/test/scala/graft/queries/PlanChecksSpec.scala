@@ -385,4 +385,67 @@ class PlanChecksSpec extends SparkSpec {
     assert(shuffles(p) == 0, "radius search must stay narrow:\n" + p.take(3000))
     assert(p.contains("Broadcast"), p.take(2000))
   }
+
+  test("d12: span cut explodes coverage only for DUPLICATED windows; cut docs reassemble") {
+    val df = TextQueries.d12SpanCut(spark, d)
+    val p = plan(df)
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "span cut must never go quadratic:\n" + p.take(3000))
+    val rows = df.collect()
+    val emptyFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.emptyByteArray).map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      val (n, cut) = (r.getLong(1), r.getLong(2))
+      assert(cut <= n, s"removed more tokens than exist: $r")
+      if (cut == n) assert(r.getString(3) == emptyFp, s"all-cut doc must fingerprint '' : $r")
+    }
+    // the corpus has verbatim duplicate docs → their whole text is cut
+    assert(rows.exists(r => r.getLong(2) > 0), "some span must be cut on this fixture")
+  }
+
+  test("w08: funnel stages co-key on user_id; step counts are monotone non-increasing") {
+    val df = RelationalQueries.w08Funnel(spark, d)
+    val p = plan(df)
+    assert(p.contains("partial_"), "per-user mins must map-side combine:\n" + p.take(3000))
+    // the only nested-loop joins allowed are the 1-row scalar-count crossJoins
+    assert(!p.contains("SortMergeJoin"), "user_id joins must hash-join:\n" + p.take(3000))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val ns = rows.map(_.getLong(2))
+    assert(ns(1) <= ns(0) && ns(2) <= ns(1), s"funnel must narrow: ${ns.toSeq}")
+    assert(rows(0).getDouble(3) == 1.0)
+  }
+
+  test("i03: sweep-line concurrency — event data aggregated once, spine window is timeline-sized") {
+    val df = RelationalQueries.i03ActiveHours(spark, d)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "sweep-line must not interval-join:\n" + p.take(3000))
+    assert(p.contains("partial_"), "edge bucketing must map-side combine:\n" + p.take(3000))
+    val rows = df.collect().sortBy(_.getLong(0))
+    // conservation: total starts == total ends, and active ≥ 0 everywhere
+    assert(rows.map(_.getLong(1)).sum == rows.map(_.getLong(2)).sum)
+    rows.foreach(r => assert(r.getLong(3) >= 0, s"negative concurrency: $r"))
+    // cross-check one hour against the naive overlap count
+    val iv = Tables.events(spark, d).selectExpr(
+      "unix_micros(ts) AS s",
+      "unix_micros(ts) + CAST(CAST(value AS DECIMAL(18,2)) * 60000000 AS BIGINT) AS e").collect()
+    val mid = rows(rows.length / 2).getLong(0)
+    val (b0, b1) = (mid * 3600000000L, (mid + 1) * 3600000000L)
+    val naive = iv.count(r => r.getLong(0) < b1 && r.getLong(1) >= b0)
+    assert(rows(rows.length / 2).getLong(3) == naive,
+      s"sweep-line disagrees with naive overlap at hour $mid")
+  }
+
+  test("s11: IVF-PQ ADC — corpus stays narrow (no shuffle before the cell join), one final agg") {
+    val df = SimilarityQueries.s11IvfPqAdc(spark, d)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "queries must broadcast into the cell join:\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("partial_"), "per-query argmin must partial-agg:\n" + p.take(3000))
+    val rows = df.collect()
+    assert(rows.length <= SimilarityQueries.QueryCount)
+    rows.foreach(r => assert(r.getLong(3) >= 0, s"ADC distance must be non-negative: $r"))
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(2), "self-match excluded"))
+  }
 }
