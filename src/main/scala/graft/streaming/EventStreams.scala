@@ -335,6 +335,47 @@ object EventStreams {
       }
   }
 
+  final case class FunnelState(stage: Int, stageUs: Long)
+  final case class FunnelAdvance(user_id: Long, stage: Long, step_name: String, us: Long)
+
+  /** Streaming FUNNEL twin of the batch w08 query: each user's ordered-step
+    * progression (view → click → purchase, strict event-time order between
+    * steps) maintained incrementally — one `FunnelAdvance` row is emitted
+    * the moment a user reaches a new stage. State per user is a single
+    * (stage, stageTime) pair — bounded forever, no watermark needed; a
+    * 100 TB event history streams through with per-key state the size of
+    * two longs.
+    *
+    * Equality with batch: w08's stage-k time is `min(ts) where type =
+    * step_k and ts > t_{k-1}`; processing each user's events in ascending
+    * event time makes the FIRST qualifying event exactly that min, so on
+    * any time-ordered prefix the streamed advances equal the batch stage
+    * times (spec-pinned). Within a micro-batch rows apply in (us, type)
+    * order; across batches the per-key stream must be time-ordered (the
+    * same watermarked-source contract as [[trailingCounts]] /
+    * [[scd2Versions]]). */
+  def funnelStages(spark: SparkSession, events: DataFrame,
+                   steps: Seq[String] = graft.queries.RelationalQueries.FunnelSteps): Dataset[FunnelAdvance] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "unix_micros(ts) AS us", "event_type")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, String)], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = Vector.newBuilder[FunnelAdvance]
+          rows.toVector.sortBy(r => (r._2, r._3)).foreach { case (_, us, tpe) =>
+            if (st.stage < steps.length && tpe == steps(st.stage) &&
+                (st.stage == 0 || us > st.stageUs)) {
+              st = FunnelState(st.stage + 1, us)
+              out += FunnelAdvance(userId, st.stage.toLong, steps(st.stage - 1), us)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Output mode for [[hourlyCounts]] in tests: Update with watermark. */
   val DefaultOutputMode: OutputMode = OutputMode.Update()
 }

@@ -148,6 +148,50 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((10L, 2L, 3.33), (11L, 2L, 3.33), (12L, 3L, 6.66), (13L, 1L, 4.44)))
   }
 
+  test("funnel stages: streamed advances equal the batch w08 stage times across a batch split") {
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    val src = Files.createTempDirectory("graft-funnel-src").toString
+    val cut = events.selectExpr("percentile_approx(ts, 0.5) AS m").head().getTimestamp(0)
+    events.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    events.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = EventStreams.funnelStages(spark, stream).writeStream
+      .format("memory").queryName("funnel")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT user_id, stage, us FROM funnel")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch reference: w08's cascaded min-after-previous per user
+    val steps = graft.queries.RelationalQueries.FunnelSteps
+    val byUser = events.selectExpr("user_id", "unix_micros(ts) AS us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    val batch = byUser.toSeq.flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      var stage = 0
+      var stageUs = Long.MinValue
+      sorted.flatMap { case (_, us, tpe) =>
+        if (stage < steps.length && tpe == steps(stage) && (stage == 0 || us > stageUs)) {
+          stage += 1; stageUs = us
+          Some((uid, stage.toLong, us))
+        } else None
+      }
+    }.toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // cross-check the aggregate view against the registered batch query
+    val w08 = graft.queries.RelationalQueries.w08Funnel(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val counts = streamed.groupBy(_._2).map { case (st, rs) => st -> rs.size.toLong }
+    (1 to 3).foreach { st =>
+      assert(counts.getOrElse(st.toLong, 0L) == w08(st.toLong),
+        s"stage $st count diverges from batch w08")
+    }
+  }
+
   test("SCD2 dimension maintenance: streamed closed versions equal the batch lead() build") {
     // the CDC twin of w05's dimension construction: user_id's event_type
     // history is the "slowly changing attribute"; the stream must emit
