@@ -111,6 +111,8 @@ object SparkEntry {
     "w07_retention" -> (RelationalQueries.w07Retention _),
     "w08_funnel" -> (RelationalQueries.w08Funnel _),
     "i03_active_hours" -> (RelationalQueries.i03ActiveHours _),
+    "q28_grouping_sets" -> (RelationalQueries.q28GroupingSets _),
+    "b02_phrase_search" -> (TextQueries.b02PhraseSearch _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -1100,6 +1102,33 @@ object SparkEntry {
         |SELECT h AS hour_idx, CAST(ns AS BIGINT) AS n_starts, CAST(ne AS BIGINT) AS n_ends,
         |       CAST(SUM(ns) OVER w - (SUM(ne) OVER w - ne) AS BIGINT) AS n_active
         |FROM j WINDOW w AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    // q28: pre-aggregated GROUPING SETS, same gid bit order as q24's cube
+    "q28_grouping_sets" ->
+      """WITH b AS (SELECT o_orderpriority AS prio,
+        |             CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev, COUNT(*) AS cnt
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT prio, yr,
+        |       CAST(GROUPING(prio) * 2 + GROUPING(yr) AS BIGINT) AS gid,
+        |       CAST(SUM(rev) AS DOUBLE) AS revenue,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_orders
+        |FROM b GROUP BY GROUPING SETS ((prio), (yr), ())""".stripMargin,
+    // b02: positional posting lists aligned on the anchor (pos − i), n-way
+    // intersection on (doc_id, anchor)
+    "b02_phrase_search" -> {
+      val legs = TextQueries.PhraseTerms.zipWithIndex.map { case (t, i) =>
+        s"l$i AS (SELECT doc_id, pos - $i AS mpos FROM p WHERE tok = '$t')"
+      }
+      val joins = (1 until TextQueries.PhraseTerms.length)
+        .map(i => s"JOIN l$i USING (doc_id, mpos)").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |p AS (SELECT doc_id, pos, toks[pos] AS tok
+         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM t)),
+         |${legs.mkString(",\n")}
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         |       CAST(MIN(mpos) AS BIGINT) AS first_pos
+         |FROM l0 $joins GROUP BY 1""".stripMargin
+    },
   )
 
   /** DuckDB mirror of [[graft.plans.TokensToHashBitset]]'s bit index: the

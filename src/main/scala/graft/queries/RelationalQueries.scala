@@ -798,6 +798,29 @@ object RelationalQueries {
         sum(col("cnt")).as("n_items"))
   }
 
+  /** q28: explicit GROUPING SETS — heterogeneous aggregation levels a
+    * single cube/rollup lattice can't express: per-priority totals, per-
+    * order-year totals, and the grand total, in ONE pass. Completes the
+    * grouping family (q16 rollup, q24 cube) with the general form; gid is
+    * the same portable `grouping(a)*2 + grouping(b)` bit order.
+    *
+    * Scale posture mirrors q24: pre-aggregate per (priority, year) BEFORE
+    * the grouping sets, so Expand multiplies the ~|priorities × years|
+    * partial rows by 3 sets — never the fact table. */
+  def q28GroupingSets(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .selectExpr("o_orderpriority AS prio",
+        "CAST(year(o_orderdate) AS BIGINT) AS yr", "o_totalprice")
+      .groupBy(col("prio"), col("yr"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"), count(lit(1)).as("cnt"))
+    base.groupingSets(Seq(Seq(col("prio")), Seq(col("yr")), Seq.empty),
+        col("prio"), col("yr"))
+      .agg(
+        (grouping(col("prio")) * 2 + grouping(col("yr"))).cast("bigint").as("gid"),
+        out2(sum(col("rev"))).as("revenue"),
+        sum(col("cnt")).as("n_orders"))
+  }
+
   /** Gap-fill step, microseconds per hour. */
   val GapFillStepUs: Long = 3600000000L
 

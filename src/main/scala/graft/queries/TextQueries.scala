@@ -1267,6 +1267,36 @@ object TextQueries {
         }: _*)
   }
 
+  /** b02's exact phrase, in token order. */
+  val PhraseTerms: Seq[String] = Seq("hash", "join")
+
+  /** b02: exact PHRASE SEARCH by positional posting-list intersection —
+    * the inverted-index primitive under every "quoted query" in retrieval
+    * (and under keyword-gated corpus curation): a document matches at
+    * anchor position p iff term_i appears at p+i for every i. Each term's
+    * posting list is (doc_id, pos − i) — the subtraction aligns all legs
+    * on the ANCHOR position — and the phrase occurrences are exactly the
+    * n-way equi-join on (doc_id, anchor).
+    *
+    * Scale shape: the per-term filter happens in the tokenize projection
+    * BEFORE any shuffle, so only posting-list-sized rows (term frequency,
+    * not corpus size) ever move; every join and the final rollup co-key on
+    * doc_id(+anchor), so one partitioning serves the whole intersection.
+    * This is the distributed form of Lucene's phrase scorer: at 100 TB,
+    * phrase cost scales with the RAREST term's posting list, not the
+    * corpus. */
+  def b02PhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val pos = normToks(s, d)
+      .selectExpr("doc_id", "posexplode(toks) AS (p0, tok)")
+      .selectExpr("doc_id", "CAST(p0 + 1 AS BIGINT) AS pos", "tok")
+    val legs = PhraseTerms.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("tok") === t).selectExpr("doc_id", s"pos - $i AS mpos")
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "mpos")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("mpos").as("first_pos"))
+  }
+
   /** Merge-pair report size for t11. */
   val MergePairK = 20
 

@@ -437,6 +437,36 @@ class PlanChecksSpec extends SparkSpec {
       s"sweep-line disagrees with naive overlap at hour $mid")
   }
 
+  test("q28: grouping sets expand AFTER the pre-aggregate, never the fact table") {
+    val df = RelationalQueries.q28GroupingSets(spark, d)
+    val p = plan(df)
+    assert(p.contains("Expand"), "grouping sets must use Expand:\n" + p.take(3000))
+    assert(p.contains("partial_"), "pre-aggregate must map-side combine:\n" + p.take(3000))
+    // Expand's input must be the pre-aggregated rows: the expand operator
+    // appears ABOVE (before, in top-down plan text) the orders scan AND
+    // above at least one aggregate
+    val expandIdx = p.indexOf("Expand")
+    assert(p.indexOf("HashAggregate", expandIdx) > 0,
+      "an aggregate must sit under Expand (pre-aggregation):\n" + p.take(3000))
+    val rows = df.collect()
+    // exactly the three requested sets: (prio)=1, (yr)=2, ()=3 — the full
+    // (prio, yr) set (gid 0) is NOT in the list, unlike cube/rollup
+    assert(rows.map(_.getLong(2)).toSet == Set(1L, 2L, 3L),
+      s"gids: ${rows.map(_.getLong(2)).toSet}")
+  }
+
+  test("b02: phrase search moves posting lists only; intersection co-keys on (doc, anchor)") {
+    val df = TextQueries.b02PhraseSearch(spark, d)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "phrase intersection must equi-join:\n" + p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1, s"bad match row: $r")
+    }
+  }
+
   test("s11: IVF-PQ ADC — corpus stays narrow (no shuffle before the cell join), one final agg") {
     val df = SimilarityQueries.s11IvfPqAdc(spark, d)
     val p = plan(df)
