@@ -113,6 +113,8 @@ object SparkEntry {
     "i03_active_hours" -> (RelationalQueries.i03ActiveHours _),
     "q28_grouping_sets" -> (RelationalQueries.q28GroupingSets _),
     "b02_phrase_search" -> (TextQueries.b02PhraseSearch _),
+    "g02_triangles" -> (TextQueries.g02Triangles _),
+    "a05_exact_quantiles" -> (RelationalQueries.a05ExactQuantiles _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -1129,6 +1131,33 @@ object SparkEntry {
          |       CAST(MIN(mpos) AS BIGINT) AS first_pos
          |FROM l0 $joins GROUP BY 1""".stripMargin
     },
+    // g02: node-ordered triangle enumeration over the d03 edge set — each
+    // triangle counted once (x<y<z), every corner credited.
+    "g02_triangles" ->
+      s"""WITH e AS ($minHashPairsSql),
+         |w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |      FROM e e1 JOIN e e2 ON e1.b = e2.a),
+         |tri AS (SELECT w.x, w.y, w.z
+         |        FROM w JOIN e ON w.x = e.a AND w.z = e.b),
+         |corners AS (SELECT x AS doc_id FROM tri
+         |            UNION ALL SELECT y FROM tri
+         |            UNION ALL SELECT z FROM tri)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |FROM corners GROUP BY 1""".stripMargin,
+    // a05: percentile_disc by explicit rank arithmetic — identical integer
+    // comparisons on both engines; default ORDER BY frame is safe because
+    // values are DISTINCT within a group after the pre-aggregate.
+    "a05_exact_quantiles" ->
+      """WITH vc AS (SELECT event_type, value AS v, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, v, cnt,
+        |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |      FROM vc)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_values,
+        |       MIN(CASE WHEN cum * 2 >= n THEN v END) AS median,
+        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90
+        |FROM r GROUP BY 1""".stripMargin,
   )
 
   /** DuckDB mirror of [[graft.plans.TokensToHashBitset]]'s bit index: the

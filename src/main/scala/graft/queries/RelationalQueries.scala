@@ -798,6 +798,37 @@ object RelationalQueries {
         sum(col("cnt")).as("n_items"))
   }
 
+  /** a05: EXACT distributed quantiles (median + p90 per event type) by
+    * two-level rank selection — the exact counterpart of a01's sketched
+    * percentiles: pre-aggregate counts per (group, value), one window
+    * pass per group over the DISTINCT-VALUE rows computes cumulative and
+    * total counts, and quantile q is the smallest value whose cumulative
+    * rank covers ⌈q·n⌉ (percentile_disc semantics, all-integer
+    * comparisons — no interpolation, no libm, bit-stable).
+    *
+    * Scale shape: the only event-sized operation is the (group, value)
+    * count — partial-agg'd map-side, so the Zipf head collapses before
+    * the exchange. The window partition is DISTINCT values per group:
+    * bounded by value cardinality (2-dp metrics here), NOT by event
+    * count. For truly unbounded-cardinality doubles the exact path is
+    * the wrong tool by definition — that is what a01's sketches and
+    * a04's fixed-bin histogram are for; this query is the exact tool for
+    * the bounded-cardinality case (prices, latencies-in-ms, scores). */
+  def a05ExactQuantiles(s: SparkSession, d: String): DataFrame = {
+    val vc = events(s, d).groupBy(col("event_type"), col("value").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    vc.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_values"),
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as("median"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90"))
+  }
+
   /** q28: explicit GROUPING SETS — heterogeneous aggregation levels a
     * single cube/rollup lattice can't express: per-priority totals, per-
     * order-year totals, and the grand total, in ONE pass. Completes the

@@ -466,6 +466,34 @@ object TextQueries {
     ranks
   }
 
+  /** g02: TRIANGLE COUNTING over the near-dup candidate graph — the
+    * clustering-coefficient ingredient that separates tight duplicate
+    * CLIQUES (template families, mirror sites — dense triangles) from
+    * chain-like false-positive paths (few triangles) in a dedup graph;
+    * with g01 (centrality) and d07 (components) it completes the graph
+    * tool set over the LSH edges. Classic distributed formulation
+    * (node-ordered edge orientation): every edge is stored a<b, a wedge
+    * is e(x,y)⋈e(y,z) pivoting on the middle node, and the triangle
+    * closes iff e(x,z) exists — each triangle counted exactly once
+    * because x<y<z is a total order. Per-node participation counts are
+    * the output (every triangle credits all three corners).
+    *
+    * Scale shape: edges are LSH-candidate-bounded (≪ corpus); both joins
+    * are equi-joins on node ids. Orienting edges low→high makes the wedge
+    * pivot degree the MIN of the two endpoint orderings — the standard
+    * mitigation that keeps hub nodes from emitting degree² wedges. */
+  def g02Triangles(s: SparkSession, d: String): DataFrame = {
+    val e = d03MinHashPairs(s, d).localCheckpoint(true) // (a, b), a<b, distinct
+    val wedges = e.selectExpr("a AS x", "b AS y")
+      .join(e.selectExpr("a AS y", "b AS z"), "y") // x<y<z by construction
+    val tri = wedges.join(e.selectExpr("a AS x", "b AS z"), Seq("x", "z"))
+    tri.selectExpr("x AS doc_id")
+      .unionAll(tri.selectExpr("y AS doc_id"))
+      .unionAll(tri.selectExpr("z AS doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Minimum block count for d05's exact all-pairs join. */
   val JaccardBlocks = 8
 

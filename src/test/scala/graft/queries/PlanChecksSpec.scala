@@ -467,6 +467,35 @@ class PlanChecksSpec extends SparkSpec {
     }
   }
 
+  test("g02: triangle join is equi-only; per-node counts consistent with total") {
+    val df = TextQueries.g02Triangles(spark, d)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "triangle enumeration must equi-join:\n" + p.take(3000))
+    val rows = df.collect()
+    // every triangle credits exactly 3 corners → total participation ≡ 0 mod 3
+    assert(rows.map(_.getLong(1)).sum % 3 == 0, "corner credits must be divisible by 3")
+    rows.foreach(r => assert(r.getLong(1) >= 1))
+  }
+
+  test("a05: exact quantiles pre-aggregate (group, value) map-side; window over distinct values") {
+    val df = RelationalQueries.a05ExactQuantiles(spark, d)
+    val p = plan(df)
+    assert(p.contains("partial_"), "value counting must map-side combine:\n" + p.take(3000))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3), s"median must not exceed p90: $r")
+      assert(r.getLong(1) > 0)
+    }
+    // cross-check one group against a driver-side exact computation
+    val vals = Tables.events(spark, d).filter("event_type = 'click'")
+      .select("value").collect().map(_.getDouble(0)).sorted
+    // percentile_disc(0.5): smallest value whose 1-based rank r satisfies 2r >= n
+    val expectMedian = vals(math.ceil(vals.length / 2.0).toInt - 1)
+    val got = rows.find(_.getString(0) == "click").get
+    assert(got.getDouble(2) == expectMedian, s"median ${got.getDouble(2)} != $expectMedian")
+  }
+
   test("s11: IVF-PQ ADC — corpus stays narrow (no shuffle before the cell join), one final agg") {
     val df = SimilarityQueries.s11IvfPqAdc(spark, d)
     val p = plan(df)
