@@ -952,29 +952,34 @@ object RelationalQueries {
     * pushdown-pruned scans so each stage's filter reaches parquet). */
   def w08Funnel(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-    // step 1: earliest 'view' per user
+    // step 1: earliest 'view' per user; step k: earliest step-k event
+    // strictly after ts_{k-1} — each stage computed ONCE, all co-keyed
     val s1 = ev.filter(col("event_type") === FunnelSteps(0))
       .groupBy("user_id").agg(min("ts").as("ts1"))
-    // step k: earliest step-k event strictly after ts_{k-1}
     val s2 = ev.filter(col("event_type") === FunnelSteps(1))
       .join(s1, "user_id").where(col("ts") > col("ts1"))
       .groupBy("user_id").agg(min("ts").as("ts2"))
     val s3 = ev.filter(col("event_type") === FunnelSteps(2))
       .join(s2, "user_id").where(col("ts") > col("ts2"))
       .groupBy("user_id").agg(min("ts").as("ts3"))
-    val n1 = s1.agg(count(lit(1)).as("n1"))
-    val n2 = s2.agg(count(lit(1)).as("n2"))
-    val n3 = s3.agg(count(lit(1)).as("n3"))
-    val counts = n1.crossJoin(n2).crossJoin(n3)
+    // one per-user frame (left joins reuse the user_id partitioning), ONE
+    // scalar aggregate, then explode the single row into the 3 summary
+    // rows — a union of projections would re-execute the whole chain per
+    // branch (the r5 PlanAudit caught exactly that: 13 shuffles)
+    val counts = s1
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .agg(count(col("ts1")).as("n1"), count(col("ts2")).as("n2"),
+        count(col("ts3")).as("n3"))
     counts.selectExpr(
-      "CAST(1 AS BIGINT) AS step", s"'${FunnelSteps(0)}' AS step_name",
-      "n1 AS n_users", "CAST(1.0 AS DOUBLE) AS conv_from_prev")
-      .unionAll(counts.selectExpr(
-        "CAST(2 AS BIGINT) AS step", s"'${FunnelSteps(1)}' AS step_name",
-        "n2 AS n_users", "CAST(n2 AS DOUBLE) / n1 AS conv_from_prev"))
-      .unionAll(counts.selectExpr(
-        "CAST(3 AS BIGINT) AS step", s"'${FunnelSteps(2)}' AS step_name",
-        "n3 AS n_users", "CAST(n3 AS DOUBLE) / n2 AS conv_from_prev"))
+      s"""explode(array(
+         |  struct(CAST(1 AS BIGINT) AS step, '${FunnelSteps(0)}' AS step_name,
+         |         n1 AS n_users, CAST(1.0 AS DOUBLE) AS conv_from_prev),
+         |  struct(CAST(2 AS BIGINT) AS step, '${FunnelSteps(1)}' AS step_name,
+         |         n2 AS n_users, CAST(n2 AS DOUBLE) / n1 AS conv_from_prev),
+         |  struct(CAST(3 AS BIGINT) AS step, '${FunnelSteps(2)}' AS step_name,
+         |         n3 AS n_users, CAST(n3 AS DOUBLE) / n2 AS conv_from_prev))) AS r""".stripMargin)
+      .selectExpr("r.step", "r.step_name", "r.n_users", "r.conv_from_prev")
   }
 
   /** i03: interval CONCURRENCY by sweep-line — how many sessions are live
