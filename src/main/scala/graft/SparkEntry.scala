@@ -74,6 +74,7 @@ object SparkEntry {
     "m02_frame_sample" -> (MultimodalQueries.m02FrameSample _),
     "m03_media_codec" -> (MultimodalQueries.m03MediaCodec _),
     "m04_image_resize" -> (MultimodalQueries.m04ImageResize _),
+    "m05_audio_features" -> (MultimodalQueries.m05AudioFeatures _),
     "s01_ann_topk" -> (SimilarityQueries.s01AnnTopK _),
     "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
     "s03_ann_lsh" -> (SimilarityQueries.s03AnnLsh _),
@@ -597,6 +598,24 @@ object SparkEntry {
          |       md5(string_agg(CAST(r2 AS VARCHAR) || ',' || CAST(g2 AS VARCHAR) || ',' ||
          |                      CAST(b2 AS VARCHAR), ',' ORDER BY y, x)) AS px_fp
          |FROM v GROUP BY doc_id""".stripMargin
+    },
+    // m05: every frame's features recomputed from the closed-form waveform
+    // — block-local zero crossings (off > 0 mirrors the engine's n > 0
+    // guard), integer energy, 512 samples per decoder block.
+    "m05_audio_features" -> {
+      import MultimodalQueries.{M03Samples => N}
+      s"""WITH smp AS (SELECT doc_id, unnest(generate_series(0, ${N - 1})) AS t FROM documents),
+         |v AS (SELECT doc_id, t, t // 512 AS frame_idx,
+         |        ((doc_id*31 + t*17) % 4001) - 2000 AS s FROM smp),
+         |p AS (SELECT doc_id, t, frame_idx, s,
+         |        lag(s) OVER (PARTITION BY doc_id ORDER BY t) AS ps,
+         |        t % 512 AS off FROM v)
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+         |       CAST(SUM(s * s) AS BIGINT) AS energy,
+         |       CAST(SUM(CASE WHEN off > 0 AND ((ps < 0 AND s > 0) OR (ps > 0 AND s < 0))
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+         |FROM p GROUP BY 1, 2""".stripMargin
     },
     "t01_token_stats" ->
       s"""SELECT doc_id, len($dToks) AS ws_tokens,

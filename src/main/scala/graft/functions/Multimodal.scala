@@ -314,6 +314,38 @@ object Multimodal {
       .toDF("doc_id", "out_w", "out_h", "r2_sum", "g2_sum", "b2_sum", "px_fp")
   }
 
+  /** m05's engine side: audio FEATURE EXTRACTION over real WAV decode —
+    * closed-form waveform per id through [[RealDecoder]]
+    * (`javax.sound.sampled`), then per decoder block (1024 bytes = 512
+    * 16-bit samples): sample count, integer energy (sum of squares) and
+    * zero-crossing count (strict sign changes between consecutive samples
+    * WITHIN the block) — the MFCC-pipeline front half in integer-exact
+    * form, exploded one row per frame. Embarrassingly parallel: one
+    * mapPartitions, zero shuffles at any corpus size. */
+  def audioFrameFeatures(ids: DataFrame, idCol: String,
+                         nSamples: Int = 4096): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val dec = RealDecoder.decode(encodeWav(id, nSamples), "audio/wav")
+          dec.frameBytes.iterator.zipWithIndex.map { case (block, fi) =>
+            var i = 0; var n = 0L; var energy = 0L; var zc = 0L
+            var prev = 0
+            while (i + 1 < block.length) {
+              val sVal = (block(i) & 0xFF) | (block(i + 1).toInt << 8)
+              energy += sVal.toLong * sVal
+              if (n > 0 && ((prev < 0 && sVal > 0) || (prev > 0 && sVal < 0))) zc += 1
+              prev = sVal; n += 1; i += 2
+            }
+            (id, fi.toLong, n, energy, zc)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_samples", "energy", "zero_crossings")
+  }
+
   /** Frame sampling: keep every `every`-th frame, exploded to one row per
     * sampled frame — the shape of video-frame extraction at scale. */
   def sampleFrames(df: DataFrame, idCol: String, decoder: MediaDecoder, every: Int): DataFrame = {

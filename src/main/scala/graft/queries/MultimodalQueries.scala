@@ -68,4 +68,15 @@ object MultimodalQueries {
     Multimodal.resizedImageStats(
       Tables.documents(s, d).selectExpr("doc_id"), "doc_id",
       w = M03Width, h = M03Height)
+
+  /** m05: audio FEATURE EXTRACTION through the real codec — per decoder
+    * block (512 samples), integer energy and zero-crossing counts from
+    * `javax.sound.sampled` output, one row per frame. The oracle
+    * recomputes every feature from the closed-form waveform (the WAV is
+    * lossless PCM), so the whole decode → frame → feature path is
+    * verified per frame, not just in aggregate. */
+  def m05AudioFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFrameFeatures(
+      Tables.documents(s, d).selectExpr("doc_id"), "doc_id",
+      nSamples = M03Samples)
 }

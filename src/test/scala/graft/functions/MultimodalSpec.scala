@@ -109,6 +109,25 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Long]("pcm_n") == 100 && row.getAs[Long]("pcm_sum") == ss && row.getAs[Long]("pcm_abs") == sa)
   }
 
+  test("audioFrameFeatures: real WAV decode to per-block energy/zero-crossings, zero shuffles") {
+    import spark.implicits._
+    val n = 1100 // 2 full blocks + 1 partial (76 samples)
+    val out = Multimodal.audioFrameFeatures(Seq(3L).toDF("doc_id"), "doc_id", nSamples = n)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.collect().sortBy(_.getAs[Long]("frame_idx"))
+    assert(rows.length == 3 && rows.map(_.getAs[Long]("n_samples")).toSeq == Seq(512L, 512L, 76L))
+    // closed-form reference for block 1
+    val id = 3L
+    var energy = 0L; var zc = 0L; var prev = 0L
+    for (t <- 512 until 1024) {
+      val s = ((id * 31 + t.toLong * 17) % 4001) - 2000
+      energy += s * s
+      if (t > 512 && ((prev < 0 && s > 0) || (prev > 0 && s < 0))) zc += 1
+      prev = s
+    }
+    assert(rows(1).getAs[Long]("energy") == energy && rows(1).getAs[Long]("zero_crossings") == zc)
+  }
+
   test("boxDownsample2x: floor-average of each 2x2 block, odd edges dropped") {
     // 3x5 RGB image with distinct per-pixel values → expect 1x2 output
     val w = 5; val h = 3
