@@ -479,17 +479,38 @@ object TextQueries {
     * the output (every triangle credits all three corners).
     *
     * Scale shape: edges are LSH-candidate-bounded (≪ corpus); both joins
-    * are equi-joins on node ids. Orienting edges low→high makes the wedge
-    * pivot degree the MIN of the two endpoint orderings — the standard
-    * mitigation that keeps hub nodes from emitting degree² wedges. */
+    * are equi-joins on node ids. Edges are oriented by DEGREE order
+    * (ties on id) — the Cohen/Schank-Wagner mitigation: every wedge
+    * pivots on its LOWEST-degree corner, so out-degrees are O(√m)-bounded
+    * and a hub of degree h emits O(m) wedges instead of h² (id-ordering,
+    * the r5 first cut, measured 7.8× at the 10× probe exactly because a
+    * few near-dup hubs dominated the wedge volume). The triangle SET is
+    * orientation-invariant (each triangle appears exactly once under any
+    * total node order), so the id-ordered oracle is unchanged. */
   def g02Triangles(s: SparkSession, d: String): DataFrame = {
-    val e = d03MinHashPairs(s, d).localCheckpoint(true) // (a, b), a<b, distinct
-    val wedges = e.selectExpr("a AS x", "b AS y")
-      .join(e.selectExpr("a AS y", "b AS z"), "y") // x<y<z by construction
-    val tri = wedges.join(e.selectExpr("a AS x", "b AS z"), Seq("x", "z"))
-    tri.selectExpr("x AS doc_id")
-      .unionAll(tri.selectExpr("y AS doc_id"))
-      .unionAll(tri.selectExpr("z AS doc_id"))
+    val e0 = d03MinHashPairs(s, d).localCheckpoint(true) // (a, b), a<b, distinct
+    val deg = e0.selectExpr("a AS node").unionAll(e0.selectExpr("b AS node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from the (deg, id)-smaller endpoint to the larger
+    val e = e0
+      .join(deg.selectExpr("node AS a", "deg AS da"), "a")
+      .join(deg.selectExpr("node AS b", "deg AS db"), "b")
+      .selectExpr(
+        "IF(da < db OR (da = db AND a < b), a, b) AS x",
+        "IF(da < db OR (da = db AND a < b), da, db) AS dx",
+        "IF(da < db OR (da = db AND a < b), b, a) AS y",
+        "IF(da < db OR (da = db AND a < b), db, da) AS dy")
+      .localCheckpoint(true)
+    // wedge = two out-neighbors of the pivot, kept in (deg, id) order so
+    // each unordered {y, z} appears once; closing edge is then (y, z)
+    // in the same orientation
+    val wedges = e.selectExpr("x", "y", "dy")
+      .join(e.selectExpr("x", "y AS z", "dy AS dz"), "x")
+      .filter(col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z")))
+    val closed = wedges.join(e.selectExpr("x AS y", "y AS z"), Seq("y", "z"))
+    closed.selectExpr("x AS doc_id")
+      .unionAll(closed.selectExpr("y AS doc_id"))
+      .unionAll(closed.selectExpr("z AS doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_triangles"))
   }
