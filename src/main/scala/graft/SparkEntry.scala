@@ -116,6 +116,7 @@ object SparkEntry {
     "b02_phrase_search" -> (TextQueries.b02PhraseSearch _),
     "g02_triangles" -> (TextQueries.g02Triangles _),
     "a05_exact_quantiles" -> (RelationalQueries.a05ExactQuantiles _),
+    "a06_heavy_hitters" -> (TextQueries.a06HeavyHitters _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -1177,6 +1178,28 @@ object SparkEntry {
         |       MIN(CASE WHEN cum * 2 >= n THEN v END) AS median,
         |       MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90
         |FROM r GROUP BY 1""".stripMargin,
+    // a06 = a01's gating pattern for the native Misra-Gries aggregate: the
+    // deterministic side is the EXACT count of every guaranteed heavy
+    // hitter (cnt·(k+1) > n); the sketch side only contributes its two
+    // merge-order-independent guarantee flags, which the oracle mirrors as
+    // literal 1s — a sketch drifting out of bounds flips a flag and fails
+    // rows+hash.
+    "a06_heavy_hitters" -> {
+      val kc = TextQueries.MgCharK
+      val kl = TextQueries.MgLangK
+      s"""WITH toks AS (SELECT unnest($dToks) AS tok FROM documents),
+         |ch AS (SELECT substring(tok, 1, 1) AS item FROM toks WHERE tok <> ''),
+         |chc AS (SELECT item, COUNT(*) AS cnt FROM ch GROUP BY 1),
+         |chn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM chc),
+         |lc AS (SELECT lang AS item, COUNT(*) AS cnt FROM documents GROUP BY 1),
+         |ln AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM lc)
+         |SELECT 'ch' AS stream, item, cnt, n,
+         |       CAST(1 AS BIGINT) AS present_ok, CAST(1 AS BIGINT) AS est_ok
+         |FROM chc, chn WHERE cnt * ${kc + 1} > n
+         |UNION ALL
+         |SELECT 'lang', item, cnt, n, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+         |FROM lc, ln WHERE cnt * ${kl + 1} > n""".stripMargin
+    },
   )
 
   /** DuckDB mirror of [[graft.plans.TokensToHashBitset]]'s bit index: the

@@ -252,6 +252,9 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => TokensToHashBitset(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot",
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("mg_sketch",
+      (exprs: Seq[Expression]) =>
+        MisraGriesSketch(exprs(0), exprs(1)).toAggregateExpression(), "scala_udf")
     // Spark's OWN codegen'd bloom-probe expression (what InjectRuntimeFilter
     // plants), registered for explicit use: the engine's always-on bloom
     // semi-join (q21) probes inside whole-stage codegen instead of a Scala
@@ -284,5 +287,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("mg_sketch"),
+      new ExpressionInfo(classOf[MisraGriesSketch].getName, "mg_sketch"),
+      (exprs: Seq[Expression]) =>
+        MisraGriesSketch(exprs(0), exprs(1)).toAggregateExpression()))
   }
 }

@@ -1443,4 +1443,56 @@ object TextQueries {
       md5(regexp_replace(col("text"), RedactPattern, "[MASKED]")).as("redacted_fp"),
       length(regexp_replace(col("text"), RedactPattern, "[MASKED]"))
         .cast("bigint").as("redacted_len"))
+
+  /** Sketch sizes for a06 — chosen so BOTH streams have ≥ 1 guaranteed
+    * heavy hitter AND the sketch is genuinely lossy (k < distinct items,
+    * so decrements/merge-reductions actually fire): first-char stream has
+    * ~19 distinct items with the top one at ~20% > 1/(6+1); lang has 5
+    * with the top at ~44% > 1/(2+1). */
+  val MgCharK = 6
+  val MgLangK = 2
+
+  /** a06: HEAVY HITTERS via the native Misra-Gries aggregate
+    * ([[graft.plans.MisraGriesSketch]], `mg_sketch(item, k)`) — gated the
+    * a01 way: the deterministic output is the EXACT count of every
+    * guaranteed heavy hitter (true count > n/(k+1)), and the live sketch
+    * contributes only its two ORDER-INDEPENDENT guarantees as 0/1 flags:
+    *
+    *  - `present_ok`: every guaranteed heavy hitter MUST be in the
+    *    k-counter summary (absent ⇒ estimate 0 < c − n/(k+1));
+    *  - `est_ok`: its estimate must sit in [c − n/(k+1), c].
+    *
+    * Both hold for ANY merge tree (Agarwal et al. PODS'12), so the flags
+    * are deterministically 1 under any partitioning even though raw
+    * counter values are not; a buggy sketch flips a flag and fails
+    * rows+hash. Two streams exercise the operator at different k: token
+    * first-chars (k=6 over ~19 items) and document languages (k=2 over 5).
+    *
+    * Scale shape: the sketch is a constant k-counter map — partial
+    * aggregation reduces every partition map-side and the exchange moves
+    * O(k) bytes/partition ("top talkers over 100 TB with a constant-size
+    * shuffle"). The exact-count leg is a uniform-key groupBy bounded by
+    * the alphabet, and the sketch row broadcasts back — no corpus-sized
+    * state anywhere. */
+  def a06HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    def gate(items: DataFrame, stream: String, k: Int): DataFrame = {
+      val sk = items.agg(
+        expr(s"mg_sketch(item, $k)").as("sk"), count(lit(1)).as("n"))
+      items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(sk))
+        .filter(col("cnt") * (k + 1) > col("n"))
+        .selectExpr(s"'$stream' AS stream", "item", "cnt", "n",
+          "CAST(CASE WHEN map_contains_key(sk, item) THEN 1 ELSE 0 END AS BIGINT) AS present_ok",
+          s"""CAST(CASE WHEN element_at(sk, item) <= cnt
+             |          AND (cnt - element_at(sk, item)) * ${k + 1} <= n
+             |     THEN 1 ELSE 0 END AS BIGINT) AS est_ok""".stripMargin)
+    }
+    val docs = documents(s, d)
+    val chars = docs.selectExpr(s"explode($toksExpr) AS tok")
+      .filter(col("tok") =!= "")
+      .selectExpr("substring(tok, 1, 1) AS item")
+    val langs = docs.selectExpr("lang AS item")
+    gate(chars, "ch", MgCharK).unionByName(gate(langs, "lang", MgLangK))
+  }
 }
