@@ -117,6 +117,7 @@ object SparkEntry {
     "g02_triangles" -> (TextQueries.g02Triangles _),
     "a05_exact_quantiles" -> (RelationalQueries.a05ExactQuantiles _),
     "a06_heavy_hitters" -> (TextQueries.a06HeavyHitters _),
+    "d13_semantic_dedup" -> (SimilarityQueries.d13SemanticDedup _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -1200,6 +1201,29 @@ object SparkEntry {
          |SELECT 'lang', item, cnt, n, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
          |FROM lc, ln WHERE cnt * ${kl + 1} > n""".stripMargin
     },
+    // d13 = SemDeDup: s04's cell assignment (argmax cosine over the 8
+    // anchors, ties to the first) + within-cell greedy keeper — a vector
+    // is dropped iff a smaller-id same-cell vector is within the cosine
+    // threshold; rep = the smallest such pruner (self when kept).
+    "d13_semantic_dedup" ->
+      s"""WITH $dNrmCte,
+         |anch AS (SELECT vec_id - ${SimilarityQueries.AnchorFrom} AS anchor_id, v AS av, nrm AS anrm
+         |         FROM nrm WHERE vec_id >= ${SimilarityQueries.AnchorFrom}
+         |           AND vec_id < ${SimilarityQueries.AnchorFrom + SimilarityQueries.AnchorCount}),
+         |scored AS (SELECT n.vec_id, n.v, n.nrm, a.anchor_id,
+         |             row_number() OVER (PARTITION BY n.vec_id
+         |                                ORDER BY list_dot_product(n.v, a.av) / (n.nrm * a.anrm) DESC,
+         |                                         a.anchor_id) AS rk
+         |           FROM nrm n, anch a),
+         |celled AS (SELECT vec_id, v, nrm, CAST(anchor_id AS BIGINT) AS cell
+         |           FROM scored WHERE rk = 1),
+         |p AS (SELECT a.vec_id AS x, min(b.vec_id) AS pruned_by
+         |      FROM celled a JOIN celled b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= ${SimilarityQueries.NearDupThreshold}
+         |      GROUP BY a.vec_id)
+         |SELECT c.vec_id, c.cell, coalesce(p.pruned_by, c.vec_id) AS rep,
+         |       CAST(CASE WHEN p.pruned_by IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM celled c LEFT JOIN p ON p.x = c.vec_id""".stripMargin,
   )
 
   /** DuckDB mirror of [[graft.plans.TokensToHashBitset]]'s bit index: the

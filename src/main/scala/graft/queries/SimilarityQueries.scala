@@ -559,6 +559,48 @@ object SimilarityQueries {
       .filter(col("cosine") >= RangeTau)
   }
 
+  /** d13: SEMANTIC dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with a coarse quantizer, then drop
+    * near-duplicates WITHIN each cluster only — the trick that turns
+    * O(n²) embedding dedup into Σ|cell|², because semantic duplicates
+    * land in the same cell by construction (they are near the same
+    * centroid). Cell assignment reuses s04's IVF argmax against the
+    * broadcast anchor row (narrow — the corpus is never shuffled to be
+    * assigned); the within-cell pair scan is a self-equi-join ON THE CELL
+    * KEY, so Catalyst hash-joins per cell and only same-cell pairs are
+    * ever scored (codegen'd `vec_dot`). Keeper rule is the deterministic
+    * greedy form: drop a vector iff a SMALLER-id same-cell vector sits
+    * within cosine ≥ [[NearDupThreshold]]; `rep` records the smallest
+    * such pruner (self when kept) — the pair set alone defines the
+    * output, so it is engine-reproducible.
+    *
+    * Scale shape: with K cells of the paper's sizing (K ∝ √n), per-cell
+    * work is (n/K)² and the join key has K values — at 100 TB, K is tens
+    * of thousands, so the shuffle spreads; the 8-anchor test constant is
+    * the same plan at toy K. No driver state, no global pair explosion —
+    * the exact counterpart (s02) stays the documented-quadratic baseline,
+    * d13 is the production path. */
+  def d13SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val (scores, cell) = cellExprs
+    // pin ONE evaluation of the assigned corpus: it feeds the pair scan
+    // twice and the final join once (the "persist the clustered corpus"
+    // step of the real pipeline — same reason a01/d03 checkpoint)
+    val celled = normed(s, d).crossJoin(broadcast(anchorsRow(s, d)))
+      .selectExpr("vec_id", "v", "nrm", s"$scores AS acells")
+      .selectExpr("vec_id", "v", "nrm", s"$cell AS cell")
+      .localCheckpoint(true)
+    val probe = celled.selectExpr("vec_id AS a_id", "v AS av", "nrm AS anrm", "cell")
+    val build = celled.selectExpr("vec_id AS b_id", "v AS bv", "nrm AS bnrm", "cell AS b_cell")
+    val pruned = probe
+      .join(build, col("cell") === col("b_cell") && col("b_id") < col("a_id"))
+      .filter(expr(s"vec_dot(av, bv) / (anrm * bnrm) >= $NearDupThreshold"))
+      .groupBy(col("a_id")).agg(min(col("b_id")).as("pruned_by"))
+    celled.join(pruned, col("vec_id") === col("a_id"), "left")
+      .selectExpr("vec_id", "cell",
+        "coalesce(pruned_by, vec_id) AS rep",
+        "CAST(CASE WHEN pruned_by IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep")
+  }
+
   def s03AnnLsh(s: SparkSession, d: String): DataFrame = {
     val bucketed = normed(s, d).crossJoin(broadcast(anchorsRow(s, d)))
       .selectExpr("vec_id", "v", "nrm", s"($bucketExpr) AS bucket")

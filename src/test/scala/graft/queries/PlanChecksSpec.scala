@@ -169,6 +169,22 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("shard"), "two-level prefix sum must partition by shard")
   }
 
+  test("d13: semantic dedup — no pair explosion, equi-join on the cell key") {
+    // the narrow (no-corpus-shuffle) cell assignment is the same broadcast
+    // anchor pattern s03/s04 lock above; it sits behind d13's checkpoint
+    // here, so this test audits the post-assignment plan: the within-cell
+    // pair scan must be a true equi-join on the cell key — never a
+    // cartesian pair explosion — and the shuffle budget stays fixed
+    // (pair join both sides + pruner agg + final align)
+    val p = plan(SimilarityQueries.d13SemanticDedup(spark, d))
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pairs must hash-join on the cell key:\n" + p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pair scan must not degrade to a nested loop:\n" + p.take(3000))
+    assert(p.contains("cell"), p.take(3000))
+    assert(shuffles(p) <= 5, s"d13 grew shuffles (${shuffles(p)}):\n" + p.take(3000))
+  }
+
   test("s05: quantization is a pure narrow projection (zero shuffles)") {
     val p = plan(SimilarityQueries.s05Quantize(spark, d))
     assert(shuffles(p) == 0, p.take(3000))
