@@ -75,6 +75,7 @@ object SparkEntry {
     "m03_media_codec" -> (MultimodalQueries.m03MediaCodec _),
     "m04_image_resize" -> (MultimodalQueries.m04ImageResize _),
     "m05_audio_features" -> (MultimodalQueries.m05AudioFeatures _),
+    "m06_scene_cuts" -> (MultimodalQueries.m06SceneCuts _),
     "s01_ann_topk" -> (SimilarityQueries.s01AnnTopK _),
     "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
     "s03_ann_lsh" -> (SimilarityQueries.s03AnnLsh _),
@@ -618,6 +619,42 @@ object SparkEntry {
          |       CAST(SUM(CASE WHEN off > 0 AND ((ps < 0 AND s > 0) OR (ps > 0 AND s < 0))
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
          |FROM p GROUP BY 1, 2""".stripMargin
+    },
+    // m06 = scene-cut detection: the oracle re-derives every pixel of the
+    // closed-form frame sequence (scene index s = running count of the
+    // boundary schedule), recomputes each frame-pair SAD and applies the
+    // identical threshold rule. The ENGINE sees only real-PNG-decoded
+    // bytes; agreement proves codec round-trip + detector together.
+    "m06_scene_cuts" -> {
+      import MultimodalQueries.{M06Frames => F, M06Width => W, M06Height => H, M06CutThreshold => T}
+      s"""WITH fr AS (SELECT doc_id, unnest(generate_series(0, ${F - 1})) AS f FROM documents),
+         |sc AS (SELECT doc_id, f,
+         |         SUM(CASE WHEN f > 0 AND (doc_id*13 + f*29) % 7 = 0 THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY f) AS s
+         |       FROM fr),
+         |px AS (SELECT doc_id, f, s, unnest(generate_series(0, ${W - 1})) AS x FROM sc),
+         |pxy AS (SELECT doc_id, f, s, x, unnest(generate_series(0, ${H - 1})) AS y FROM px),
+         |ch AS (SELECT doc_id, f, x, y,
+         |        (doc_id*7 + s*97 + x*3 + y*5 + f) % 256 AS r,
+         |        (doc_id*11 + s*131 + x*13 + y + 2*f) % 256 AS g,
+         |        (x*y + doc_id + s*53 + 3*f) % 256 AS b
+         |       FROM pxy),
+         |sad AS (SELECT a.doc_id, a.f,
+         |          SUM(abs(a.r - b.r) + abs(a.g - b.g) + abs(a.b - b.b)) AS sad
+         |        FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND b.f = a.f - 1
+         |          AND a.x = b.x AND a.y = b.y
+         |        GROUP BY 1, 2),
+         |cuts AS (SELECT doc_id, COUNT(*) AS n_cuts,
+         |           md5(string_agg(CAST(f AS VARCHAR), ',' ORDER BY f)) AS cuts_md5
+         |         FROM sad WHERE sad > $T GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(SUM(sad) AS BIGINT) AS sad_total FROM sad GROUP BY 1)
+         |SELECT d.doc_id, CAST($F AS BIGINT) AS n_frames,
+         |       coalesce(c.n_cuts, 0) AS n_cuts,
+         |       coalesce(c.cuts_md5, md5('')) AS cuts_md5,
+         |       t.sad_total
+         |FROM documents d
+         |JOIN tot t ON t.doc_id = d.doc_id
+         |LEFT JOIN cuts c ON c.doc_id = d.doc_id""".stripMargin
     },
     "t01_token_stats" ->
       s"""SELECT doc_id, len($dToks) AS ws_tokens,

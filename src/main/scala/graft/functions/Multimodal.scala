@@ -346,6 +346,91 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "n_samples", "energy", "zero_crossings")
   }
 
+  /** Deterministic "video" frame for (`id`, frame `f`, scene `s`): pixel
+    * (x,y) has r=(id*7+s*97+x*3+y*5+f)%256, g=(id*11+s*131+x*13+y+2f)%256,
+    * b=(x*y+id+s*53+3f)%256 — the scene term jumps the whole image at a
+    * scene boundary while the f terms supply small within-scene "motion";
+    * encoded as a REAL PNG (lossless truecolor) via the JDK writer. */
+  private[graft] def encodeScenePng(id: Long, f: Int, s: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + s * 97L + x * 3 + y * 5 + f) % 256).toInt
+        val g = ((id * 11 + s * 131L + x * 13 + y + 2L * f) % 256).toInt
+        val b = ((x.toLong * y + id + s * 53L + 3L * f) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** m06's engine side: SCENE-CUT / KEYFRAME detection over a decoded
+    * frame sequence — the video-curation primitive (shot segmentation,
+    * keyframe selection for captioning/embedding). Per id: `frames`
+    * closed-form frames flow through REAL PNG encode → [[RealDecoder]]
+    * decode (`javax.imageio`), and consecutive decoded frames are compared
+    * by SAD (sum of absolute channel differences — the classic shot-cut
+    * statistic); a frame whose SAD against its predecessor exceeds
+    * `threshold` starts a new scene. Scene boundaries in the SYNTHESIZED
+    * stream come from the closed-form schedule (f>0 ∧ (id·13+f·29)%7=0),
+    * so the oracle can re-derive every pixel, every SAD and every cut —
+    * but the DETECTOR sees only decoded bytes, exactly as it would on real
+    * video.
+    *
+    * Scale shape: one mapPartitions, zero shuffles — each id's frame
+    * window is processed locally with two frames resident (prev, cur), so
+    * a 100 TB frame store splits by video and never widens; only the
+    * per-video summary rows move. */
+  def sceneCutStats(ids: DataFrame, idCol: String,
+                    frames: Int = 12, w: Int = 12, h: Int = 8,
+                    threshold: Long = 8000L): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          var s = 0
+          var prev: Array[Array[Byte]] = null
+          var sadTotal = 0L
+          val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var f = 0
+          while (f < frames) {
+            if (f > 0 && (id * 13 + f * 29L) % 7 == 0) s += 1
+            val dec = RealDecoder.decode(encodeScenePng(id, f, s, w, h), "image/png")
+            if (f > 0) {
+              var sad = 0L
+              var y = 0
+              while (y < dec.frameBytes.length) {
+                val cur = dec.frameBytes(y)
+                val prv = prev(y)
+                var i = 0
+                while (i < cur.length) {
+                  sad += math.abs((cur(i) & 0xFF) - (prv(i) & 0xFF))
+                  i += 1
+                }
+                y += 1
+              }
+              sadTotal += sad
+              if (sad > threshold) cuts += f
+            }
+            prev = dec.frameBytes
+            f += 1
+          }
+          val fp = md.digest(cuts.mkString(",").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, frames.toLong, cuts.length.toLong, fp, sadTotal)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_cuts", "cuts_md5", "sad_total")
+  }
+
   /** Frame sampling: keep every `every`-th frame, exploded to one row per
     * sampled frame — the shape of video-frame extraction at scale. */
   def sampleFrames(df: DataFrame, idCol: String, decoder: MediaDecoder, every: Int): DataFrame = {

@@ -79,4 +79,27 @@ object MultimodalQueries {
     Multimodal.audioFrameFeatures(
       Tables.documents(s, d).selectExpr("doc_id"), "doc_id",
       nSamples = M03Samples)
+
+  /** m06 frame-sequence dimensions + SAD cut threshold. Within-scene SAD
+    * is ≈ W·H·(1+2+3) + modular-wrap noise (≲ ~1500); a scene jump moves
+    * every channel by its scene coefficient (≈ 98+133+56 per pixel ≈
+    * 27000 total) — 8000 sits an order of magnitude inside both margins,
+    * and correctness never depends on the margin: engine and oracle apply
+    * the identical rule to identical integers. */
+  val M06Frames = 12
+  val M06Width = 12
+  val M06Height = 8
+  val M06CutThreshold = 8000L
+
+  /** m06: SCENE-CUT / KEYFRAME detection through the real codec — per
+    * document a 12-frame closed-form sequence (scene jumps on a
+    * deterministic schedule + small per-frame motion) is PNG-encoded,
+    * decoded back via `javax.imageio`, and segmented by the classic SAD
+    * shot-cut statistic over DECODED bytes only. The oracle re-derives
+    * every pixel, SAD and cut from the closed form in SQL. */
+  def m06SceneCuts(s: SparkSession, d: String): DataFrame =
+    Multimodal.sceneCutStats(
+      Tables.documents(s, d).selectExpr("doc_id"), "doc_id",
+      frames = M06Frames, w = M06Width, h = M06Height,
+      threshold = M06CutThreshold)
 }

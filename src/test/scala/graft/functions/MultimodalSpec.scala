@@ -167,4 +167,25 @@ class MultimodalSpec extends SparkSpec {
     val fp = md.digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(row.getAs[String]("px_fp") == fp)
   }
+
+  test("sceneCutStats: detector recovers exactly the scheduled scene boundaries, zero shuffles") {
+    import spark.implicits._
+    val frames = 12
+    val out = Multimodal.sceneCutStats(Seq(3L, 8L).toDF("doc_id"), "doc_id",
+      frames = frames, w = 12, h = 8, threshold = 8000L)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(3L, 8L).foreach { id =>
+      // the detector works from DECODED bytes only; the schedule is the
+      // ground truth it must rediscover through the PNG round trip
+      val expected = (1 until frames).filter(f => (id * 13 + f * 29L) % 7 == 0)
+      val r = rows(id)
+      assert(r.getAs[Long]("n_cuts") == expected.size.toLong, s"id=$id")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val fp = md.digest(expected.mkString(",").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("cuts_md5") == fp, s"id=$id cut positions")
+      assert(r.getAs[Long]("n_frames") == frames.toLong)
+      assert(r.getAs[Long]("sad_total") > 0L)
+    }
+  }
 }
