@@ -119,6 +119,8 @@ object SparkEntry {
     "a05_exact_quantiles" -> (RelationalQueries.a05ExactQuantiles _),
     "a06_heavy_hitters" -> (TextQueries.a06HeavyHitters _),
     "d13_semantic_dedup" -> (SimilarityQueries.d13SemanticDedup _),
+    "ts01_series_knn" -> (TimeSeriesQueries.ts01SeriesKnn _),
+    "ts02_paa_candidates" -> (TimeSeriesQueries.ts02PaaCandidates _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -1261,6 +1263,42 @@ object SparkEntry {
          |SELECT c.vec_id, c.cell, coalesce(p.pruned_by, c.vec_id) AS rep,
          |       CAST(CASE WHEN p.pruned_by IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM celled c LEFT JOIN p ON p.x = c.vec_id""".stripMargin,
+    // ts01/ts02 = per-user event-value series, ordered by (ts, event_id),
+    // first SeriesLen points; distances are dot(a,a)+dot(b,b)-2·dot(a,b)
+    // with the same sequential fold both engines use (bit-identical).
+    "ts01_series_knn" -> {
+      import TimeSeriesQueries.{SeriesLen => L, TsQueryUsers => Q}
+      s"""WITH ser AS (SELECT user_id, list(value ORDER BY ts, event_id)[1:$L] AS v
+         |             FROM events GROUP BY user_id HAVING COUNT(*) >= $L),
+         |q AS (SELECT user_id AS query_id, v AS qv FROM ser WHERE user_id < $Q),
+         |dd AS (SELECT query_id, s.user_id,
+         |         list_dot_product(qv, qv) + list_dot_product(s.v, s.v)
+         |           - 2 * list_dot_product(qv, s.v) AS dist
+         |       FROM q JOIN ser s ON s.user_id <> q.query_id),
+         |r AS (SELECT query_id, user_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, user_id) AS rk
+         |      FROM dd)
+         |SELECT query_id, user_id AS neighbor_id, dist FROM r WHERE rk = 1""".stripMargin
+    },
+    "ts02_paa_candidates" -> {
+      import TimeSeriesQueries.{SeriesLen => L, PaaSegments => S, PaaSegLen => G, PaaBucket => W}
+      val buckets = (0 until S).map { seg =>
+        val terms = (1 to G).map(i => s"v[${seg * G + i}]").mkString(" + ")
+        s"CAST(floor(($terms) / $G / $W) AS BIGINT) AS b$seg"
+      }.mkString(",\n|        ")
+      val joinCond = (0 until S).map(i => s"a.b$i = b.b$i").mkString(" AND ")
+      val wordCols = (0 until S).map(i => s"a.b$i").mkString(", ")
+      s"""WITH ser AS (SELECT user_id, list(value ORDER BY ts, event_id)[1:$L] AS v
+         |             FROM events GROUP BY user_id HAVING COUNT(*) >= $L),
+         |w AS (SELECT user_id, v,
+         |        $buckets
+         |      FROM ser)
+         |SELECT a.user_id AS a, b.user_id AS b,
+         |       concat_ws(',', $wordCols) AS word,
+         |       list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
+         |         - 2 * list_dot_product(a.v, b.v) AS dist
+         |FROM w a JOIN w b ON $joinCond AND a.user_id < b.user_id""".stripMargin
+    },
   )
 
   /** DuckDB mirror of [[graft.plans.TokensToHashBitset]]'s bit index: the

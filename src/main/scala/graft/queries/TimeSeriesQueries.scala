@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-series similarity over the per-user event-value sequences — the
+  * missing modality next to text (d/t), embeddings (s) and media (m):
+  * "find users whose metric trace looks like this one" powers anomaly
+  * triage, cohort discovery and trajectory search (cf. EDBT'19 streaming
+  * TS similarity; REPOSE ICDE'21 distributed trajectory top-k).
+  *
+  * Series construction is shared: each user's `value`s ordered by
+  * (ts, event_id), truncated to the first [[SeriesLen]] points, users with
+  * fewer points excluded. All distances are squared Euclidean computed as
+  * dot(a,a) + dot(b,b) − 2·dot(a,b) through the codegen'd
+  * [[graft.plans.VecDot]] fold — the identical operation order DuckDB's
+  * `list_dot_product` uses, so every double is bit-reproducible.
+  *
+  * Scale shapes:
+  *  - ts01 is the exact-search baseline: the query set is a broadcast
+  *    constant (5 rows), the corpus of series is scanned once and never
+  *    shuffled after its one groupBy; the top-1 is an AGGREGATE argmax
+  *    (q23 shape), not a sort.
+  *  - ts02 is the index path: a PAA word (4 segment means, bucket width
+  *    [[PaaBucket]]) is a narrow projection per series; candidates are
+  *    pairs sharing the word — an equi-join on the word key, the SAX-style
+  *    analogue of d03's LSH band join. Word granularity (segments ×
+  *    bucket width) tunes candidate volume exactly like band steepness;
+  *    exact distances are attached to every candidate in the same pass.
+  */
+object TimeSeriesQueries {
+  import Tables._
+
+  val SeriesLen = 16
+  val TsQueryUsers = 5
+  val PaaSegments = 4
+  val PaaSegLen: Int = SeriesLen / PaaSegments
+  val PaaBucket = 25
+
+  /** (user_id, v: array<double> of the first [[SeriesLen]] values in
+    * (ts, event_id) order) for users with at least [[SeriesLen]] events. */
+  private def series(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+      .filter(size(col("seq")) >= SeriesLen)
+      .selectExpr("user_id",
+        s"slice(transform(seq, x -> x.value), 1, $SeriesLen) AS v")
+  }
+
+  private val distExpr =
+    "vec_dot(qv, qv) + vec_dot(v, v) - 2 * vec_dot(qv, v)"
+
+  /** ts01: exact nearest-neighbor series search — for each broadcast query
+    * user (user_id < [[TsQueryUsers]]), the single closest OTHER user by
+    * squared Euclidean distance over the aligned series, ties to the
+    * smaller user_id via the aggregate-argmax struct ordering. */
+  def ts01SeriesKnn(s: SparkSession, d: String): DataFrame = {
+    val all = series(s, d)
+    val queries = broadcast(
+      all.filter(col("user_id") < TsQueryUsers)
+        .selectExpr("user_id AS query_id", "v AS qv"))
+    queries.crossJoin(all)
+      .filter(col("user_id") =!= col("query_id"))
+      .selectExpr("query_id", "user_id", s"$distExpr AS dist")
+      .groupBy("query_id")
+      .agg(min(struct(col("dist"), col("user_id"))).as("best"))
+      .selectExpr("query_id", "best.user_id AS neighbor_id", "best.dist AS dist")
+  }
+
+  /** The PAA word: per segment, mean of [[PaaSegLen]] consecutive values
+    * (division by 4 is exact in binary floating point), floored into
+    * [[PaaBucket]]-wide buckets. Spelled as EXPLICIT element additions so
+    * the fold order is pinned identically in Spark and the oracle. */
+  private def paaWordExprs: Seq[String] =
+    (0 until PaaSegments).map { seg =>
+      val terms = (1 to PaaSegLen)
+        .map(i => s"element_at(v, ${seg * PaaSegLen + i})")
+        .mkString(" + ")
+      s"CAST(floor(($terms) / $PaaSegLen / $PaaBucket) AS BIGINT) AS b$seg"
+    }
+
+  /** ts02: PAA-bucketed candidate pairs — the index path of series
+    * search: users sharing the full 4-symbol PAA word are candidates
+    * (equi-join on the word), each attached with its exact distance. */
+  def ts02PaaCandidates(s: SparkSession, d: String): DataFrame = {
+    val worded = series(s, d)
+      .selectExpr(Seq("user_id", "v") ++ paaWordExprs: _*)
+    val left = worded.selectExpr(
+      Seq("user_id AS a", "v AS qv") ++ (0 until PaaSegments).map(i => s"b$i"): _*)
+    val right = worded.selectExpr(
+      Seq("user_id AS b", "v") ++ (0 until PaaSegments).map(i => s"b$i AS rb$i"): _*)
+    val cond = (0 until PaaSegments)
+      .map(i => col(s"b$i") === col(s"rb$i"))
+      .reduce(_ && _) && col("a") < col("b")
+    left.join(right, cond)
+      .selectExpr("a", "b",
+        (0 until PaaSegments).map(i => s"b$i").mkString("concat_ws(',', ", ", ", ") AS word"),
+        s"$distExpr AS dist")
+  }
+}

@@ -307,6 +307,61 @@ object EventStreams {
       }
   }
 
+  final case class SceneState(nextIdx: Int, prev: Array[Byte], scenes: Int)
+  final case class SceneCutUpdate(video_id: Long, frame_idx: Int, sad: Long,
+                                  is_cut: Boolean, scene: Int)
+
+  /** Streaming SCENE-CUT twin of the batch m06 detector
+    * ([[graft.functions.Multimodal.sceneCutStats]]): decoded video frames
+    * arrive as (video_id, frame_idx, frame_bytes) rows — the shape a
+    * live-ingest decode stage emits — and each frame is scored against its
+    * predecessor with the same SAD statistic and threshold; a frame whose
+    * SAD exceeds the threshold opens a new scene. State per video is ONE
+    * frame (the previous one) plus two counters — bounded forever, however
+    * long the video runs, which is the property that lets shot
+    * segmentation run on an unbounded camera stream. Frames must arrive
+    * in index order per video (same ordered-source contract as
+    * [[trailingCounts]]); a gap or reorder fails loudly rather than
+    * silently mis-scoring, and frame sizes must match the open video's
+    * (fixed-dimension stream). Within a micro-batch frames sort by index,
+    * so any batch slicing yields identical output — pinned equal to the
+    * batch m06 kernel in StreamingSpec. */
+  def sceneCuts(spark: SparkSession, frames: DataFrame,
+                threshold: Long): Dataset[SceneCutUpdate] = {
+    import spark.implicits._
+    frames.selectExpr("video_id", "frame_idx", "frame")
+      .as[(Long, Int, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (vid: Long, rows: Iterator[(Long, Int, Array[Byte])], state: GroupState[SceneState]) =>
+          var st = state.getOption.getOrElse(SceneState(0, null, 0))
+          val out = Vector.newBuilder[SceneCutUpdate]
+          rows.toVector.sortBy(_._2).foreach { case (_, fi, bytes) =>
+            require(fi == st.nextIdx,
+              s"video $vid: frame $fi arrived, expected ${st.nextIdx} (ordered-stream contract)")
+            if (st.prev == null) {
+              out += SceneCutUpdate(vid, fi, 0L, is_cut = false, scene = 0)
+            } else {
+              require(bytes.length == st.prev.length,
+                s"video $vid: frame $fi size ${bytes.length} != ${st.prev.length}")
+              var sad = 0L
+              var i = 0
+              while (i < bytes.length) {
+                sad += math.abs((bytes(i) & 0xFF) - (st.prev(i) & 0xFF))
+                i += 1
+              }
+              val cut = sad > threshold
+              val scene = st.scenes + (if (cut) 1 else 0)
+              out += SceneCutUpdate(vid, fi, sad, cut, scene)
+              st = st.copy(scenes = scene)
+            }
+            st = SceneState(fi + 1, bytes, st.scenes)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class PackState(nextPos: Long)
   final case class PackedDoc(doc_id: Long, lang: String, n_tokens: Long, bin_id: Long)
 

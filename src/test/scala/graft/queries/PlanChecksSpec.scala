@@ -185,6 +185,22 @@ class PlanChecksSpec extends SparkSpec {
     assert(shuffles(p) <= 5, s"d13 grew shuffles (${shuffles(p)}):\n" + p.take(3000))
   }
 
+  test("ts01/ts02: series search — broadcast queries, word-keyed candidates") {
+    // ts01: the query set broadcasts against the series scan; top-1 is an
+    // aggregate argmax with map-side partials, never a global sort
+    val p1 = plan(TimeSeriesQueries.ts01SeriesKnn(spark, d))
+    assert(p1.contains("Broadcast"), p1.take(3000))
+    assert(p1.contains("partial_"), "ts01 argmax must partial-aggregate:\n" + p1.take(3000))
+    assert(!p1.contains("GlobalLimit") || !p1.contains("Sort"),
+      "top-1 must be an aggregate, not a sort+limit:\n" + p1.take(3000))
+    // ts02: candidates come from a true equi-join on the PAA word — the
+    // SAX analogue of d03's band join; never a cartesian pair scan
+    val p2 = plan(TimeSeriesQueries.ts02PaaCandidates(spark, d))
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      "ts02 must equi-join on the word key:\n" + p2.take(3000))
+    assert(shuffles(p2) <= 4, s"ts02 grew shuffles (${shuffles(p2)}):\n" + p2.take(3000))
+  }
+
   test("s05: quantization is a pure narrow projection (zero shuffles)") {
     val p = plan(SimilarityQueries.s05Quantize(spark, d))
     assert(shuffles(p) == 0, p.take(3000))

@@ -628,6 +628,55 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2L) == 1L)
   }
 
+  test("streaming scene cuts: pinned equal to the batch m06 kernel across batch slicing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.Multimodal
+    val (frames, w, h, threshold) = (12, 12, 8, 8000L)
+    // decoded closed-form frames (the real-PNG round trip batch m06 runs),
+    // flattened scanlines — the payload a live decode stage would emit
+    def decodedFrames(id: Long): Seq[(Long, Int, Array[Byte])] = {
+      var s = 0
+      (0 until frames).map { f =>
+        if (f > 0 && (id * 13 + f * 29L) % 7 == 0) s += 1
+        val dec = Multimodal.RealDecoder.decode(
+          Multimodal.encodeScenePng(id, f, s, w, h), "image/png")
+        (id, f, dec.frameBytes.flatten.toArray)
+      }
+    }
+    val input = MemoryStream[(Long, Int, Array[Byte])]
+    val df = input.toDF().toDF("video_id", "frame_idx", "frame")
+    val cuts = EventStreams.sceneCuts(spark, df, threshold)
+    val q = cuts.writeStream.format("memory").queryName("scenecuts")
+      .outputMode("append").start()
+    // split each video MID-SEQUENCE across micro-batches: state (prev
+    // frame + counters) must carry over
+    val v3 = decodedFrames(3L)
+    val v8 = decodedFrames(8L)
+    input.addData(v3.take(5) ++ v8.take(7): _*)
+    q.processAllAvailable()
+    input.addData(v3.drop(5) ++ v8.drop(7): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT video_id, frame_idx, is_cut, sad FROM scenecuts").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getBoolean(2), r.getLong(3))).toMap
+    assert(got.size == 2 * frames)
+    // batch twin: the m06 kernel over the same ids
+    val batch = Multimodal.sceneCutStats(Seq(3L, 8L).toDF("doc_id"), "doc_id",
+      frames = frames, w = w, h = h, threshold = threshold).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(3L, 8L).foreach { id =>
+      val streamCuts = (1 until frames).filter(f => got((id, f))._1)
+      assert(streamCuts.size.toLong == batch(id).getAs[Long]("n_cuts"), s"id=$id")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val fp = md.digest(streamCuts.mkString(",").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(fp == batch(id).getAs[String]("cuts_md5"), s"id=$id cut positions")
+      val sadTotal = (1 until frames).map(f => got((id, f))._2).sum
+      assert(sadTotal == batch(id).getAs[Long]("sad_total"), s"id=$id sad_total")
+    }
+  }
+
   test("observed metrics: segment-copy sensors flow to the listener") {
     val collector = Metrics.register(spark)
     val in = Files.createTempDirectory("graft-obs-in").toString
