@@ -21,6 +21,16 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache backs every encode/decode with a TEMP
+    * FILE on disk — at 60k codec calls per bench pass that is 60k file
+    * create/write/delete cycles of pure overhead. Heap-backed streams are
+    * strictly better for the small frames this engine handles; referenced
+    * (once per JVM) from every codec entry point. */
+  private lazy val imageIoNoDiskCache: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
   /** Typed media column: payload + envelope metadata. */
   val mediaType: StructType = StructType(Seq(
     StructField("bytes", BinaryType, nullable = true),
@@ -58,6 +68,7 @@ object Multimodal {
     * `nFrames`. */
   object JdkImageDecoder extends MediaDecoder {
     def decode(bytes: Array[Byte], mime: String): DecodedFrames = {
+      imageIoNoDiskCache
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, s"javax.imageio cannot decode this payload (mime '$mime')")
       val w = img.getWidth
@@ -165,6 +176,7 @@ object Multimodal {
     * as a REAL PNG via the JDK writer. PNG truecolor is lossless, so the
     * decoded channel sums equal the closed form the oracle computes. */
   private[graft] def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    imageIoNoDiskCache
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -346,12 +358,58 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "n_samples", "energy", "zero_crossings")
   }
 
-  /** Deterministic "video" frame for (`id`, frame `f`, scene `s`): pixel
-    * (x,y) has r=(id*7+s*97+x*3+y*5+f)%256, g=(id*11+s*131+x*13+y+2f)%256,
-    * b=(x*y+id+s*53+3f)%256 — the scene term jumps the whole image at a
-    * scene boundary while the f terms supply small within-scene "motion";
-    * encoded as a REAL PNG (lossless truecolor) via the JDK writer. */
-  private[graft] def encodeScenePng(id: Long, f: Int, s: Int, w: Int, h: Int): Array[Byte] = {
+  /** Reusable PNG round-trip codec for frame-sequence workloads: one
+    * `ImageWriter`/`ImageReader` pair per instance (one per TASK) instead
+    * of `ImageIO.write/read`'s per-call service-provider lookup — the
+    * per-frame fixed overhead dominates at 12 frames × every video (the
+    * bench measured the lookup+dispose cycle at roughly half of m06's
+    * runtime). NOT thread-safe; create per partition, `close()` when the
+    * iterator drains. Byte-compatible with the one-shot
+    * [[JdkImageDecoder]]/`ImageIO.write` path (same codec plugins
+    * underneath) — asserted in MultimodalSpec. */
+  private[graft] final class PngRoundTrip {
+    imageIoNoDiskCache
+    private val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    private val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.close()
+      bos.toByteArray
+    }
+    /** Decode to [[JdkImageDecoder]]'s scanline-frame layout. */
+    def decodeRows(bytes: Array[Byte]): Array[Array[Byte]] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis)
+      val img = reader.read(0)
+      iis.close()
+      val w = img.getWidth
+      val h = img.getHeight
+      val rows = new Array[Array[Byte]](h)
+      var y = 0
+      while (y < h) {
+        val row = new Array[Byte](w * 3)
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          row(x * 3) = ((p >> 16) & 0xFF).toByte
+          row(x * 3 + 1) = ((p >> 8) & 0xFF).toByte
+          row(x * 3 + 2) = (p & 0xFF).toByte
+          x += 1
+        }
+        rows(y) = row
+        y += 1
+      }
+      rows
+    }
+    def close(): Unit = { writer.dispose(); reader.dispose() }
+  }
+
+  /** The scene-frame pixel raster for (`id`, frame `f`, scene `s`) — see
+    * [[encodeScenePng]] for the closed form. */
+  private[graft] def sceneFrameImage(id: Long, f: Int, s: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -365,8 +423,18 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** Deterministic "video" frame for (`id`, frame `f`, scene `s`): pixel
+    * (x,y) has r=(id*7+s*97+x*3+y*5+f)%256, g=(id*11+s*131+x*13+y+2f)%256,
+    * b=(x*y+id+s*53+3f)%256 — the scene term jumps the whole image at a
+    * scene boundary while the f terms supply small within-scene "motion";
+    * encoded as a REAL PNG (lossless truecolor) via the JDK writer. */
+  private[graft] def encodeScenePng(id: Long, f: Int, s: Int, w: Int, h: Int): Array[Byte] = {
+    imageIoNoDiskCache
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(sceneFrameImage(id, f, s, w, h), "png", bos)
     bos.toByteArray
   }
 
@@ -395,7 +463,11 @@ object Multimodal {
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { id =>
+        // one writer/reader pair per TASK (the per-call ImageIO service
+        // lookup was ~half of this operator's runtime); byte-compatible
+        // with the one-shot path, spec-asserted
+        val codec = new PngRoundTrip
+        val out = it.map { id =>
           var s = 0
           var prev: Array[Array[Byte]] = null
           var sadTotal = 0L
@@ -403,12 +475,12 @@ object Multimodal {
           var f = 0
           while (f < frames) {
             if (f > 0 && (id * 13 + f * 29L) % 7 == 0) s += 1
-            val dec = RealDecoder.decode(encodeScenePng(id, f, s, w, h), "image/png")
+            val rows = codec.decodeRows(codec.encode(sceneFrameImage(id, f, s, w, h)))
             if (f > 0) {
               var sad = 0L
               var y = 0
-              while (y < dec.frameBytes.length) {
-                val cur = dec.frameBytes(y)
+              while (y < rows.length) {
+                val cur = rows(y)
                 val prv = prev(y)
                 var i = 0
                 while (i < cur.length) {
@@ -420,12 +492,16 @@ object Multimodal {
               sadTotal += sad
               if (sad > threshold) cuts += f
             }
-            prev = dec.frameBytes
+            prev = rows
             f += 1
           }
           val fp = md.digest(cuts.mkString(",").getBytes("UTF-8"))
             .map("%02x".format(_)).mkString
           (id, frames.toLong, cuts.length.toLong, fp, sadTotal)
+        }
+        new Iterator[(Long, Long, Long, String, Long)] {
+          def hasNext: Boolean = { val h = out.hasNext; if (!h) codec.close(); h }
+          def next(): (Long, Long, Long, String, Long) = out.next()
         }
       }
       .toDF("doc_id", "n_frames", "n_cuts", "cuts_md5", "sad_total")

