@@ -82,7 +82,8 @@ object MultimodalQueries {
     * verified per frame, not just in aggregate. */
   def m05AudioFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.audioFrameFeatures(
-      Tables.documents(s, d).selectExpr("doc_id"), "doc_id",
+      Tables.documents(s, d).selectExpr("doc_id")
+        .repartition(s.sparkContext.defaultParallelism), "doc_id",
       nSamples = M03Samples)
 
   /** m06 frame-sequence dimensions + SAD cut threshold. Within-scene SAD

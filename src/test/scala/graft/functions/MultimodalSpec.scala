@@ -184,6 +184,17 @@ class MultimodalSpec extends SparkSpec {
     } finally codec.close()
   }
 
+  test("WavRoundTrip SPI-bound codec is byte-equivalent to the AudioSystem facade path") {
+    val codec = new Multimodal.WavRoundTrip
+    for (id <- Seq(0L, 9L, 321L)) {
+      val pcm = Multimodal.pcmFor(id, 777)
+      val viaSpi = codec.encode(pcm, 777)
+      val viaFacade = Multimodal.encodeWav(id, 777)
+      assert(java.util.Arrays.equals(viaSpi, viaFacade), s"id=$id container bytes")
+      assert(java.util.Arrays.equals(codec.decodePcm(viaFacade), pcm), s"id=$id pcm round trip")
+    }
+  }
+
   test("sceneCutStats: detector recovers exactly the scheduled scene boundaries, zero shuffles") {
     import spark.implicits._
     val frames = 12
