@@ -185,6 +185,16 @@ class PlanChecksSpec extends SparkSpec {
     assert(shuffles(p) <= 5, s"d13 grew shuffles (${shuffles(p)}):\n" + p.take(3000))
   }
 
+  test("a06: the MG sketch partial-aggregates map-side (O(k) bytes per partition move)") {
+    val p = plan(TextQueries.a06HeavyHitters(spark, d))
+    // the sketch is a TypedImperativeAggregate → ObjectHashAggregate with
+    // a partial stage; if it ever degraded to a final-only aggregate the
+    // exchange would move raw items instead of k counters
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(p.contains("partial_mg_sketch"),
+      "mg_sketch must reduce map-side:\n" + p.take(3000))
+  }
+
   test("ts01/ts02: series search — broadcast queries, word-keyed candidates") {
     // ts01: the query set broadcasts against the series scan; top-1 is an
     // aggregate argmax with map-side partials, never a global sort
