@@ -121,6 +121,7 @@ object SparkEntry {
     "d13_semantic_dedup" -> (SimilarityQueries.d13SemanticDedup _),
     "ts01_series_knn" -> (TimeSeriesQueries.ts01SeriesKnn _),
     "ts02_paa_candidates" -> (TimeSeriesQueries.ts02PaaCandidates _),
+    "ts03_motif" -> (TimeSeriesQueries.ts03Motif _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -1298,6 +1299,28 @@ object SparkEntry {
          |       list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
          |         - 2 * list_dot_product(a.v, b.v) AS dist
          |FROM w a JOIN w b ON $joinCond AND a.user_id < b.user_id""".stripMargin
+    },
+    // ts03 = per-user motif: closest non-overlapping window pair, min by
+    // (dist, i, j) — the engine kernel's strict-< first-hit scan in
+    // row-major (i, j) order is exactly this ordering.
+    "ts03_motif" -> {
+      import TimeSeriesQueries.{MotifSeriesLen => L, MotifLen => M}
+      val w = L - M + 1
+      s"""WITH ser AS (SELECT user_id, list(value ORDER BY ts, event_id)[1:$L] AS v
+         |             FROM events GROUP BY user_id HAVING COUNT(*) >= $L),
+         |w AS (SELECT user_id, v, unnest(generate_series(0, ${w - 1})) AS i FROM ser),
+         |p AS (SELECT a.user_id, a.i, b.i AS j, a.v
+         |      FROM w a JOIN w b ON a.user_id = b.user_id AND b.i >= a.i + $M),
+         |dd AS (SELECT user_id, i, j,
+         |         list_dot_product(v[i+1:i+$M], v[i+1:i+$M])
+         |         + list_dot_product(v[j+1:j+$M], v[j+1:j+$M])
+         |         - 2 * list_dot_product(v[i+1:i+$M], v[j+1:j+$M]) AS dist
+         |       FROM p),
+         |r AS (SELECT user_id, i, j, dist,
+         |        row_number() OVER (PARTITION BY user_id ORDER BY dist, i, j) AS rk
+         |      FROM dd)
+         |SELECT user_id, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, dist
+         |FROM r WHERE rk = 1""".stripMargin
     },
   )
 

@@ -81,6 +81,64 @@ object TimeSeriesQueries {
       s"CAST(floor(($terms) / $PaaSegLen / $PaaBucket) AS BIGINT) AS b$seg"
     }
 
+  val MotifSeriesLen = 48
+  val MotifLen = 8
+
+  /** ts03: MOTIF discovery — the matrix-profile primitive (UCR/Keogh
+    * family): within each user's OWN series, the closest pair of
+    * non-overlapping [[MotifLen]]-windows (repeated behavior = recurring
+    * load pattern, periodic job, replayed session). For each user with ≥
+    * [[MotifSeriesLen]] points: all window pairs (i, j) with j − i ≥
+    * [[MotifLen]] are scored by squared Euclidean distance (same
+    * three-dot-product fold as ts01), min by (dist, i, j).
+    *
+    * Scale shape: after the one series groupBy, the all-pairs scan is
+    * PER-USER LOCAL — a narrow `mapPartitions` kernel with O(w²·m) work
+    * per user and zero additional exchanges; a billion users parallelize
+    * perfectly because no window ever crosses a user boundary. (The full
+    * matrix-profile's O(w²)→O(w·log w) FFT refinements drop in per-task
+    * without changing the plan.) */
+  def ts03Motif(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = MotifLen
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+      .filter(size(col("seq")) >= MotifSeriesLen)
+      .selectExpr("user_id",
+        s"slice(transform(seq, x -> x.value), 1, $MotifSeriesLen) AS v")
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (uid, v) =>
+          val w = v.length - m + 1
+          var bestDist = Double.MaxValue
+          var bestI = -1
+          var bestJ = -1
+          var i = 0
+          while (i < w) {
+            var j = i + m // non-overlapping only
+            while (j < w) {
+              // dist = dot(a,a) + dot(b,b) - 2*dot(a,b), each a sequential
+              // fold over the window — the exact op order the oracle runs
+              var aa = 0.0; var bb = 0.0; var ab = 0.0
+              var t = 0
+              while (t < m) {
+                val a = v(i + t); val b = v(j + t)
+                aa += a * a; bb += b * b; ab += a * b
+                t += 1
+              }
+              val dist = aa + bb - 2 * ab
+              if (dist < bestDist) { bestDist = dist; bestI = i; bestJ = j }
+              j += 1
+            }
+            i += 1
+          }
+          (uid, bestI.toLong, bestJ.toLong, bestDist)
+        }
+      }
+      .toDF("user_id", "i", "j", "dist")
+  }
+
   /** ts02: PAA-bucketed candidate pairs — the index path of series
     * search: users sharing the full 4-symbol PAA word are candidates
     * (equi-join on the word), each attached with its exact distance. */

@@ -71,6 +71,39 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  test("streaming aggregation: the sketch's bounds hold across micro-batches (state-store merge path)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val k = 4
+    val items = (1 to 900).map(i => if (i % 3 == 0) "hot" else s"cold${i % 29}")
+    val input = MemoryStream[String]
+    val agg = input.toDF().toDF("item")
+      .agg(expr(s"mg_sketch(item, $k)").as("sk"), count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("mgstream")
+      .outputMode("complete").start()
+    items.grouped(250).foreach { batch =>
+      input.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val row = spark.sql("SELECT sk, n FROM mgstream").collect()(0)
+    val sk = row.getMap[String, Long](0).toMap
+    val n = row.getLong(1)
+    assert(n == items.size.toLong)
+    assert(sk.size <= k)
+    // the streamed sketch accumulated across FOUR micro-batches through
+    // the state store; the merge-tree-independent guarantees must survive
+    val exact = items.groupBy(identity).map { case (i, xs) => i -> xs.size.toLong }
+    val budget = n / (k + 1)
+    exact.foreach { case (item, c) =>
+      val e = sk.getOrElse(item, 0L)
+      assert(e <= c && e >= c - budget, s"$item: e=$e c=$c budget=$budget")
+      if (c * (k + 1) > n) assert(sk.contains(item), s"heavy hitter $item absent")
+    }
+  }
+
   test("a06 gate: both streams' guarantee flags are 1 and exact counts match SQL") {
     val d = "/root/testdata/sf0.001"
     val rows = graft.queries.TextQueries.a06HeavyHitters(spark, d).collect()
