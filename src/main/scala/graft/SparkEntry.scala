@@ -122,6 +122,7 @@ object SparkEntry {
     "ts01_series_knn" -> (TimeSeriesQueries.ts01SeriesKnn _),
     "ts02_paa_candidates" -> (TimeSeriesQueries.ts02PaaCandidates _),
     "ts03_motif" -> (TimeSeriesQueries.ts03Motif _),
+    "ts04_seasonality" -> (TimeSeriesQueries.ts04Seasonality _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -1320,6 +1321,26 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY user_id ORDER BY dist, i, j) AS rk
          |      FROM dd)
          |SELECT user_id, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, dist
+         |FROM r WHERE rk = 1""".stripMargin
+    },
+    // ts04 = integer-exact autocovariance: values quantize to cents, the
+    // mean-centered covariance runs scale-free over integers (n·v − S
+    // form), integer sums are order-independent — no fold pinning needed.
+    "ts04_seasonality" -> {
+      import TimeSeriesQueries.{MotifSeriesLen => N, AcfMaxLag => K}
+      s"""WITH ser AS (SELECT user_id,
+         |               list(CAST(round(value * 100) AS BIGINT) ORDER BY ts, event_id)[1:$N] AS v
+         |             FROM events GROUP BY user_id HAVING COUNT(*) >= $N),
+         |s AS (SELECT user_id, v, list_sum(v) AS sv FROM ser),
+         |l AS (SELECT user_id, v, sv, unnest(generate_series(1, $K)) AS lag FROM s),
+         |tt AS (SELECT user_id, lag, v, sv, unnest(generate_series(0, $N - 1 - lag)) AS t FROM l),
+         |c AS (SELECT user_id, lag,
+         |        CAST(SUM(($N * v[t + 1] - sv) * ($N * v[t + lag + 1] - sv)) AS BIGINT) AS cov
+         |      FROM tt GROUP BY 1, 2),
+         |r AS (SELECT user_id, lag, cov,
+         |        row_number() OVER (PARTITION BY user_id ORDER BY cov DESC, lag) AS rk
+         |      FROM c)
+         |SELECT user_id, CAST(lag AS BIGINT) AS best_lag, cov AS best_cov
          |FROM r WHERE rk = 1""".stripMargin
     },
   )

@@ -139,6 +139,58 @@ object TimeSeriesQueries {
       .toDF("user_id", "i", "j", "dist")
   }
 
+  val AcfMaxLag = 12
+
+  /** ts04: SEASONALITY detection by autocovariance — per user, the
+    * dominant lag in 1..[[AcfMaxLag]] of their [[MotifSeriesLen]]-point
+    * series (periodic workload / retry-storm cadence / weekly-cycle
+    * detection). INTEGER-EXACT in the house style: values quantize to
+    * cents (`round(value·100)` — deterministic, same double op both
+    * engines), and the mean-centered covariance is computed scale-free as
+    * cov(L) = Σ_t (n·v[t] − S)(n·v[t+L] − S) with S = Σv (n² times the
+    * usual estimator — argmax-invariant, and every intermediate fits a
+    * Long with 10⁴× headroom). Integer sums are order-independent, so no
+    * fold-order pinning is needed anywhere. Dominant lag = argmax cov,
+    * ties to the smaller lag.
+    *
+    * Scale shape: identical to ts03 — after the one series groupBy the
+    * lag scan is per-user local (O(w·maxLag) per user), a narrow
+    * mapPartitions kernel, zero further exchanges. */
+  def ts04Seasonality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = MotifSeriesLen
+    val maxLag = AcfMaxLag
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+      .filter(size(col("seq")) >= n)
+      .selectExpr("user_id",
+        s"slice(transform(seq, x -> CAST(round(x.value * 100) AS BIGINT)), 1, $n) AS v")
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.map { case (uid, v) =>
+          var sv = 0L
+          var i = 0
+          while (i < v.length) { sv += v(i); i += 1 }
+          var bestLag = 0
+          var bestCov = Long.MinValue
+          var lag = 1
+          while (lag <= maxLag) {
+            var cov = 0L
+            var t = 0
+            while (t < v.length - lag) {
+              cov += (v.length * v(t) - sv) * (v.length * v(t + lag) - sv)
+              t += 1
+            }
+            if (cov > bestCov) { bestCov = cov; bestLag = lag }
+            lag += 1
+          }
+          (uid, bestLag.toLong, bestCov)
+        }
+      }
+      .toDF("user_id", "best_lag", "best_cov")
+  }
+
   /** ts02: PAA-bucketed candidate pairs — the index path of series
     * search: users sharing the full 4-symbol PAA word are candidates
     * (equi-join on the word), each attached with its exact distance. */

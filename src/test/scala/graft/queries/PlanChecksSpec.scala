@@ -209,6 +209,14 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
       "ts02 must equi-join on the word key:\n" + p2.take(3000))
     assert(shuffles(p2) <= 4, s"ts02 grew shuffles (${shuffles(p2)}):\n" + p2.take(3000))
+    // ts03/ts04: after the one series groupBy the window/lag scans are
+    // per-user LOCAL kernels — exactly one exchange, no join of any kind
+    Seq(TimeSeriesQueries.ts03Motif(spark, d) -> "ts03",
+        TimeSeriesQueries.ts04Seasonality(spark, d) -> "ts04").foreach { case (df, nm) =>
+      val p = plan(df)
+      assert(shuffles(p) == 1, s"$nm must shuffle only for the series groupBy:\n" + p.take(3000))
+      assert(!p.contains("Join"), s"$nm kernels are per-user local:\n" + p.take(3000))
+    }
   }
 
   test("s05: quantization is a pure narrow projection (zero shuffles)") {
