@@ -123,6 +123,7 @@ object SparkEntry {
     "ts02_paa_candidates" -> (TimeSeriesQueries.ts02PaaCandidates _),
     "ts03_motif" -> (TimeSeriesQueries.ts03Motif _),
     "ts04_seasonality" -> (TimeSeriesQueries.ts04Seasonality _),
+    "p02_semantic_curation" -> (SimilarityQueries.p02SemanticCuration _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -1246,7 +1247,20 @@ object SparkEntry {
     // anchors, ties to the first) + within-cell greedy keeper — a vector
     // is dropped iff a smaller-id same-cell vector is within the cosine
     // threshold; rep = the smallest such pruner (self when kept).
-    "d13_semantic_dedup" ->
+    "d13_semantic_dedup" -> d13Sql,
+    // p02 = cross-modal curation: d13's embedding-space keepers ∩ the t02
+    // quality gate at p01's thresholds, joined on the shared doc id.
+    "p02_semantic_curation" ->
+      s"""WITH d13 AS ($d13Sql), q AS ($t02Sql)
+         |SELECT d13.vec_id AS doc_id, d13.cell, q.n_tokens, q.ttr
+         |FROM d13 JOIN q ON q.doc_id = d13.vec_id
+         |WHERE d13.keep = 1
+         |  AND q.n_tokens >= ${TextQueries.CleanMinTokens}
+         |  AND q.ttr >= ${TextQueries.CleanMinTtr}""".stripMargin,
+  ) ++ tsOracles
+
+  // SemDeDup oracle, shared by d13 and p02.
+  private def d13Sql: String =
       s"""WITH $dNrmCte,
          |anch AS (SELECT vec_id - ${SimilarityQueries.AnchorFrom} AS anchor_id, v AS av, nrm AS anrm
          |         FROM nrm WHERE vec_id >= ${SimilarityQueries.AnchorFrom}
@@ -1264,7 +1278,10 @@ object SparkEntry {
          |      GROUP BY a.vec_id)
          |SELECT c.vec_id, c.cell, coalesce(p.pruned_by, c.vec_id) AS rep,
          |       CAST(CASE WHEN p.pruned_by IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
-         |FROM celled c LEFT JOIN p ON p.x = c.vec_id""".stripMargin,
+         |FROM celled c LEFT JOIN p ON p.x = c.vec_id""".stripMargin
+
+  // The time-series family's oracles, split out of the main literal.
+  private def tsOracles: Map[String, String] = Map(
     // ts01/ts02 = per-user event-value series, ordered by (ts, event_id),
     // first SeriesLen points; distances are dot(a,a)+dot(b,b)-2·dot(a,b)
     // with the same sequential fold both engines use (bit-identical).

@@ -601,6 +601,30 @@ object SimilarityQueries {
         "CAST(CASE WHEN pruned_by IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep")
   }
 
+  /** p02: CROSS-MODAL curation — the composition a multimodal corpus
+    * actually ships through: the TEXT quality gate (t02 thresholds, the
+    * p01 bar) ∩ the EMBEDDING-space semantic keepers (d13's SemDeDup
+    * greedy survivors), joined on the shared document id. This is the
+    * step where a modality-specific signal (embedding near-duplication)
+    * prunes documents whose TEXT looks fine — exactly what SemDeDup adds
+    * over pure text dedup.
+    *
+    * Scale shape: both legs keep their own locked plans (d13's cell
+    * equi-join, t02's narrow projection); the final join co-keys on
+    * doc_id and moves only (id, cell) + three quality columns — at 100 TB
+    * the keeper set is the small side and broadcasts. */
+  def p02SemanticCuration(s: SparkSession, d: String): DataFrame = {
+    val keepers = d13SemanticDedup(s, d)
+      .filter(col("keep") === 1L)
+      .selectExpr("vec_id AS doc_id", "cell")
+    val quality = TextQueries.t02Quality(s, d)
+      .filter(col("n_tokens") >= TextQueries.CleanMinTokens &&
+        col("ttr") >= TextQueries.CleanMinTtr)
+      .select("doc_id", "n_tokens", "ttr")
+    keepers.join(quality, "doc_id")
+      .select(col("doc_id"), col("cell"), col("n_tokens"), col("ttr"))
+  }
+
   def s03AnnLsh(s: SparkSession, d: String): DataFrame = {
     val bucketed = normed(s, d).crossJoin(broadcast(anchorsRow(s, d)))
       .selectExpr("vec_id", "v", "nrm", s"($bucketExpr) AS bucket")
