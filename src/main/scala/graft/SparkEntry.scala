@@ -76,6 +76,7 @@ object SparkEntry {
     "m04_image_resize" -> (MultimodalQueries.m04ImageResize _),
     "m05_audio_features" -> (MultimodalQueries.m05AudioFeatures _),
     "m06_scene_cuts" -> (MultimodalQueries.m06SceneCuts _),
+    "m07_phash_neardup" -> (MultimodalQueries.m07PhashNearDup _),
     "s01_ann_topk" -> (SimilarityQueries.s01AnnTopK _),
     "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
     "s03_ann_lsh" -> (SimilarityQueries.s03AnnLsh _),
@@ -606,6 +607,37 @@ object SparkEntry {
          |       md5(string_agg(CAST(r2 AS VARCHAR) || ',' || CAST(g2 AS VARCHAR) || ',' ||
          |                      CAST(b2 AS VARCHAR), ',' ORDER BY y, x)) AS px_fp
          |FROM v GROUP BY doc_id""".stripMargin
+    },
+    // m07 = dHash near-dup: the oracle recomputes the box-averaged cells
+    // (m04's verified floor-average closed form), luminance gradient
+    // signs → the 42-bit hash, then the d09-style exact Hamming pair scan
+    // and per-image summary. The ENGINE gets the same bits from real
+    // PNG decode + banded joins; agreement proves codec + banding.
+    "m07_phash_neardup" -> {
+      import MultimodalQueries.{M03Width => W, M03Height => H, PhashHammingMax => T}
+      val (ow, oh) = (W / 2, H / 2)
+      def ch(f: (String, String) => String): String =
+        s"(${f("2*x", "2*y")} + ${f("2*x+1", "2*y")} + ${f("2*x", "2*y+1")} + ${f("2*x+1", "2*y+1")}) // 4"
+      val r2 = ch((x, y) => s"(doc_id*7 + ($x)*3 + ($y)*5) % 256")
+      val g2 = ch((x, y) => s"(doc_id*11 + ($x)*13 + ($y)) % 256")
+      val b2 = ch((x, y) => s"(($x)*($y) + doc_id) % 256")
+      s"""WITH px AS (SELECT doc_id, unnest(generate_series(0, ${ow - 1})) AS x FROM documents),
+         |pxy AS (SELECT doc_id, x, unnest(generate_series(0, ${oh - 1})) AS y FROM px),
+         |v AS (SELECT doc_id, x, y, ($r2) + ($g2) + ($b2) AS gray FROM pxy),
+         |bits AS (SELECT a.doc_id, a.x, a.y,
+         |           CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+         |         FROM v a JOIN v b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+         |         WHERE a.x < ${ow - 1}),
+         |ph AS (SELECT doc_id,
+         |         CAST(SUM(CAST(bit AS BIGINT) << (y * ${ow - 1} + x)) AS BIGINT) AS phash
+         |       FROM bits GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS x1, b.doc_id AS y1
+         |      FROM ph a JOIN ph b ON a.doc_id <> b.doc_id
+         |      WHERE bit_count(xor(a.phash, b.phash)) <= $T)
+         |SELECT s.doc_id, s.phash, COUNT(p.y1) AS n_near,
+         |       CAST(least(coalesce(MIN(p.y1), s.doc_id), s.doc_id) AS BIGINT) AS rep
+         |FROM ph s LEFT JOIN p ON p.x1 = s.doc_id
+         |GROUP BY s.doc_id, s.phash""".stripMargin
     },
     // m05: every frame's features recomputed from the closed-form waveform
     // — block-local zero crossings (off > 0 mirrors the engine's n > 0

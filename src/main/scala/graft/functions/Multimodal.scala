@@ -579,6 +579,48 @@ object Multimodal {
       .toDF("doc_id", "n_frames", "n_cuts", "cuts_md5", "sad_total")
   }
 
+  /** m07's engine side: the dHash PERCEPTUAL fingerprint over the real
+    * decode path — decode the closed-form PNG (`javax.imageio` via the
+    * per-task [[PngRoundTrip]]), 2×2 box-downsample ([[boxDownsample2x]],
+    * m04's verified kernel), then the difference hash: cell luminance =
+    * r+g+b, bit (X,Y) = gray(X,Y) > gray(X+1,Y), bit index Y·(ow−1)+X —
+    * a (w/2−1)·(h/2) = 42-bit signature at the default geometry. dHash is
+    * THE standard cheap image near-dup fingerprint (gradient signs
+    * survive re-encode/resize/brightness shifts); downstream it plugs
+    * into exactly the d09 banded-Hamming join. One narrow mapPartitions,
+    * zero shuffles. */
+  def imagePhash(ids: DataFrame, idCol: String, w: Int = 16, h: Int = 12): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val png = new PngRoundTrip
+        val out = it.map { id =>
+          val rz = boxDownsample2x(png.decodeRows(png.encode(m03Image(id, w, h))))
+          val oh = rz.length
+          val ow = if (oh == 0) 0 else rz(0).length / 3
+          def gray(x: Int, y: Int): Int = {
+            val r = rz(y)
+            (r(3 * x) & 0xFF) + (r(3 * x + 1) & 0xFF) + (r(3 * x + 2) & 0xFF)
+          }
+          var hash = 0L
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow - 1) {
+              if (gray(x, y) > gray(x + 1, y))
+                hash |= 1L << (y * (ow - 1) + x)
+              x += 1
+            }
+            y += 1
+          }
+          (id, hash)
+        }
+        closeOnDrain(out)(png.close())
+      }
+      .toDF("doc_id", "phash")
+  }
+
   /** Frame sampling: keep every `every`-th frame, exploded to one row per
     * sampled frame — the shape of video-frame extraction at scale. */
   def sampleFrames(df: DataFrame, idCol: String, decoder: MediaDecoder, every: Int): DataFrame = {

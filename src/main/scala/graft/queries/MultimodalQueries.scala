@@ -116,4 +116,51 @@ object MultimodalQueries {
         .repartition(s.sparkContext.defaultParallelism), "doc_id",
       frames = M06Frames, w = M06Width, h = M06Height,
       threshold = M06CutThreshold)
+
+  /** m07's Hamming radius over the 42-bit dHash. Bands 11+11+10+10 bits:
+    * four DISJOINT blocks are a complete pigeonhole cover for ≤ 3 flips. */
+  val PhashHammingMax = 3
+
+  /** m07: IMAGE near-duplicate detection by perceptual hash — the
+    * multimodal leg of the dedup family: dHash fingerprints from the REAL
+    * decode path ([[Multimodal.imagePhash]]: PNG → box-resize → luminance
+    * gradient signs), then exactly d09's banded-Hamming machinery — a
+    * pair is a candidate iff some band matches (pigeonhole-complete for
+    * the radius), emitted from its FIRST shared band (no distinct
+    * exchange), verified by codegen'd `bit_count(a ^ b)`, summarized per
+    * image (n_near, smallest near-dup rep). This is how a 100 TB image
+    * store finds re-encodes/resizes without any pairwise pixel scan:
+    * signatures-only joins, the pixel data is read exactly once. */
+  def m07PhashNearDup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sig = Multimodal.imagePhash(
+        Tables.documents(s, d).selectExpr("doc_id")
+          .repartition(s.sparkContext.defaultParallelism), "doc_id",
+        w = M03Width, h = M03Height)
+      .localCheckpoint(true)
+    val bands = sig.selectExpr("doc_id", "phash",
+      """stack(4, 0L, phash & 2047,
+        |         1L, shiftright(phash, 11) & 2047,
+        |         2L, shiftright(phash, 22) & 1023,
+        |         3L, shiftright(phash, 32) & 1023) AS (band, bkey)""".stripMargin)
+    val a = bands.toDF("a", "pha", "band", "bkey")
+    val b = bands.toDF("b", "phb", "band", "bkey")
+    val pairs = a.join(b, Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .filter(expr(
+        """(band < 1 OR (pha & 2047)                  != (phb & 2047)) AND
+          |(band < 2 OR (shiftright(pha, 11) & 2047)  != (shiftright(phb, 11) & 2047)) AND
+          |(band < 3 OR (shiftright(pha, 22) & 1023)  != (shiftright(phb, 22) & 1023))""".stripMargin))
+      .filter(expr(s"bit_count(pha ^ phb) <= $PhashHammingMax"))
+      .localCheckpoint(true)
+    val sym = pairs.selectExpr("a AS doc_id", "b AS partner")
+      .union(pairs.selectExpr("b AS doc_id", "a AS partner"))
+    sig.select(col("doc_id"), col("phash"))
+      .join(sym.groupBy("doc_id")
+          .agg(count(lit(1)).as("deg"), min(col("partner")).as("p_min")),
+        Seq("doc_id"), "left")
+      .selectExpr("doc_id", "phash",
+        "coalesce(deg, 0L) AS n_near",
+        "least(coalesce(p_min, doc_id), doc_id) AS rep")
+  }
 }
