@@ -125,6 +125,7 @@ object SparkEntry {
     "ts03_motif" -> (TimeSeriesQueries.ts03Motif _),
     "ts04_seasonality" -> (TimeSeriesQueries.ts04Seasonality _),
     "p02_semantic_curation" -> (SimilarityQueries.p02SemanticCuration _),
+    "x04_curriculum" -> (TextQueries.x04Curriculum _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -1289,6 +1290,19 @@ object SparkEntry {
          |WHERE d13.keep = 1
          |  AND q.n_tokens >= ${TextQueries.CleanMinTokens}
          |  AND q.ttr >= ${TextQueries.CleanMinTtr}""".stripMargin,
+    // x04 = curriculum order: the oracle's single global window IS the
+    // engine's three-level decomposition (stage offsets + sub offsets +
+    // within-(stage, sub) ranks sum to the same row_number).
+    "x04_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, len($dToks) AS n_tokens FROM documents),
+         |st AS (SELECT doc_id,
+         |         CASE WHEN n_tokens < ${TextQueries.CurriculumStage1} THEN 0
+         |              WHEN n_tokens < ${TextQueries.CurriculumStage2} THEN 1
+         |              ELSE 2 END AS stage,
+         |         md5(CAST(doc_id AS VARCHAR)) AS rk FROM t)
+         |SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+         |       CAST(row_number() OVER (ORDER BY stage, rk, doc_id) AS BIGINT) AS pos
+         |FROM st""".stripMargin,
   ) ++ tsOracles
 
   // SemDeDup oracle, shared by d13 and p02.

@@ -1416,6 +1416,53 @@ object TextQueries {
       .selectExpr("doc_id", "shard", "off + r_in AS pos")
   }
 
+  /** x04 curriculum stage thresholds (token-count terciles of the test
+    * corpus; length is the canonical cheap difficulty proxy). */
+  val CurriculumStage1 = 40L
+  val CurriculumStage2 = 70L
+
+  /** x04: CURRICULUM ordering — the training-order schedule that feeds
+    * short/easy sequences first (Bengio et al. 2009): documents are
+    * bucketed into difficulty stages by token count, and within each
+    * stage ordered by the deterministic md5 rank (x03's reproducibility
+    * contract: same order on any engine, no RNG). The emitted `pos` is
+    * the GLOBAL curriculum position — equal to one
+    * `row_number() OVER (ORDER BY stage, rk, doc_id)` — but computed by
+    * THREE-level decomposition so no corpus-sized window partition ever
+    * exists: within-(stage, sub) windows (256 subs per stage, bounded),
+    * plus tiny (stage, sub)-count offset tables that broadcast.
+    *
+    * Scale shape: x03's machinery with one more offset level — every
+    * window partition is ~corpus/768, the offset joins broadcast, and the
+    * narrow stage projection reads only (doc_id, text-length). */
+  def x04Curriculum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hexDigit(i: Int) = s"(instr('0123456789abcdef', substr(rk, $i, 1)) - 1)"
+    val staged = documents(s, d)
+      .selectExpr("doc_id", s"CAST(size($toksExpr) AS BIGINT) AS n_tokens")
+      .selectExpr("doc_id",
+        s"""CAST(CASE WHEN n_tokens < $CurriculumStage1 THEN 0
+           |          WHEN n_tokens < $CurriculumStage2 THEN 1
+           |          ELSE 2 END AS BIGINT) AS stage""".stripMargin,
+        "md5(CAST(doc_id AS STRING)) AS rk")
+      .selectExpr("doc_id", "stage", "rk",
+        s"(${hexDigit(1)} * 16 + ${hexDigit(2)}) AS sub")
+    val wIn = Window.partitionBy("stage", "sub").orderBy(col("rk"), col("doc_id"))
+    val inSub = staged.withColumn("r_in", row_number().over(wIn).cast("long"))
+    val counts = staged.groupBy("stage", "sub").agg(count(lit(1)).as("n"))
+    val wSub = Window.partitionBy("stage").orderBy("sub")
+    val subOff = counts
+      .withColumn("sub_off", (sum("n").over(wSub) - col("n")).cast("long"))
+    val wStage = Window.orderBy("stage")
+    val stageOff = counts.groupBy("stage").agg(sum("n").as("sn"))
+      .withColumn("stage_off", (sum("sn").over(wStage) - col("sn")).cast("long"))
+      .select("stage", "stage_off")
+    inSub
+      .join(broadcast(subOff.select("stage", "sub", "sub_off")), Seq("stage", "sub"))
+      .join(broadcast(stageOff), Seq("stage"))
+      .selectExpr("doc_id", "stage", "stage_off + sub_off + r_in AS pos")
+  }
+
   /** Denylist pattern for t12 — word-boundary alternation kept inside the
     * ASCII subset where Java regex and RE2 agree exactly (`\b` is the
     * ASCII word boundary in both; no classes, no backrefs). */
