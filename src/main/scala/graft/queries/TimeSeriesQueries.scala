@@ -73,13 +73,28 @@ object TimeSeriesQueries {
     * (division by 4 is exact in binary floating point), floored into
     * [[PaaBucket]]-wide buckets. Spelled as EXPLICIT element additions so
     * the fold order is pinned identically in Spark and the oracle. */
-  private def paaWordExprs: Seq[String] =
+  private def paaWordExprsOn(vcol: String): Seq[String] =
     (0 until PaaSegments).map { seg =>
       val terms = (1 to PaaSegLen)
-        .map(i => s"element_at(v, ${seg * PaaSegLen + i})")
+        .map(i => s"element_at($vcol, ${seg * PaaSegLen + i})")
         .mkString(" + ")
       s"CAST(floor(($terms) / $PaaSegLen / $PaaBucket) AS BIGINT) AS b$seg"
     }
+
+  private def paaWordExprs: Seq[String] = paaWordExprsOn("v")
+
+  /** The static PAA word index of the per-user series corpus — the lookup
+    * side of online series serving ([[graft.streaming.EventStreams.seriesServe]]);
+    * same narrow word projection ts02 candidates use. */
+  def paaIndex(s: SparkSession, d: String): DataFrame =
+    series(s, d).selectExpr(Seq("user_id", "v") ++ paaWordExprs: _*)
+
+  /** Assign incoming query series (query_id, qv: array<double> of
+    * [[SeriesLen]] points) their PAA word — stateless, streams fine. */
+  def paaAssignQueries(queries: DataFrame, s: SparkSession): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    queries.selectExpr(Seq("query_id", "qv") ++ paaWordExprsOn("qv"): _*)
+  }
 
   val MotifSeriesLen = 48
   val MotifLen = 8

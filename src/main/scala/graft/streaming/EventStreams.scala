@@ -145,6 +145,28 @@ object EventStreams {
       .selectExpr("query_id", "m.vec_id AS neighbor_id", "m.cosine AS cosine")
   }
 
+  /** Online SERIES serving — the ts-family twin of [[annServe]]: a stream
+    * of query series joins the static PAA word index
+    * ([[graft.queries.TimeSeriesQueries.paaIndex]]) on the full 4-symbol
+    * word and re-ranks candidates by exact squared Euclidean distance
+    * (aggregate argmin, q23 shape). Stateless per micro-batch; the word
+    * assignment is a narrow projection on the query side, the index
+    * broadcasts. A query whose word bucket is empty gets no row — same
+    * contract as ts02/annServe (the index answers nothing, both engines
+    * agree by inner join). */
+  def seriesServe(queries: DataFrame, spark: SparkSession,
+                  corpusDir: String): DataFrame = {
+    import graft.queries.TimeSeriesQueries
+    val corpus = TimeSeriesQueries.paaIndex(spark, corpusDir)
+    TimeSeriesQueries.paaAssignQueries(queries, spark)
+      .join(broadcast(corpus), (0 until TimeSeriesQueries.PaaSegments).map(i => s"b$i"))
+      .selectExpr("query_id", "user_id",
+        "vec_dot(qv, qv) + vec_dot(v, v) - 2 * vec_dot(qv, v) AS dist")
+      .groupBy(col("query_id"))
+      .agg(min(struct(col("dist"), col("user_id"))).as("m"))
+      .selectExpr("query_id", "m.user_id AS neighbor_id", "m.dist AS dist")
+  }
+
   /** Stream-STREAM interval join with watermarks on both sides: each error
     * event joined to the same user's events in the preceding `window`. The
     * time-range join condition plus the two watermarks is what lets Spark

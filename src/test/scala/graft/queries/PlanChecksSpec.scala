@@ -219,6 +219,19 @@ class PlanChecksSpec extends SparkSpec {
     }
   }
 
+  test("m07: phash near-dup joins bands only; x04 windows stay sub-bounded") {
+    val p7 = plan(MultimodalQueries.m07PhashNearDup(spark, d))
+    assert(!p7.contains("CartesianProduct") && !p7.contains("BroadcastNestedLoopJoin"),
+      "m07 candidates must come from the band equi-join:\n" + p7.take(3000))
+    val p4 = plan(TextQueries.x04Curriculum(spark, d))
+    // the global curriculum position must NOT be one corpus-wide window —
+    // every window partitions by (stage[, sub]); offsets broadcast
+    assert(p4.contains("Window"))
+    assert(!p4.matches("(?s).*Window.*partitionBy: \\[\\].*"),
+      "x04 must never run an unpartitioned corpus window:\n" + p4.take(3000))
+    assert(p4.contains("stage"), p4.take(3000))
+  }
+
   test("s05: quantization is a pure narrow projection (zero shuffles)") {
     val p = plan(SimilarityQueries.s05Quantize(spark, d))
     assert(shuffles(p) == 0, p.take(3000))

@@ -628,6 +628,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2L) == 1L)
   }
 
+  test("stream-static series serving: query stream joins the PAA index, exact re-rank") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    // stream two corpus series back as queries: each sits in its own word
+    // bucket, so its best match is itself at distance 0
+    val corpus = graft.queries.TimeSeriesQueries.paaIndex(spark, d)
+      .select("user_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ids = corpus.keySet.toSeq.sorted.take(2)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val queries = input.toDF().toDF("query_id", "qv")
+    val served = EventStreams.seriesServe(queries, spark, d)
+    val q = served.writeStream.format("memory").queryName("seriesserve")
+      .outputMode("update").start()
+    input.addData((9001L, corpus(ids(0))))
+    q.processAllAvailable()
+    input.addData((9002L, corpus(ids(1))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT query_id, neighbor_id, dist FROM seriesserve").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(9001L, 9002L))
+    assert(got(9001L) == (ids(0), 0.0), got(9001L).toString)
+    assert(got(9002L) == (ids(1), 0.0), got(9002L).toString)
+  }
+
   test("streaming scene cuts: pinned equal to the batch m06 kernel across batch slicing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
