@@ -8,8 +8,13 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional: names after the first two args restrict the dump (local
-    // iteration on a new query; the driver always passes exactly two)
+    // iteration on a new query; the driver always passes exactly two).
+    // Unknown names fail fast — a typo'd filter would otherwise write
+    // nothing and exit 0, letting a broken query sail through local
+    // iteration.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

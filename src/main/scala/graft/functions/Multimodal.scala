@@ -257,12 +257,20 @@ object Multimodal {
       .toDF("doc_id", "img_w", "img_h", "r_sum", "g_sum", "b_sum", "pcm_n", "pcm_sum", "pcm_abs")
   }
 
-  /** Run `cleanup` once when `it` drains (mapPartitions resource idiom). */
-  private def closeOnDrain[A](it: Iterator[A])(cleanup: => Unit): Iterator[A] =
+  /** Run `cleanup` when the TASK completes (mapPartitions resource
+    * idiom): the completion listener fires on success, early termination
+    * (limit/take stops pulling the iterator) AND failure — a drain-only
+    * hook would leak the per-task codec in the first two cases. Outside a
+    * task (direct kernel tests) it falls back to cleanup-on-drain;
+    * `cleanup` must be idempotent (both paths can fire). */
+  private def closeOnDrain[A](it: Iterator[A])(cleanup: => Unit): Iterator[A] = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => cleanup)
     new Iterator[A] {
       def hasNext: Boolean = { val h = it.hasNext; if (!h) cleanup; h }
       def next(): A = it.next()
     }
+  }
 
   /** 2×2 integer box-filter downsample of a decoded RGB image (scanline
     * frames of `width*3` bytes, [[JdkImageDecoder]]'s layout): each output
@@ -415,7 +423,8 @@ object Multimodal {
       }
       rows
     }
-    def close(): Unit = { writer.dispose(); reader.dispose() }
+    private var closed = false
+    def close(): Unit = if (!closed) { closed = true; writer.dispose(); reader.dispose() }
   }
 
   /** Reusable WAV round-trip codec: binds the JDK's OWN WAV SPI
@@ -590,6 +599,12 @@ object Multimodal {
     * into exactly the d09 banded-Hamming join. One narrow mapPartitions,
     * zero shuffles. */
   def imagePhash(ids: DataFrame, idCol: String, w: Int = 16, h: Int = 12): DataFrame = {
+    // the signature is ONE Long; a larger geometry would silently wrap
+    // bit indices mod 64 (Java shift semantics) and fold distinct
+    // gradient bits together — fail loudly instead (m07's band masks are
+    // likewise fixed to the 42-bit default)
+    require((w / 2 - 1) * (h / 2) <= 64,
+      s"dHash geometry (${w / 2 - 1}×${h / 2}) exceeds the 64-bit signature")
     val spark = ids.sparkSession
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long]

@@ -45,8 +45,11 @@ object ScrubJob {
 
   /** Scrub one segment (serving-path core — usable without Spark). */
   def scrubOne(cfg: SegmentJobConfig, segKey: String,
-               verifyWire: Boolean = false): SegmentScrub = {
-    val storage = StorageBackends.forRoot(cfg.storageRoot)
+               verifyWire: Boolean = false): SegmentScrub =
+    scrubWith(StorageBackends.forRoot(cfg.storageRoot), cfg, segKey, verifyWire)
+
+  private def scrubWith(storage: graft.sources.StorageBackend, cfg: SegmentJobConfig,
+                        segKey: String, verifyWire: Boolean): SegmentScrub = {
     def bad(issue: String, chunks: Int = 0, bytes: Long = 0L) =
       SegmentScrub(segKey, ok = false, issue, chunks, bytes, 0L)
 
@@ -105,7 +108,13 @@ object ScrubJob {
     val wire = verifyWire
     spark.createDataset(segKeys)
       .repartition(math.min(segKeys.size max 1, spark.sparkContext.defaultParallelism))
-      .map(segKey => scrubOne(cfgB, segKey, wire))
+      // backend resolved once per PARTITION, not per segment (backends
+      // are cheap handles by contract, but a provider that is not is
+      // still amortized here)
+      .mapPartitions { it =>
+        val storage = StorageBackends.forRoot(cfgB.storageRoot)
+        it.map(segKey => scrubWith(storage, cfgB, segKey, wire))
+      }
       .toDF()
   }
 }

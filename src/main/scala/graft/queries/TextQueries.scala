@@ -1536,10 +1536,14 @@ object TextQueries {
              |     THEN 1 ELSE 0 END AS BIGINT) AS est_ok""".stripMargin)
     }
     val docs = documents(s, d)
+    // pin ONE evaluation of each stream: it feeds both the sketch
+    // aggregate and the exact-count groupBy, and an un-checkpointed plan
+    // would tokenize+explode the corpus once per leg (d13/a01 precedent)
     val chars = docs.selectExpr(s"explode($toksExpr) AS tok")
       .filter(col("tok") =!= "")
       .selectExpr("substring(tok, 1, 1) AS item")
-    val langs = docs.selectExpr("lang AS item")
+      .localCheckpoint(true)
+    val langs = docs.selectExpr("lang AS item").localCheckpoint(true)
     gate(chars, "ch", MgCharK).unionByName(gate(langs, "lang", MgLangK))
   }
 }

@@ -132,39 +132,73 @@ object EventStreams {
     * 100 TB vector store serves point lookups without a resident index
     * service. Both sides get their bucket from the same narrow sign-bit
     * projection (the corpus is never shuffled to be assigned); the
-    * per-query argmax is the q23 max(struct) shape, not a window. */
+    * per-query argmax runs as a per-batch state-FREE
+    * `flatMapGroupsWithState` (r5 — a plain streaming groupBy().max()
+    * would retain one state row per distinct query id forever and merge
+    * a re-sent id's answers across batches). */
   def annServe(queries: DataFrame, spark: org.apache.spark.sql.SparkSession,
                corpusDir: String): DataFrame = {
+    import spark.implicits._
     import graft.queries.SimilarityQueries
     val corpus = SimilarityQueries.lshIndex(spark, corpusDir)
     SimilarityQueries.lshAssignQueries(queries, spark, corpusDir)
       .join(broadcast(corpus), "bucket")
       .selectExpr("query_id", "vec_id", "vec_dot(q, v) / (qnrm * nrm) AS cosine")
-      .groupBy(col("query_id"))
-      .agg(max(struct(col("cosine"), col("vec_id"))).as("m"))
-      .selectExpr("query_id", "m.vec_id AS neighbor_id", "m.cosine AS cosine")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[(Long, Long, Double)], _: GroupState[Boolean]) =>
+          var bestCos = Double.MinValue
+          var bestId = Long.MaxValue
+          rows.foreach { case (_, vid, cos) =>
+            if (cos > bestCos || (cos == bestCos && vid < bestId)) {
+              bestCos = cos; bestId = vid
+            }
+          }
+          Iterator.single((qid, bestId, bestCos))
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
   }
 
   /** Online SERIES serving — the ts-family twin of [[annServe]]: a stream
     * of query series joins the static PAA word index
     * ([[graft.queries.TimeSeriesQueries.paaIndex]]) on the full 4-symbol
-    * word and re-ranks candidates by exact squared Euclidean distance
-    * (aggregate argmin, q23 shape). Stateless per micro-batch; the word
-    * assignment is a narrow projection on the query side, the index
-    * broadcasts. A query whose word bucket is empty gets no row — same
-    * contract as ts02/annServe (the index answers nothing, both engines
-    * agree by inner join). */
+    * word and re-ranks candidates by exact squared Euclidean distance —
+    * a per-batch argmin via state-FREE `flatMapGroupsWithState` (the
+    * state store stays empty, so serving memory is bounded forever and a
+    * re-sent query id gets a fresh answer instead of merging with its
+    * past). The word assignment is a narrow projection on the query
+    * side, the index broadcasts. A query whose word bucket is empty gets
+    * no row — same contract as ts02/annServe (the index answers nothing,
+    * both engines agree by inner join). */
   def seriesServe(queries: DataFrame, spark: SparkSession,
                   corpusDir: String): DataFrame = {
+    import spark.implicits._
     import graft.queries.TimeSeriesQueries
     val corpus = TimeSeriesQueries.paaIndex(spark, corpusDir)
     TimeSeriesQueries.paaAssignQueries(queries, spark)
       .join(broadcast(corpus), (0 until TimeSeriesQueries.PaaSegments).map(i => s"b$i"))
       .selectExpr("query_id", "user_id",
         "vec_dot(qv, qv) + vec_dot(v, v) - 2 * vec_dot(qv, v) AS dist")
-      .groupBy(col("query_id"))
-      .agg(min(struct(col("dist"), col("user_id"))).as("m"))
-      .selectExpr("query_id", "m.user_id AS neighbor_id", "m.dist AS dist")
+      .as[(Long, Long, Double)]
+      // per-BATCH argmin with NO retained state: a plain streaming
+      // groupBy().min() would accumulate one state row per distinct
+      // query_id forever AND merge a re-sent query's results with its
+      // old ones — flatMapGroupsWithState that never writes state keeps
+      // the store empty and re-ranks each batch independently
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[(Long, Long, Double)], _: GroupState[Boolean]) =>
+          var bestDist = Double.MaxValue
+          var bestId = Long.MaxValue
+          rows.foreach { case (_, uid, dist) =>
+            if (dist < bestDist || (dist == bestDist && uid < bestId)) {
+              bestDist = dist; bestId = uid
+            }
+          }
+          Iterator.single((qid, bestId, bestDist))
+      }
+      .toDF("query_id", "neighbor_id", "dist")
   }
 
   /** Stream-STREAM interval join with watermarks on both sides: each error
