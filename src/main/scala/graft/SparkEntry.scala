@@ -126,6 +126,7 @@ object SparkEntry {
     "ts04_seasonality" -> (TimeSeriesQueries.ts04Seasonality _),
     "p02_semantic_curation" -> (SimilarityQueries.p02SemanticCuration _),
     "x04_curriculum" -> (TextQueries.x04Curriculum _),
+    "ts05_change_point" -> (TimeSeriesQueries.ts05ChangePoint _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -1404,6 +1405,27 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY user_id ORDER BY cov DESC, lag) AS rk
          |      FROM c)
          |SELECT user_id, CAST(lag AS BIGINT) AS best_lag, cov AS best_cov
+         |FROM r WHERE rk = 1""".stripMargin
+    },
+    // ts05 = integer-exact CUSUM: C(k) = n·prefix(k) − k·total over cents;
+    // argmax |C| with ties to the smaller k — division-free, so both
+    // engines compare identical integers.
+    "ts05_change_point" -> {
+      import TimeSeriesQueries.{MotifSeriesLen => N}
+      s"""WITH ser AS (SELECT user_id,
+         |               list(CAST(round(value * 100) AS BIGINT) ORDER BY ts, event_id)[1:$N] AS v
+         |             FROM events GROUP BY user_id HAVING COUNT(*) >= $N),
+         |e AS (SELECT user_id, unnest(v) AS x,
+         |        unnest(generate_series(1, $N)) AS pos, list_sum(v) AS total
+         |      FROM ser),
+         |p AS (SELECT user_id, pos AS k,
+         |        $N * SUM(x) OVER (PARTITION BY user_id ORDER BY pos) - pos * total AS c
+         |      FROM e),
+         |r AS (SELECT user_id, k, abs(c) AS ca, CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1 ELSE 0 END AS sg,
+         |        row_number() OVER (PARTITION BY user_id ORDER BY abs(c) DESC, k) AS rk
+         |      FROM p WHERE k < $N)
+         |SELECT user_id, CAST(k AS BIGINT) AS split_k,
+         |       CAST(ca AS BIGINT) AS cusum_abs, CAST(sg AS BIGINT) AS shift_sign
          |FROM r WHERE rk = 1""".stripMargin
     },
   )

@@ -206,6 +206,53 @@ object TimeSeriesQueries {
       .toDF("user_id", "best_lag", "best_cov")
   }
 
+  /** ts05: CHANGE-POINT detection — the classic CUSUM statistic
+    * (Page 1954), integer-exact on cent-quantized values: for each user's
+    * [[MotifSeriesLen]]-point series, the split k ∈ [1, n−1] maximizing
+    * |C(k)| with C(k) = n·prefix(k) − k·total — the division-free form of
+    * "how far does the first k-segment's mean drift from the global
+    * mean", the level-shift detector behind deploy-regression and
+    * drift alarms. All integer (|C| ≤ n²·max|v| with 10⁴× Long headroom),
+    * so argmax ties (|C| desc, k asc) are exact on both engines with no
+    * fold-order pinning.
+    *
+    * Scale shape: same as ts03/ts04 — one series groupBy, then a
+    * per-user-local O(n) prefix scan, zero further exchanges. */
+  def ts05ChangePoint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = MotifSeriesLen
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+      .filter(size(col("seq")) >= n)
+      .selectExpr("user_id",
+        s"slice(transform(seq, x -> CAST(round(x.value * 100) AS BIGINT)), 1, $n) AS v")
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.map { case (uid, v) =>
+          var total = 0L
+          var i = 0
+          while (i < v.length) { total += v(i); i += 1 }
+          var prefix = 0L
+          var bestK = 0
+          var bestAbs = -1L
+          var bestSign = 0L
+          var k = 1
+          while (k < v.length) {
+            prefix += v(k - 1)
+            val c = v.length * prefix - k * total
+            val abs = math.abs(c)
+            if (abs > bestAbs) {
+              bestAbs = abs; bestK = k; bestSign = java.lang.Long.signum(c)
+            }
+            k += 1
+          }
+          (uid, bestK.toLong, bestAbs, bestSign)
+        }
+      }
+      .toDF("user_id", "split_k", "cusum_abs", "shift_sign")
+  }
+
   /** ts02: PAA-bucketed candidate pairs — the index path of series
     * search: users sharing the full 4-symbol PAA word are candidates
     * (equi-join on the word), each attached with its exact distance. */

@@ -212,7 +212,8 @@ class PlanChecksSpec extends SparkSpec {
     // ts03/ts04: after the one series groupBy the window/lag scans are
     // per-user LOCAL kernels — exactly one exchange, no join of any kind
     Seq(TimeSeriesQueries.ts03Motif(spark, d) -> "ts03",
-        TimeSeriesQueries.ts04Seasonality(spark, d) -> "ts04").foreach { case (df, nm) =>
+        TimeSeriesQueries.ts04Seasonality(spark, d) -> "ts04",
+        TimeSeriesQueries.ts05ChangePoint(spark, d) -> "ts05").foreach { case (df, nm) =>
       val p = plan(df)
       assert(shuffles(p) == 1, s"$nm must shuffle only for the series groupBy:\n" + p.take(3000))
       assert(!p.contains("Join"), s"$nm kernels are per-user local:\n" + p.take(3000))
