@@ -40,6 +40,7 @@ object SparkEntry {
     "w02_sessions" -> (RelationalQueries.w02Sessions _),
     "i01_interval_join" -> (RelationalQueries.i01IntervalJoin _),
     "i02_band_join_auto" -> (RelationalQueries.i02BandJoinAuto _),
+    "i04_band_agg_pushdown" -> (RelationalQueries.i04BandAggPushdown _),
     // oracle-gated since r3: output = exact values + in-bounds flags the
     // live sketches must satisfy (oracle emits literal-true flags)
     "a01_sketches" -> (RelationalQueries.a01Sketches _),
@@ -379,6 +380,17 @@ object SparkEntry {
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id, e.user_id, e.ts""".stripMargin,
     "i02_band_join_auto" ->
+      """SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       COUNT(*) AS n_window
+        |FROM events e JOIN events a
+        |  ON epoch_us(a.ts) >= epoch_us(e.ts) - 3600000000
+        | AND epoch_us(a.ts) < epoch_us(e.ts)
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id, e.user_id, e.ts""".stripMargin,
+    // i04: IDENTICAL naive SQL — the BandAggPushdown rewrite is
+    // semantics-preserving, so the oracle for the decomposed plan is the
+    // plain pair-enumerating band join
+    "i04_band_agg_pushdown" ->
       """SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
         |       COUNT(*) AS n_window
         |FROM events e JOIN events a
@@ -1228,10 +1240,14 @@ object SparkEntry {
          |       CAST(MIN(mpos) AS BIGINT) AS first_pos
          |FROM l0 $joins GROUP BY 1""".stripMargin
     },
-    // g02: node-ordered triangle enumeration over the d03 edge set — each
+    // g02: node-ordered triangle enumeration over the FULL-signature edge
+    // set (both MinHash bands equal — tight clique edges; r6: the d03
+    // half-signature edges densified 161x at the 10x probe) — each
     // triangle counted once (x<y<z), every corner credited.
     "g02_triangles" ->
-      s"""WITH e AS ($minHashPairsSql),
+      s"""WITH sig AS ($minHashSigSql),
+         |e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sig a JOIN sig b
+         |      ON a.band0 = b.band0 AND a.band1 = b.band1 AND a.doc_id < b.doc_id),
          |w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
          |      FROM e e1 JOIN e e2 ON e1.b = e2.a),
          |tri AS (SELECT w.x, w.y, w.z

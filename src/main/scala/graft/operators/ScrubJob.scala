@@ -81,7 +81,7 @@ object ScrubJob {
 
     val originalSize = manifest.chunkIndex.originalFileSize.toLong
     val original =
-      try SegmentFetchJob.fetchRange(cfg, segKey, BytesRange(0, originalSize - 1))
+      try SegmentFetchJob.fetchRange(storage, cfg, segKey, BytesRange(0, originalSize - 1))
       catch { case e: Exception => return bad(s"detransform-failed: ${e.getMessage}", nChunks) }
     if (original.length.toLong != originalSize)
       return bad(s"length-mismatch: detransformed ${original.length} != manifest $originalSize",
@@ -108,9 +108,35 @@ object ScrubJob {
     val wire = verifyWire
     spark.createDataset(segKeys)
       .repartition(math.min(segKeys.size max 1, spark.sparkContext.defaultParallelism))
-      // backend resolved once per PARTITION, not per segment (backends
-      // are cheap handles by contract, but a provider that is not is
-      // still amortized here)
+      // backend resolved once per PARTITION, not per segment, and threaded
+      // through every read — metadata checks AND the detransform fetch —
+      // so a provider whose handle is not cheap is fully amortized
+      .mapPartitions { it =>
+        val storage = StorageBackends.forRoot(cfgB.storageRoot)
+        it.map(segKey => scrubWith(storage, cfgB, segKey, wire))
+      }
+      .toDF()
+  }
+
+  /** Streaming twin (r6, VERDICT r5 task 8): audit-on-INGEST. `arrivals`
+    * is a streaming DataFrame with a `segment_key` column (the segment
+    * upload/ingest notification stream — e.g. the tier-out job's result
+    * stream, or a file-arrival source over manifest keys); each
+    * micro-batch scrubs exactly the segments that just landed, emitting
+    * the same [[SegmentScrub]] verdict rows as the batch [[run]].
+    *
+    * STATELESS by design — one verdict per arrival event, no watermark,
+    * no state store: the operational "did my upload survive?" check
+    * should fire once per segment at ingest time, while the batch scrub
+    * remains the periodic full-store audit (bit rot after ingest). The
+    * scrub kernel is the same `scrubWith` the batch path uses, backend
+    * resolved once per partition per micro-batch. */
+  def stream(spark: SparkSession, cfg: SegmentJobConfig, arrivals: DataFrame,
+             verifyWire: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val cfgB = cfg
+    val wire = verifyWire
+    arrivals.select("segment_key").as[String]
       .mapPartitions { it =>
         val storage = StorageBackends.forRoot(cfgB.storageRoot)
         it.map(segKey => scrubWith(storage, cfgB, segKey, wire))

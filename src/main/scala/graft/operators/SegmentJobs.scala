@@ -33,6 +33,18 @@ final case class SegmentJobConfig(
       * declared `wrapAlg`): the reference's SHA3-512 by default. */
     wrapAlg: String = SegmentManifest.WrapAlgOaepSha3512
 ) {
+  // Reference-mirrored bounds (r6, `RemoteStorageManagerConfig.java:170-174`
+  // chunk ∈ [1, Int.MaxValue/2] — GCM transformed chunks grow, so a chunk
+  // above 2³⁰−1 overflows the int arithmetic — and :235-241 upload rate ∈
+  // [1 MiB/s, 10⁹ B/s] — below 1 MiB/s starves other components, above 1e9
+  // exceeds 1 token/ns refill)
+  require(chunkSize >= 1 && chunkSize <= SegmentJobConfig.MaxChunkSize,
+    s"chunkSize must be in [1, ${SegmentJobConfig.MaxChunkSize}], got $chunkSize")
+  uploadRateBytesPerSec.foreach(r =>
+    require(r >= SegmentJobConfig.MinUploadRate && r <= SegmentJobConfig.MaxUploadRate,
+      s"uploadRateBytesPerSec must be in [${SegmentJobConfig.MinUploadRate}, " +
+        s"${SegmentJobConfig.MaxUploadRate}] (1 MiB/s to 1 GB/s), got $r"))
+
   def keyPair: java.security.KeyPair = RsaKeyRing.deserialize(rsaPublicKey, rsaPrivateKey)
   def ring: RsaKeyRing = new RsaKeyRing(Map(keyId -> keyPair), keyId, wrapAlg)
 }
@@ -40,11 +52,30 @@ final case class SegmentJobConfig(
 object SegmentJobConfig {
   /** Reference-recommended chunk size (`README.md:58-59`): 4 MiB. */
   val DefaultChunkSize: Int = 4 * 1024 * 1024
+  /** `RemoteStorageManagerConfig.java:173`: Integer.MAX_VALUE/2. */
+  val MaxChunkSize: Int = Int.MaxValue / 2
+  /** `RemoteStorageManagerConfig.java:239-240`: [1 MiB/s, 1 GB/s] — the
+    * same band RateLimiter already names for its config surface. */
+  val MinUploadRate: Long = RateLimiter.MinConfigRate
+  val MaxUploadRate: Long = RateLimiter.MaxConfigRate
   def withGeneratedKeys(storageRoot: String): SegmentJobConfig = {
     val gen = java.security.KeyPairGenerator.getInstance("RSA")
     gen.initialize(2048)
     val kp = gen.generateKeyPair()
     SegmentJobConfig(storageRoot,
+      rsaPublicKey = RsaKeyRing.serializePublic(kp.getPublic),
+      rsaPrivateKey = RsaKeyRing.serializePrivate(kp.getPrivate))
+  }
+
+  /** Config from PEM key-pair files (r6, ref `RsaKeyReader.java` +
+    * `config/KeyPairPaths.java`): the operational path — keys provisioned
+    * as `-----BEGIN PUBLIC/PRIVATE KEY-----` files, loaded once on the
+    * driver and shipped to executors as the serialized DER bytes the
+    * config already carries. */
+  def withPemKeys(storageRoot: String, keyId: String,
+                  paths: graft.core.security.KeyPairPaths): SegmentJobConfig = {
+    val kp = RsaKeyRing.readKeyPairPem(paths)
+    SegmentJobConfig(storageRoot, keyId = keyId,
       rsaPublicKey = RsaKeyRing.serializePublic(kp.getPublic),
       rsaPrivateKey = RsaKeyRing.serializePrivate(kp.getPrivate))
   }
@@ -234,11 +265,12 @@ object SegmentFetchJob {
     * the same manifest twice — manifests are immutable, so both loads
     * produce the same value and first-publish wins; a benign trade against
     * the deadlock. */
-  private def cachedManifestSpec(cfg: SegmentJobConfig, segKey: String): (SegmentManifest, TransformSpec) = {
+  private def cachedManifestSpec(storage: graft.sources.StorageBackend, cfg: SegmentJobConfig,
+                                 segKey: String): (SegmentManifest, TransformSpec) = {
     val key = (cfg.storageRoot, segKey)
     val hit = manifestCache.get(key)
     if (hit != null) return hit
-    val m = loadManifest(StorageBackends.forRoot(cfg.storageRoot), segKey)
+    val m = loadManifest(storage, segKey)
     val loaded = (m, specOf(m, cfg))
     if (manifestCache.size() >= ManifestCacheEntries) manifestCache.clear()
     val prev = manifestCache.putIfAbsent(key, loaded)
@@ -247,9 +279,15 @@ object SegmentFetchJob {
 
   /** Serving path: fetch original bytes [from, to] of one segment. The range
     * is clamped to the segment size (ref `RemoteStorageManager.java:141-144`). */
-  def fetchRange(cfg: SegmentJobConfig, segKey: String, range: BytesRange): Array[Byte] = {
-    val storage = StorageBackends.forRoot(cfg.storageRoot)
-    val (m, cachedSpec) = cachedManifestSpec(cfg, segKey)
+  def fetchRange(cfg: SegmentJobConfig, segKey: String, range: BytesRange): Array[Byte] =
+    fetchRange(StorageBackends.forRoot(cfg.storageRoot), cfg, segKey, range)
+
+  /** Same, over an already-resolved backend — callers iterating many
+    * segments (ScrubJob) resolve once and thread the handle through, so
+    * per-segment work never re-hits the provider registry. */
+  def fetchRange(storage: graft.sources.StorageBackend, cfg: SegmentJobConfig,
+                 segKey: String, range: BytesRange): Array[Byte] = {
+    val (m, cachedSpec) = cachedManifestSpec(storage, cfg, segKey)
     val clamped = BytesRange(range.from, math.min(range.to, m.chunkIndex.originalFileSize - 1L))
     val chunks = m.chunkIndex.chunksForRange(clamped)
     if (chunks.isEmpty) return Array.emptyByteArray

@@ -235,8 +235,14 @@ final case class TokensToHashBitset(tokens: Expression, width: Expression)
   * driver's Verify/Bench sessions). Idempotent. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    // band-join auto-binning (see RangeBinJoin) for sessions built without
-    // spark.sql.extensions; idempotent across repeated register() calls
+    // band-join auto-binning (see RangeBinJoin) + aggregate pushdown
+    // through band joins (BandAggPushdown) for sessions built without
+    // spark.sql.extensions; idempotent across repeated register() calls.
+    // ORDER matters: BandAggPushdown must see the raw band join BEFORE
+    // RangeBinJoin adds its bin equi-key (which disables both rules).
+    if (!spark.experimental.extraOptimizations.contains(BandAggPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BandAggPushdown
     if (!spark.experimental.extraOptimizations.contains(RangeBinJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RangeBinJoin
@@ -269,6 +275,7 @@ object GraftFunctions {
 /** `--conf spark.sql.extensions=graft.plans.GraftExtensions` wiring. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => BandAggPushdown)
     ext.injectOptimizerRule(_ => RangeBinJoin)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectFunction((

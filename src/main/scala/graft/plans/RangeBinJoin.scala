@@ -78,94 +78,29 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
   def chooseSubdivisions(rowsPerWindow: Double): Int =
     math.min(64L, math.max(1L, math.ceil(rowsPerWindow / TargetRowsPerBin).toLong)).toInt
 
-  /** Band `lower <= x − y <= upper-ish`: concretely x >= y − w (or >) and
-    * x < y (or <=). `x` from one side, `y` from the other. */
-  private final case class Band(x: Expression, y: Expression, width: Long)
+  /** Pattern matchers shared with [[BandAggPushdown]] live in
+    * [[BandPatterns]]; this rule only needs the (x, y, w) triple. */
+  private type Band = BandPatterns.Band
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(_, _, Inner | Cross, Some(cond), _) if j.resolved =>
       findBand(j, cond).map(rewrite(j, _)).getOrElse(j)
   }
 
-  /** A positive integral literal (int or long). */
-  private def widthOf(e: Expression): Option[Long] = e match {
-    case Literal(v: Long, LongType) if v > 0 => Some(v)
-    case Literal(v: Int, IntegerType) if v > 0 => Some(v.toLong)
-    case _ => None
-  }
-
-  private def sideOf(e: Expression, j: Join): Option[Boolean] = {
-    // Some(true) = expression only references the left side
-    val refs = e.references
-    if (refs.isEmpty || !e.deterministic || e.dataType != LongType) None
-    else if (refs.subsetOf(j.left.outputSet)) Some(true)
-    else if (refs.subsetOf(j.right.outputSet)) Some(false)
-    else None
-  }
-
-  /** Lower conjunct: x >= y − w in any orientation. Returns (x, y, w). */
-  private def asLower(c: Expression, j: Join): Option[(Expression, Expression, Long)] = {
-    def split(x: Expression, ymw: Expression): Option[(Expression, Expression, Long)] =
-      ymw match {
-        case Subtract(y, wl, _) =>
-          for {
-            w <- widthOf(wl)
-            sx <- sideOf(x, j); sy <- sideOf(y, j)
-            if sx != sy
-          } yield (x, y, w)
-        case _ => None
-      }
-    c match {
-      case GreaterThanOrEqual(x, ymw) => split(x, ymw)
-      case GreaterThan(x, ymw) => split(x, ymw)
-      case LessThanOrEqual(ymw, x) => split(x, ymw)
-      case LessThan(ymw, x) => split(x, ymw)
-      case _ => None
-    }
-  }
-
-  /** Upper conjunct for the SAME (x, y): x < y or x <= y. */
-  private def isUpper(c: Expression, x: Expression, y: Expression): Boolean = c match {
-    case LessThan(a, b) => a.semanticEquals(x) && b.semanticEquals(y)
-    case LessThanOrEqual(a, b) => a.semanticEquals(x) && b.semanticEquals(y)
-    case GreaterThan(b, a) => a.semanticEquals(x) && b.semanticEquals(y)
-    case GreaterThanOrEqual(b, a) => a.semanticEquals(x) && b.semanticEquals(y)
-    case _ => false
-  }
-
-  /** A cross-side equality conjunct means Spark already has an equi-key. */
-  private def hasEquiKey(conjuncts: Seq[Expression], j: Join): Boolean =
-    conjuncts.exists {
-      case EqualTo(a, b) =>
-        (for (sa <- sideOf2(a, j); sb <- sideOf2(b, j)) yield sa != sb).getOrElse(false)
-      case EqualNullSafe(a, b) =>
-        (for (sa <- sideOf2(a, j); sb <- sideOf2(b, j)) yield sa != sb).getOrElse(false)
-      case _ => false
-    }
-
-  /** Like sideOf but type-agnostic (equality keys can be any type). */
-  private def sideOf2(e: Expression, j: Join): Option[Boolean] = {
-    val refs = e.references
-    if (refs.isEmpty) None
-    else if (refs.subsetOf(j.left.outputSet)) Some(true)
-    else if (refs.subsetOf(j.right.outputSet)) Some(false)
-    else None
-  }
-
   private def findBand(j: Join, cond: Expression): Option[Band] = {
     val conjuncts = splitConjunctivePredicates(cond)
-    if (hasEquiKey(conjuncts, j)) return None
+    if (BandPatterns.hasEquiKey(conjuncts, j)) return None
     // already rewritten plans carry the bin equality and are excluded above
-    conjuncts.iterator.flatMap(asLower(_, j)).collectFirst {
-      case (x, y, w) if conjuncts.exists(isUpper(_, x, y)) => Band(x, y, w)
+    conjuncts.iterator.flatMap(BandPatterns.asLower(_, j)).collectFirst {
+      case (x, y, w, loStrict)
+          if conjuncts.exists(BandPatterns.asUpper(_, x, y).isDefined) =>
+        BandPatterns.Band(x, y, w, loStrict,
+          hiInclusive = conjuncts.flatMap(BandPatterns.asUpper(_, x, y)).headOption.getOrElse(false))
     }
   }
 
-  /** Exact floor(e / w) for any sign: (e − pmod(e, w)) div w. */
-  private def floorDiv(e: Expression, w: Long): Expression = {
-    val wl = Literal(w, LongType)
-    IntegralDivide(Subtract(e, Pmod(e, wl)), wl)
-  }
+  private def floorDiv(e: Expression, w: Long): Expression =
+    BandPatterns.floorDiv(e, w)
 
   private def rewrite(j: Join, band: Band): LogicalPlan = {
     val xOnLeft = band.x.references.subsetOf(j.left.outputSet)

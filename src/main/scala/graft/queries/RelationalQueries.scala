@@ -382,6 +382,45 @@ object RelationalQueries {
     // at the 10× replica density crosses the target and k rises, holding
     // the candidate slop flat instead of doubling with density.
     graft.functions.GraftDsl.tuneRangeBins(acts, col("us"), winUs)
+    // pin the r6 cost crossover to its default: BandAggPushdown decomposes
+    // only when the measured density clears it (i04 forces 0 in the same
+    // session, so the knob is set explicitly here, not inherited)
+    s.conf.set(graft.plans.BandAggPushdown.MinRowsPerWindowKey,
+      graft.plans.BandAggPushdown.DefaultMinRowsPerWindow.toString)
+    val errors = events(s, d).filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("err_ts"), unix_micros(col("ts")).as("err_us"))
+    errors.join(acts, col("us") >= col("err_us") - winUs && col("us") < col("err_us"))
+      .groupBy(col("err_id"), col("user_id"), col("err_ts"))
+      .agg(count(col("act_id")).as("n_window"))
+      .select(col("err_id").as("event_id"), col("user_id"),
+        date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("n_window"))
+  }
+
+  /** i04: the i02 band-count query with [[graft.plans.BandAggPushdown]]
+    * FORCED (crossover threshold 0) — the aggregate never enumerates the
+    * matched pairs: full sub-bins join as pre-aggregated per-bin counts
+    * (broadcast bin table), only the ≤2 boundary bins join row-level with
+    * the exact band predicate. The oracle is the SAME naive SQL as i02 —
+    * the rewrite is semantics-preserving, so the driver's DuckDB compare
+    * gates the decomposition itself at every scale. i02 stays adaptive
+    * (enumeration below the density crossover, decomposition above);
+    * this query pins the decomposed plan so correctness of the rewrite is
+    * oracle-checked even at gate scale, where i02's measured density
+    * keeps it on the enumeration plan.
+    *
+    * Scale: matched pairs grow as rows × rows-per-window (quadratic on a
+    * densifying axis — 2.75 M → 275 M at the 10× replica); the
+    * decomposition processes O(|errors|·k + |errors|·rpw/k + |events|)
+    * rows with k = √(2·rpw) — measured 4.1 s → 2.3 s at the replica and
+    * ratio 1.3× at 10× data. */
+  def i04BandAggPushdown(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val winUs = 3600L * 1000000
+    val acts = events(s, d)
+      .select(unix_micros(col("ts")).as("us"), col("event_id").as("act_id"))
+    graft.functions.GraftDsl.tuneRangeBins(acts, col("us"), winUs)
+    s.conf.set(graft.plans.BandAggPushdown.MinRowsPerWindowKey, "0")
     val errors = events(s, d).filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id"),
         col("ts").as("err_ts"), unix_micros(col("ts")).as("err_us"))

@@ -478,17 +478,32 @@ object TextQueries {
     * because x<y<z is a total order. Per-node participation counts are
     * the output (every triangle credits all three corners).
     *
-    * Scale shape: edges are LSH-candidate-bounded (≪ corpus); both joins
-    * are equi-joins on node ids. Edges are oriented by DEGREE order
-    * (ties on id) — the Cohen/Schank-Wagner mitigation: every wedge
-    * pivots on its LOWEST-degree corner, so out-degrees are O(√m)-bounded
-    * and a hub of degree h emits O(m) wedges instead of h² (id-ordering,
-    * the r5 first cut, measured 7.8× at the 10× probe exactly because a
-    * few near-dup hubs dominated the wedge volume). The triangle SET is
+    * Scale shape — two bounds, both required (r6). (1) EDGE set: the d03
+    * half-signature bands (est. Jaccard ≥ ~0.5) densify superlinearly on
+    * near-dup-heavy corpora — the 10× probe measured 161× edges / 4800×
+    * wedges / 25M triangles, so ANY algorithm over that edge set is
+    * quadratic-ish in practice. g02's stated job is tight CLIQUES, so its
+    * edges are the FULL-signature band — both 4-hash band keys equal,
+    * i.e. all 8 MinHash values agree, est. Jaccard ≈ 1 (P[match] = J⁸).
+    * Measured at the 10× replica: 646 566 → 4 144 edges, 25.6 M → 1 842
+    * wedges; edge growth is near-linear in docs and the signature scan
+    * dominates the runtime. One composite-key equi-join replaces d03's
+    * band-union + distinct — a strictly cheaper plan. (2) WEDGE volume:
+    * edges are oriented by DEGREE order (ties on id) — the
+    * Cohen/Schank-Wagner mitigation: every wedge pivots on its
+    * LOWEST-degree corner, so out-degrees are O(√m)-bounded and a hub of
+    * degree h emits O(m) wedges instead of h². The triangle SET is
     * orientation-invariant (each triangle appears exactly once under any
-    * total node order), so the id-ordered oracle is unchanged. */
+    * total node order), so the oracle — recomputed over the SAME
+    * full-signature edge set — uses plain id order. */
   def g02Triangles(s: SparkSession, d: String): DataFrame = {
-    val e0 = d03MinHashPairs(s, d).localCheckpoint(true) // (a, b), a<b, distinct
+    val sig = d02MinHashSig(s, d).select(col("doc_id"), col("band0"), col("band1"))
+      .localCheckpoint(true)
+    val e0 = sig.toDF("a", "band0", "band1")
+      .join(sig.toDF("b", "band0", "band1"), Seq("band0", "band1"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .localCheckpoint(true) // (a, b), a<b; composite band key ⇒ already distinct
     val deg = e0.selectExpr("a AS node").unionAll(e0.selectExpr("b AS node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // orient each edge from the (deg, id)-smaller endpoint to the larger
@@ -1531,8 +1546,10 @@ object TextQueries {
         .filter(col("cnt") * (k + 1) > col("n"))
         .selectExpr(s"'$stream' AS stream", "item", "cnt", "n",
           "CAST(CASE WHEN map_contains_key(sk, item) THEN 1 ELSE 0 END AS BIGINT) AS present_ok",
-          s"""CAST(CASE WHEN element_at(sk, item) <= cnt
-             |          AND (cnt - element_at(sk, item)) * ${k + 1} <= n
+          // try_element_at: under ANSI mode a sketch that dropped a
+          // guaranteed heavy hitter must flip the flag to 0, not throw.
+          s"""CAST(CASE WHEN try_element_at(sk, item) <= cnt
+             |          AND (cnt - try_element_at(sk, item)) * ${k + 1} <= n
              |     THEN 1 ELSE 0 END AS BIGINT) AS est_ok""".stripMargin)
     }
     val docs = documents(s, d)

@@ -175,7 +175,13 @@ object EventStreams {
                   corpusDir: String): DataFrame = {
     import spark.implicits._
     import graft.queries.TimeSeriesQueries
-    val corpus = TimeSeriesQueries.paaIndex(spark, corpusDir)
+    // Materialize the index ONCE: Spark re-evaluates the static side of a
+    // stream-static join every micro-batch, and paaIndex's plan contains a
+    // full events groupBy + sort_array — without persist each batch would
+    // re-aggregate the whole corpus (annServe's lshIndex is a narrow
+    // projection so re-evaluation there is a scan, not an aggregation).
+    val corpus = TimeSeriesQueries.paaIndex(spark, corpusDir).persist()
+    corpus.count() // force materialization before the first batch
     TimeSeriesQueries.paaAssignQueries(queries, spark)
       .join(broadcast(corpus), (0 until TimeSeriesQueries.PaaSegments).map(i => s"b$i"))
       .selectExpr("query_id", "user_id",

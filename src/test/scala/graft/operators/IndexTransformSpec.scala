@@ -60,10 +60,27 @@ class IndexTransformSpec extends AnyFunSuite {
     assert(m.segmentIndexes.isDefined)
     assert(m.segmentIndexes.get.offset.size == 100 + graft.core.transform.Transforms.encryptionOverhead)
     assert(storage.exists("seg-ix.indexes"))
-    // failure path removes all three objects
-    val bad = SegmentUploadJob.uploadOne(storage, cfg.ring, None, cfg.copy(chunkSize = -1),
+    // failure path removes all three objects: fail at the COMMIT POINT
+    // (manifest PUT), i.e. AFTER .log and .indexes landed — a stronger
+    // probe than the r5 chunkSize=-1 trigger, which config validation now
+    // rejects at construction before any object exists
+    val failing = new graft.sources.StorageBackend {
+      override def upload(in: java.io.InputStream, key: String): Long =
+        if (key.endsWith(".rsm-manifest"))
+          throw new java.io.IOException("injected manifest-upload failure")
+        else storage.upload(in, key)
+      override def fetch(key: String) = storage.fetch(key)
+      override def fetchRange(key: String, range: graft.core.BytesRange) =
+        storage.fetchRange(key, range)
+      override def delete(key: String): Unit = storage.delete(key)
+      override def exists(key: String) = storage.exists(key)
+      override def size(key: String) = storage.size(key)
+      override def listKeys(prefix: String) = storage.listKeys(prefix)
+    }
+    val bad = SegmentUploadJob.uploadOne(failing, cfg.ring, None, cfg,
       "seg-bad", payload, Some(data(withTxn = false)))
     assert(!bad.success)
-    assert(storage.listKeys("").forall(!_.startsWith("seg-bad")))
+    assert(storage.listKeys("").forall(!_.startsWith("seg-bad")),
+      s"compensating delete left: ${storage.listKeys("").filter(_.startsWith("seg-bad"))}")
   }
 }

@@ -186,12 +186,26 @@ class SegmentJobsSpec extends SparkSpec {
     val r = SegmentUploadJob.uploadOne(FileSystemStorage(store), badCfg.ring, None, badCfg.copy(storageRoot = store),
       "seg-x", Array[Byte](1, 2, 3))
     assert(r.success)
-    // now corrupt path: encryption ring missing private key is fine for upload;
-    // instead simulate failure via an unwritable chunk size
-    val r2 = SegmentUploadJob.uploadOne(FileSystemStorage(store), cfg.ring, None,
-      cfg.copy(chunkSize = -5), "seg-y", Array[Byte](1, 2, 3))
+    // failure mid-upload (r6: config validation now rejects a bad chunk
+    // size at construction, so inject the failure at the manifest commit
+    // point instead — .log already landed, compensating delete must clean)
+    val real = FileSystemStorage(store)
+    val failing = new graft.sources.StorageBackend {
+      override def upload(in: java.io.InputStream, key: String): Long =
+        if (key.endsWith(".rsm-manifest"))
+          throw new java.io.IOException("injected manifest failure")
+        else real.upload(in, key)
+      override def fetch(key: String) = real.fetch(key)
+      override def fetchRange(key: String, range: graft.core.BytesRange) =
+        real.fetchRange(key, range)
+      override def delete(key: String): Unit = real.delete(key)
+      override def exists(key: String) = real.exists(key)
+      override def size(key: String) = real.size(key)
+      override def listKeys(prefix: String) = real.listKeys(prefix)
+    }
+    val r2 = SegmentUploadJob.uploadOne(failing, cfg.ring, None,
+      cfg, "seg-y", Array[Byte](1, 2, 3))
     assert(!r2.success && r2.error.nonEmpty)
-    val storage = FileSystemStorage(store)
-    assert(!storage.listKeys("").exists(_.startsWith("seg-y")))
+    assert(!real.listKeys("").exists(_.startsWith("seg-y")))
   }
 }

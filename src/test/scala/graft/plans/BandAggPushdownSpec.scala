@@ -1,0 +1,159 @@
+package graft.plans
+
+import graft.testkit.SparkSpec
+import graft.testkit.Props.forAllN
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** BandAggPushdown: aggregation pushed through band joins — the rewrite
+  * must be invisible (same rows, same schema, same attribute ids for
+  * parents) while never enumerating the matched pairs; guards must leave
+  * every non-matching shape untouched. */
+class BandAggPushdownSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Run `f` with BOTH band rules uninstalled (the plain nested-loop
+    * reference semantics). */
+  private def withoutRules[A](f: => A): A = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(r => (r eq RangeBinJoin) || (r eq BandAggPushdown))
+    try f
+    finally spark.experimental.extraOptimizations = saved
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  import spark.implicits._
+
+  private def forceOn(): Unit = {
+    GraftFunctions.register(spark)
+    spark.conf.set(BandAggPushdown.MinRowsPerWindowKey, "0")
+    spark.conf.unset(BandAggPushdown.RowsPerWindowKey)
+  }
+
+  private def probe = (0L until 150L).map(i => (i, i * 7 % 97)).toDF("pid", "px")
+  private def build = (0L until 400L).map(i => (i, i * 11 % 103, i % 5)).toDF("bid", "bx", "bv")
+
+  test("count over band join is decomposed: union of bin-table + boundary legs, same rows") {
+    forceOn()
+    def q = probe.join(build, $"bx" >= $"px" - 10L && $"bx" < $"px")
+      .groupBy($"pid").agg(count($"bid").as("n"))
+    val plan = physical(q)
+    assert(plan.contains("Union"), s"expected decomposed union plan:\n$plan")
+    assert(plan.contains("graft_full_bin") && plan.contains("graft_bnd_bin"),
+      s"expected both legs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    val expected = withoutRules(sortedRows(
+      probe.join(build, $"bx" >= $"px" - 10L && $"bx" < $"px")
+        .groupBy($"pid").agg(count($"bid").as("n"))))
+    assert(sortedRows(q) == expected)
+  }
+
+  test("sum/min/max decompose too; count(*) and literal counts work") {
+    forceOn()
+    def agg(df: DataFrame) = df.groupBy($"pid")
+      .agg(count(lit(1)).as("n"), sum($"bv").as("s"),
+        min($"bx").as("mn"), max($"bx").as("mx"))
+    def q = agg(probe.join(build, $"bx" >= $"px" - 7L && $"bx" < $"px"))
+    assert(physical(q).contains("graft_full_bin"), physical(q).take(2000))
+    val expected = withoutRules(sortedRows(
+      agg(probe.join(build, $"bx" >= $"px" - 7L && $"bx" < $"px"))))
+    assert(sortedRows(q) == expected)
+  }
+
+  test("expressions over grouping keys survive (collapsed trailing select)") {
+    forceOn()
+    def q = probe.join(build, $"bx" >= $"px" - 9L && $"bx" < $"px")
+      .groupBy($"pid", $"px").agg(count($"bid").as("n"))
+      .select(($"pid" * 2).as("pid2"), concat(lit("k"), $"px").as("label"), $"n")
+    assert(physical(q).contains("graft_full_bin"), physical(q).take(2000))
+    val expected = withoutRules(sortedRows(
+      probe.join(build, $"bx" >= $"px" - 9L && $"bx" < $"px")
+        .groupBy($"pid", $"px").agg(count($"bid").as("n"))
+        .select(($"pid" * 2).as("pid2"), concat(lit("k"), $"px").as("label"), $"n")))
+    assert(sortedRows(q) == expected)
+  }
+
+  test("guards: distinct aggs, y-side agg inputs, avg, extra conjuncts → untouched") {
+    forceOn()
+    val band = $"bx" >= $"px" - 10L && $"bx" < $"px"
+    // countDistinct is not decomposable
+    val p1 = physical(probe.join(build, band).groupBy($"pid")
+      .agg(countDistinct($"bid").as("n")))
+    assert(!p1.contains("graft_full_bin"), p1.take(2000))
+    // aggregate input from the y side — NULLABLE, so Catalyst cannot fold
+    // count(col) to count(1) first (non-nullable y inputs legitimately
+    // fold and then decompose, which is semantics-preserving)
+    val probeN = Seq((1L, Option(10L), Option(7L)), (2L, Option(30L), None))
+      .toDF("pid", "px", "ptag")
+    val p2 = physical(probeN.join(build, band).groupBy($"pid")
+      .agg(count($"ptag").as("n")))
+    assert(!p2.contains("graft_full_bin"), p2.take(2000))
+    // avg must not decompose (would need sum+count pairing)
+    val p3 = physical(probe.join(build, band).groupBy($"pid")
+      .agg(avg($"bv").as("a")))
+    assert(!p3.contains("graft_full_bin"), p3.take(2000))
+    // an extra conjunct beyond the band disables the count decomposition
+    val p4 = physical(probe.join(build,
+        band && $"bid" =!= $"pid").groupBy($"pid").agg(count($"bid").as("n")))
+    assert(!p4.contains("graft_full_bin"), p4.take(2000))
+  }
+
+  test("cost crossover: measured density below the threshold keeps the enumeration plan") {
+    GraftFunctions.register(spark)
+    spark.conf.set(BandAggPushdown.MinRowsPerWindowKey,
+      BandAggPushdown.DefaultMinRowsPerWindow.toString)
+    spark.conf.set(BandAggPushdown.RowsPerWindowKey, "10.0") // sparse axis
+    try {
+      val p = physical(probe.join(build, $"bx" >= $"px" - 10L && $"bx" < $"px")
+        .groupBy($"pid").agg(count($"bid").as("n")))
+      assert(!p.contains("graft_full_bin"), p.take(2000))
+      assert(p.contains("graft_bin"), "RangeBinJoin must still linearize:\n" + p.take(2000))
+    } finally spark.conf.unset(BandAggPushdown.RowsPerWindowKey)
+  }
+
+  test("property: random widths/bounds styles — decomposition ≡ nested-loop counts") {
+    forceOn()
+    val gen = for {
+      w <- Gen.chooseNum(1L, 40L)
+      strictLo <- Gen.oneOf(true, false)
+      inclHi <- Gen.oneOf(true, false)
+      shift <- Gen.chooseNum(-50L, 50L)
+    } yield (w, strictLo, inclHi, shift)
+    forAllN(gen, n = 12) { case (w, strictLo, inclHi, shift) =>
+      val p = probe.select($"pid", ($"px" + shift).as("px"))
+      def cond = {
+        val lo = if (strictLo) $"bx" > $"px" - w else $"bx" >= $"px" - w
+        val hi = if (inclHi) $"bx" <= $"px" else $"bx" < $"px"
+        lo && hi
+      }
+      def q = p.join(build, cond).groupBy($"pid").agg(count($"bid").as("n"))
+      assert(physical(q).contains("graft_full_bin"),
+        s"rule must fire for w=$w strictLo=$strictLo inclHi=$inclHi")
+      val expected = withoutRules(sortedRows(
+        p.join(build, cond).groupBy($"pid").agg(count($"bid").as("n"))))
+      assert(sortedRows(q) == expected,
+        s"w=$w strictLo=$strictLo inclHi=$inclHi shift=$shift")
+    }
+  }
+
+  test("null axis values: null probe windows and null build bins drop like the inner join") {
+    forceOn()
+    val p = Seq((1L, Option(10L)), (2L, None), (3L, Option(25L)))
+      .toDF("pid", "px")
+    val b = Seq((1L, Option(8L)), (2L, Option(9L)), (3L, None), (4L, Option(24L)))
+      .toDF("bid", "bx")
+    def q = p.join(b, $"bx" >= $"px" - 5L && $"bx" < $"px")
+      .groupBy($"pid").agg(count($"bid").as("n"))
+    assert(physical(q).contains("graft_full_bin"), physical(q).take(2000))
+    val expected = withoutRules(sortedRows(
+      p.join(b, $"bx" >= $"px" - 5L && $"bx" < $"px")
+        .groupBy($"pid").agg(count($"bid").as("n"))))
+    assert(sortedRows(q) == expected)
+  }
+}

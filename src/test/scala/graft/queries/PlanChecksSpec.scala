@@ -201,8 +201,16 @@ class PlanChecksSpec extends SparkSpec {
     val p1 = plan(TimeSeriesQueries.ts01SeriesKnn(spark, d))
     assert(p1.contains("Broadcast"), p1.take(3000))
     assert(p1.contains("partial_"), "ts01 argmax must partial-aggregate:\n" + p1.take(3000))
-    assert(!p1.contains("GlobalLimit") || !p1.contains("Sort"),
-      "top-1 must be an aggregate, not a sort+limit:\n" + p1.take(3000))
+    // positive form (r6, ADVICE r5): the old `!GlobalLimit || !Sort`
+    // disjunction passed whenever either token was merely absent. Assert
+    // each top-k-regression shape independently: no TakeOrdered, no
+    // limit-based top-1. (A bare `Sort` token can appear legitimately —
+    // min(struct) plans as SortAggregate with per-partition sorts — so
+    // the partial_ assertion above plus these two is the real lock.)
+    assert(!p1.contains("TakeOrderedAndProject"),
+      "top-1 must be an aggregate, not TakeOrdered:\n" + p1.take(3000))
+    assert(!p1.contains("GlobalLimit"),
+      "top-1 must be an aggregate, not sort+limit:\n" + p1.take(3000))
     // ts02: candidates come from a true equi-join on the PAA word — the
     // SAX analogue of d03's band join; never a cartesian pair scan
     val p2 = plan(TimeSeriesQueries.ts02PaaCandidates(spark, d))
@@ -537,11 +545,14 @@ class PlanChecksSpec extends SparkSpec {
   }
 
   test("g02: triangle join is equi-only; per-node counts consistent with total") {
-    val df = TextQueries.g02Triangles(spark, d)
+    // sf0.01: the r6 full-signature edge set has ≥1 triangle there (sf0.001
+    // has none, which would make the mod-3 invariant vacuous)
+    val df = TextQueries.g02Triangles(spark, "/root/testdata/sf0.01")
     val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "triangle enumeration must equi-join:\n" + p.take(3000))
     val rows = df.collect()
+    assert(rows.nonEmpty, "expected at least one triangle corner at sf0.01")
     // every triangle credits exactly 3 corners → total participation ≡ 0 mod 3
     assert(rows.map(_.getLong(1)).sum % 3 == 0, "corner credits must be divisible by 3")
     rows.foreach(r => assert(r.getLong(1) >= 1))

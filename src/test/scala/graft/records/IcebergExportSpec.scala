@@ -290,4 +290,41 @@ class IcebergExportSpec extends SparkSpec {
     // the current schema includes the evolved column and self-reads equal
     assert(exp.readState().schema == table.currentSchema.get)
   }
+
+  test("export-only reader: DataFrame + SQL view + offset pruning equal the native read (r6)") {
+    val (dir, table) = makeTable()
+    new IcebergExport(dir).export()
+
+    // 1. full read from ONLY metadata/ equals the native table read
+    val viaExport = IcebergExportReader.read(spark, dir)
+    val native = table.read(spark)
+    assert(viaExport.schema == native.schema)
+    def keyOffsets(df: org.apache.spark.sql.DataFrame): Vector[(Long, String)] =
+      df.selectExpr("kafka.offset", "CAST(key_raw AS STRING)").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toVector.sorted
+    assert(keyOffsets(viaExport) == keyOffsets(native))
+
+    // 2. served as SQL: an r02-style aggregate over the registered view
+    //    equals the same aggregate over the native read
+    IcebergExportReader.registerView(spark, dir, "iceberg_export_tbl")
+    val sqlRow = spark.sql(
+      """SELECT COUNT(*) AS n, MIN(kafka.offset) AS lo, MAX(kafka.offset) AS hi,
+        |       COUNT(DISTINCT kafka.offset) AS n_offsets
+        |FROM iceberg_export_tbl""".stripMargin).head()
+    val nat = native.selectExpr("COUNT(*)", "MIN(kafka.offset)",
+      "MAX(kafka.offset)", "COUNT(DISTINCT kafka.offset)").head()
+    assert(sqlRow == nat, s"SQL-over-export $sqlRow != native $nat")
+
+    // 3. offset-range read: file skipping via the manifest bounds — the
+    //    probe [25, 30] lives entirely in seg-020's file, so exactly ONE
+    //    data file is planned, and rows are exact (residual filter)
+    val ranged = IcebergExportReader.readOffsetRange(spark, dir, 25L, 30L)
+    assert(ranged.inputFiles.length == 1,
+      s"expected 1 pruned file, planned ${ranged.inputFiles.mkString(", ")}")
+    val expect = native.where("kafka.offset BETWEEN 25 AND 30")
+    assert(keyOffsets(ranged) == keyOffsets(expect))
+    // empty probe outside all bounds plans zero files and returns nothing
+    val empty = IcebergExportReader.readOffsetRange(spark, dir, 1000L, 2000L)
+    assert(empty.inputFiles.isEmpty && empty.count() == 0L)
+  }
 }

@@ -705,6 +705,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming scrub: per-arrival verdicts equal the batch ScrubJob on the same store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{ScrubJob, SegmentJobConfig, SegmentUploadJob}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a small store: two healthy segments, one with a flipped ciphertext
+    // bit (GCM tag failure → detransform-failed), one missing log object
+    val store = java.nio.file.Files.createTempDirectory("graft-scrub-stream").toString
+    val cfg = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 4096)
+    val rnd = new java.util.Random(7)
+    val keys = (0 until 4).map { i =>
+      val payload = new Array[Byte](16000 + i * 1000)
+      rnd.nextBytes(payload)
+      val key = f"sseg-$i%02d"
+      SegmentUploadJob.uploadOne(graft.sources.FileSystemStorage(store), cfg.ring, None, cfg, key, payload)
+      key
+    }
+    val log1 = java.nio.file.Paths.get(store, "sseg-01.log")
+    val bytes = java.nio.file.Files.readAllBytes(log1)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x40).toByte
+    java.nio.file.Files.write(log1, bytes)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(store, "sseg-03.log"))
+
+    val input = MemoryStream[String]
+    val arrivals = input.toDF().toDF("segment_key")
+    val q = ScrubJob.stream(spark, cfg, arrivals)
+      .writeStream.format("memory").queryName("scrubstream")
+      .outputMode("append").start()
+    input.addData(keys(0), keys(1))   // first micro-batch
+    q.processAllAvailable()
+    input.addData(keys(2), keys(3))   // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT * FROM scrubstream").collect()
+      .map(r => r.getAs[String]("segment_key") ->
+        (r.getAs[Boolean]("ok"), r.getAs[String]("issue"),
+          r.getAs[Int]("chunks"), r.getAs[Long]("bytes_checked"))).toMap
+    val batch = ScrubJob.run(spark, cfg).collect()
+      .map(r => r.getAs[String]("segment_key") ->
+        (r.getAs[Boolean]("ok"), r.getAs[String]("issue"),
+          r.getAs[Int]("chunks"), r.getAs[Long]("bytes_checked"))).toMap
+    assert(streamed == batch,
+      s"streaming verdicts must equal the batch scrub:\nstream=$streamed\nbatch=$batch")
+    assert(!streamed("sseg-01")._1 && streamed("sseg-01")._2.startsWith("detransform-failed"))
+    assert(streamed("sseg-03")._2 == "log-missing")
+    assert(streamed("sseg-00")._1 && streamed("sseg-02")._1)
+  }
+
   test("observed metrics: segment-copy sensors flow to the listener") {
     val collector = Metrics.register(spark)
     val in = Files.createTempDirectory("graft-obs-in").toString
