@@ -78,6 +78,7 @@ object SparkEntry {
     "m05_audio_features" -> (MultimodalQueries.m05AudioFeatures _),
     "m06_scene_cuts" -> (MultimodalQueries.m06SceneCuts _),
     "m07_phash_neardup" -> (MultimodalQueries.m07PhashNearDup _),
+    "m08_corrupt_quarantine" -> (MultimodalQueries.m08CorruptQuarantine _),
     "s01_ann_topk" -> (SimilarityQueries.s01AnnTopK _),
     "s02_embed_neardup" -> (SimilarityQueries.s02EmbedNearDup _),
     "s03_ann_lsh" -> (SimilarityQueries.s03AnnLsh _),
@@ -112,11 +113,14 @@ object SparkEntry {
     "s10_range_search" -> (SimilarityQueries.s10RangeSearch _),
     "s11_ivfpq_adc" -> (SimilarityQueries.s11IvfPqAdc _),
     "t14_split_assign" -> (TextQueries.t14SplitAssign _),
+    "t15_zipf_histogram" -> (TextQueries.t15ZipfHistogram _),
+    "d14_source_quota" -> (TextQueries.d14SourceQuota _),
     "w07_retention" -> (RelationalQueries.w07Retention _),
     "w08_funnel" -> (RelationalQueries.w08Funnel _),
     "i03_active_hours" -> (RelationalQueries.i03ActiveHours _),
     "q28_grouping_sets" -> (RelationalQueries.q28GroupingSets _),
     "b02_phrase_search" -> (TextQueries.b02PhraseSearch _),
+    "b03_proximity_search" -> (TextQueries.b03ProximitySearch _),
     "g02_triangles" -> (TextQueries.g02Triangles _),
     "a05_exact_quantiles" -> (RelationalQueries.a05ExactQuantiles _),
     "a06_heavy_hitters" -> (TextQueries.a06HeavyHitters _),
@@ -599,6 +603,24 @@ object SparkEntry {
          |SELECT i.doc_id, CAST($W AS BIGINT) AS img_w, CAST($H AS BIGINT) AS img_h,
          |       r_sum, g_sum, b_sum, pcm_n, pcm_sum, pcm_abs
          |FROM img i JOIN aud a ON i.doc_id = a.doc_id""".stripMargin
+    },
+    // m08: quarantine verdicts in closed form — corruption injected iff
+    // doc_id % 7 == 3 (two guaranteed-undecodable classes at %14 ∈ {3,10});
+    // healthy rows carry the m03 red-channel sum, quarantined rows zeros.
+    "m08_corrupt_quarantine" -> {
+      import MultimodalQueries.{M03Width => W, M03Height => H}
+      s"""WITH px AS (SELECT doc_id, unnest(generate_series(0, ${W - 1})) AS x FROM documents),
+         |pxy AS (SELECT doc_id, x, unnest(generate_series(0, ${H - 1})) AS y FROM px),
+         |img AS (SELECT doc_id,
+         |    CAST(SUM((doc_id*7 + x*3 + y*5) % 256) AS BIGINT) AS r_sum
+         |  FROM pxy GROUP BY doc_id)
+         |SELECT doc_id,
+         |       CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS ok,
+         |       CASE WHEN doc_id % 7 = 3 THEN 'undecodable' ELSE '' END AS issue,
+         |       CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE $W END AS BIGINT) AS img_w,
+         |       CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE $H END AS BIGINT) AS img_h,
+         |       CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE r_sum END AS BIGINT) AS r_sum
+         |FROM img""".stripMargin
     },
     // m04: every output pixel of the 2x2 box-filter resize recomputed from
     // the closed form — floor-average of the four covered input pixels per
@@ -1154,6 +1176,34 @@ object SparkEntry {
          |FROM q, nrm
          |WHERE vec_id != query_id
          |  AND list_dot_product(qv, v) / (qnrm * nrm) >= ${SimilarityQueries.RangeTau}""".stripMargin,
+    // d14: per-source cap by (n_distinct DESC, doc_id) — integer-exact
+    // total order, row_number ≤ K
+    "d14_source_quota" ->
+      s"""WITH sc AS (SELECT doc_id, source,
+         |        CAST(len(list_distinct($dToks)) AS BIGINT) AS n_distinct
+         |      FROM documents),
+         |r AS (SELECT doc_id, source, n_distinct,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY n_distinct DESC, doc_id) AS BIGINT) AS rnk
+         |      FROM sc)
+         |SELECT doc_id, source, n_distinct, rnk
+         |FROM r WHERE rnk <= ${TextQueries.SourceQuota}""".stripMargin,
+    // t15: class = binary-digit count − 1 == floor(log2) exactly on both
+    // engines; no floating log anywhere
+    "t15_zipf_histogram" ->
+      s"""WITH t AS (SELECT $dToks AS toks FROM documents),
+         |uni AS (SELECT 'tok' AS stream, unnest(toks) AS item FROM t),
+         |bi AS (SELECT 'bigram' AS stream, toks[pos] || ' ' || toks[pos + 1] AS item
+         |       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS pos
+         |             FROM t WHERE len(toks) >= 2)),
+         |items AS (SELECT * FROM uni WHERE item <> '' UNION ALL SELECT * FROM bi),
+         |tc AS (SELECT stream, item, COUNT(*) AS cnt FROM items GROUP BY 1, 2)
+         |SELECT stream, CAST(length(bin(cnt)) - 1 AS BIGINT) AS count_class,
+         |       CAST(COUNT(*) AS BIGINT) AS n_types,
+         |       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |       CAST(MIN(cnt) AS BIGINT) AS min_count,
+         |       CAST(MAX(cnt) AS BIGINT) AS max_count
+         |FROM tc GROUP BY 1, 2""".stripMargin,
     "t14_split_assign" ->
       s"""WITH RECURSIVE $d07Ctes,
          |h AS (SELECT doc_id, cluster_rep,
@@ -1226,6 +1276,26 @@ object SparkEntry {
         |FROM b GROUP BY GROUPING SETS ((prio), (yr), ())""".stripMargin,
     // b02: positional posting lists aligned on the anchor (pos − i), n-way
     // intersection on (doc_id, anchor)
+    // b03: unordered proximity — position combinations of all terms with
+    // span ≤ W, co-keyed posting-list joins on both engines
+    "b03_proximity_search" -> {
+      val terms = TextQueries.ProximityTerms
+      val legs = terms.zipWithIndex.map { case (t, i) =>
+        s"l$i AS (SELECT doc_id, pos AS p$i FROM p WHERE tok = '$t')"
+      }
+      val joins = (1 until terms.length).map(i => s"JOIN l$i USING (doc_id)").mkString(" ")
+      val ps = terms.indices.map(i => s"p$i").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |p AS (SELECT doc_id, pos, toks[pos] AS tok
+         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM t)),
+         |${legs.mkString(",\n")},
+         |m AS (SELECT doc_id, greatest($ps) - least($ps) AS span
+         |      FROM l0 $joins)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         |       CAST(MIN(span) AS BIGINT) AS min_span
+         |FROM m WHERE span <= ${TextQueries.ProximityWindow}
+         |GROUP BY 1""".stripMargin
+    },
     "b02_phrase_search" -> {
       val legs = TextQueries.PhraseTerms.zipWithIndex.map { case (t, i) =>
         s"l$i AS (SELECT doc_id, pos - $i AS mpos FROM p WHERE tok = '$t')"

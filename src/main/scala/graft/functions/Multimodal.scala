@@ -257,6 +257,57 @@ object Multimodal {
       .toDF("doc_id", "img_w", "img_h", "r_sum", "g_sum", "b_sum", "pcm_n", "pcm_sum", "pcm_abs")
   }
 
+  /** m08 kernel: corrupt-media QUARANTINE audit — the robustness pass a
+    * real ingest pipeline runs before any other media op: media payloads
+    * at scale always contain undecodable bytes (truncated uploads, wrong
+    * extensions, bit rot), and a decode kernel that lets one bad file
+    * kill the task loses the whole partition. Per row: attempt the real
+    * `javax.imageio` decode; success → verdict row with integer pixel
+    * stats, ANY decode failure → a quarantine verdict (`ok = 0`,
+    * zeroed stats) instead of a task failure. NonFatal-only catch: OOM
+    * and interrupts still propagate (a quarantine pass must not eat
+    * executor-death signals).
+    *
+    * Corruption is INJECTED deterministically from the id (the media
+    * bytes here are generated, not stored): id ≡ 3 (mod 14) → payload
+    * truncated to the 8-byte PNG signature; id ≡ 10 (mod 14) → signature
+    * zeroed. Both are guaranteed-undecodable states (no IHDR / not a
+    * PNG), so the oracle predicts every verdict in closed form:
+    * ok ⇔ id % 7 ≠ 3. Scale shape: one mapPartitions, per-task codec
+    * instance, zero shuffle — identical to m03. */
+  def corruptMediaAudit(ids: DataFrame, idCol: String,
+                        w: Int = 16, h: Int = 12): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val png = new PngRoundTrip
+        val out = it.map { id =>
+          val good = png.encode(m03Image(id, w, h))
+          val bytes =
+            if (id % 14 == 3) java.util.Arrays.copyOf(good, math.min(good.length, 8))
+            else if (id % 14 == 10) {
+              val b = good.clone(); var i = 0; while (i < 8) { b(i) = 0; i += 1 }; b
+            } else good
+          try {
+            val rows = png.decodeRows(bytes)
+            val width = rows.headOption.map(_.length / 3).getOrElse(0)
+            var rSum = 0L
+            rows.foreach { row =>
+              var i = 0
+              while (i < row.length) { rSum += row(i) & 0xFF; i += 3 }
+            }
+            (id, 1L, "", width.toLong, rows.length.toLong, rSum)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              (id, 0L, "undecodable", 0L, 0L, 0L)
+          }
+        }
+        closeOnDrain(out)(png.close())
+      }
+      .toDF("doc_id", "ok", "issue", "img_w", "img_h", "r_sum")
+  }
+
   /** Run `cleanup` when the TASK completes (mapPartitions resource
     * idiom): the completion listener fires on success, early termination
     * (limit/take stops pulling the iterator) AND failure — a drain-only

@@ -163,4 +163,17 @@ object MultimodalQueries {
         "coalesce(deg, 0L) AS n_near",
         "least(coalesce(p_min, doc_id), doc_id) AS rep")
   }
+
+  /** m08: corrupt-media QUARANTINE — the ingest-robustness pass: a
+    * deterministic subset of payloads is injected with guaranteed-
+    * undecodable corruption (truncation / zapped signature), and the
+    * kernel must quarantine them as verdict rows instead of failing the
+    * task, while healthy rows still produce exact pixel statistics.
+    * Oracle: ok ⇔ doc_id % 7 ≠ 3; healthy stats from the m03 closed
+    * form. See [[graft.functions.Multimodal.corruptMediaAudit]]. */
+  def m08CorruptQuarantine(s: SparkSession, d: String): DataFrame =
+    Multimodal.corruptMediaAudit(
+      Tables.documents(s, d).selectExpr("doc_id")
+        .repartition(s.sparkContext.defaultParallelism), "doc_id",
+      w = M03Width, h = M03Height)
 }

@@ -889,6 +889,43 @@ object TextQueries {
     * after the per-doc collapse; residual head skew is row-count only (no
     * multiplication) and AQE's skew split covers it. The final rollup is
     * co-keyed on doc_id. */
+  /** t15: ZIPF COUNT-CLASS HISTOGRAM — the corpus-statistics report every
+    * pretraining dataset ships (vocabulary size, token mass by frequency
+    * decade): vocabulary terms grouped into power-of-two frequency
+    * classes (class = ⌊log₂ count⌋), with type count, token mass and the
+    * class's count extremes. Zipf's law reads directly off the rows (each
+    * class holds ~constant token mass, type counts halve per class), and
+    * the head/tail balance is what drives vocab-size and min-frequency
+    * cuts in tokenizer training.
+    *
+    * Integer-exact everywhere: the class is `length(bin(cnt)) − 1` — the
+    * binary-digit count, exactly ⌊log₂⌋ with no floating log whose libm
+    * rounding could differ between engines (the b01/ts04 discipline).
+    *
+    * Scale shape: NO global rank — a naive Zipf plot needs
+    * `row_number() OVER (ORDER BY cnt DESC)`, a corpus-vocabulary window
+    * in ONE partition; the count-class histogram reads the same law from
+    * two partial-agged groupBys (token, then class), so the only
+    * vocabulary-sized exchange is hash-partitioned and the final exchange
+    * carries ≤ 64 class rows. */
+  def t15ZipfHistogram(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).selectExpr(s"$toksExpr AS toks")
+    // two vocab streams — unigrams and bigrams (the bigram tail is where
+    // Zipf structure actually lives on a small-vocab corpus)
+    val uni = toks.selectExpr("explode(toks) AS item")
+      .filter(col("item") =!= "").selectExpr("'tok' AS stream", "item")
+    val bi = toks.filter(expr("size(toks) >= 2"))
+      .selectExpr("explode(sequence(1, size(toks) - 1)) AS i", "toks")
+      .selectExpr("'bigram' AS stream",
+        "concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS item")
+    uni.unionByName(bi)
+      .groupBy(col("stream"), col("item")).agg(count(lit(1)).as("cnt"))
+      .selectExpr("stream", "CAST(length(bin(cnt)) - 1 AS BIGINT) AS count_class", "cnt")
+      .groupBy(col("stream"), col("count_class"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_tokens"),
+        min(col("cnt")).as("min_count"), max(col("cnt")).as("max_count"))
+  }
+
   def t13RareBigrams(s: SparkSession, d: String): DataFrame = {
     val perDoc = normToks(s, d)
       .filter("size(toks) >= 2")
@@ -1359,6 +1396,72 @@ object TextQueries {
     legs.reduce((a, b) => a.join(b, Seq("doc_id", "mpos")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_matches"), min("mpos").as("first_pos"))
+  }
+
+  /** d14 per-source document quota. */
+  val SourceQuota = 15
+
+  /** d14: PER-SOURCE QUOTA CURATION — cap every source at
+    * [[SourceQuota]] documents, keeping the lexically RICHEST (most
+    * distinct tokens, doc_id tiebreak): the domain-balancing step of
+    * pretraining curation (a crawl's mega-domains would otherwise drown
+    * the mixture; cf. per-domain caps in C4/RefinedWeb-style pipelines).
+    * Output is the kept set with each doc's within-source rank — the
+    * columns a mixture-weighting stage consumes.
+    *
+    * Scale shape: the richness score is a narrow projection (no
+    * explode — `size(array_distinct(toks))` inside the tokenize
+    * projection), and the per-source cut runs through the
+    * [[graft.plans.TopKPerGroup]] custom operator — partial per-partition
+    * heaps, so the shuffle carries ≤ K rows per (partition, source) and
+    * NO source ever occupies a whole window partition; the rank window
+    * afterwards touches ≤ K rows per source. Ordering is integer-exact
+    * (count, id) — no double score whose ties could differ across
+    * engines. */
+  def d14SourceQuota(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents(s, d)
+      .selectExpr("doc_id", "source",
+        s"CAST(size(array_distinct($toksExpr)) AS BIGINT) AS n_distinct")
+    val top = graft.plans.TopKPerGroup(scored, Seq("source"),
+      Seq("n_distinct" -> true, "doc_id" -> false), SourceQuota)
+    top.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n_distinct").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "source", "n_distinct", "rnk")
+  }
+
+  /** b03 query terms (unordered proximity) and token window. */
+  val ProximityTerms: Seq[String] = Seq("hash", "join", "scan")
+  val ProximityWindow = 12L
+
+  /** b03: PROXIMITY SEARCH — all query terms within a [[ProximityWindow]]-
+    * token window in ANY order (the `"hash join scan"~12` operator of a
+    * retrieval stack; b02 is the exact-phrase special case). Per matching
+    * document: the number of qualifying position combinations and the
+    * tightest span — the inputs to proximity-weighted ranking
+    * (Büttcher et al., CIKM'06).
+    *
+    * Scale shape: per-term posting lists (narrow posexplode + term
+    * filter) joined CO-KEYED on doc_id — the only shuffles key on doc_id,
+    * and the span predicate `greatest(...) − least(...) ≤ W` runs as the
+    * hash-join residual, never a nested loop. Per-doc work is Π tf(term)
+    * position combinations — the intrinsic proximity-search cost, bounded
+    * by the rarest term exactly as in a postings-based engine. Integer
+    * positions end-to-end. */
+  def b03ProximitySearch(s: SparkSession, d: String): DataFrame = {
+    val pos = normToks(s, d)
+      .selectExpr("doc_id", "posexplode(toks) AS (p0, tok)")
+      .selectExpr("doc_id", "CAST(p0 + 1 AS BIGINT) AS pos", "tok")
+    val legs = ProximityTerms.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("tok") === t).selectExpr("doc_id", s"pos AS p$i")
+    }
+    val ps = ProximityTerms.indices.map(i => s"p$i")
+    legs.reduce((a, b) => a.join(b, Seq("doc_id")))
+      .selectExpr("doc_id",
+        s"greatest(${ps.mkString(", ")}) - least(${ps.mkString(", ")}) AS span")
+      .filter(col("span") <= ProximityWindow)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("span")).as("min_span"))
   }
 
   /** Merge-pair report size for t11. */

@@ -587,4 +587,28 @@ class PlanChecksSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(3) >= 0, s"ADC distance must be non-negative: $r"))
     rows.foreach(r => assert(r.getLong(0) != r.getLong(2), "self-match excluded"))
   }
+
+  test("r6 additions: b03 co-keyed postings, t15 partial-agg, d14 top-k node, m08 narrow") {
+    // b03: only equi-joins (doc_id co-key); the span predicate is a
+    // residual, never a nested loop
+    val p1 = plan(TextQueries.b03ProximitySearch(spark, d))
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"),
+      "b03 must equi-join posting lists:\n" + p1.take(3000))
+    // t15: both groupBys partial-aggregate; no window function anywhere
+    // (a rank-based Zipf plot would need a vocabulary-sized single
+    // partition — the shape this query exists to avoid)
+    val p2 = plan(TextQueries.t15ZipfHistogram(spark, d))
+    assert(p2.contains("partial_"), "t15 must map-side combine:\n" + p2.take(3000))
+    assert(!p2.contains("Window"), "t15 must not use a rank window:\n" + p2.take(3000))
+    // d14: the custom TopKExec bounds the shuffle before any rank window
+    val p3 = plan(TextQueries.d14SourceQuota(spark, d))
+    assert(p3.contains("TopKExec") || p3.contains("TopK"),
+      "d14 must run through the top-k operator:\n" + p3.take(3000))
+    // m08: one mapPartitions kernel + the id-spread exchange, zero joins
+    val p4 = plan(MultimodalQueries.m08CorruptQuarantine(spark, d))
+    assert(!p4.contains("Join"), "m08 is a narrow audit:\n" + p4.take(3000))
+    val rows = MultimodalQueries.m08CorruptQuarantine(spark, d).collect()
+    assert(rows.nonEmpty && rows.exists(_.getLong(1) == 0L) && rows.exists(_.getLong(1) == 1L),
+      "m08 must emit both healthy and quarantined verdicts")
+  }
 }
