@@ -132,6 +132,7 @@ object SparkEntry {
     "p02_semantic_curation" -> (SimilarityQueries.p02SemanticCuration _),
     "x04_curriculum" -> (TextQueries.x04Curriculum _),
     "ts05_change_point" -> (TimeSeriesQueries.ts05ChangePoint _),
+    "ts06_lead_lag" -> (TimeSeriesQueries.ts06LeadLag _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -1496,6 +1497,37 @@ object SparkEntry {
     // ts05 = integer-exact CUSUM: C(k) = n·prefix(k) − k·total over cents;
     // argmax |C| with ties to the smaller k — division-free, so both
     // engines compare identical integers.
+    // ts06: best lag by (score DESC, |lag|, lag) over the PAA-word
+    // candidate pairs; slices + dot folds identical on both engines
+    "ts06_lead_lag" -> {
+      import TimeSeriesQueries.{SeriesLen => L, PaaSegments => S, PaaSegLen => G,
+        PaaBucket => W, XcorrMaxLag => M}
+      val buckets = (0 until S).map { seg =>
+        val terms = (1 to G).map(i => s"v[${seg * G + i}]").mkString(" + ")
+        s"CAST(floor(($terms) / $G / $W) AS BIGINT) AS b$seg"
+      }.mkString(",\n|        ")
+      val joinCond = (0 until S).map(i => s"a.b$i = b.b$i").mkString(" AND ")
+      s"""WITH ser AS (SELECT user_id, list(value ORDER BY ts, event_id)[1:$L] AS v
+         |             FROM events GROUP BY user_id HAVING COUNT(*) >= $L),
+         |w AS (SELECT user_id, v,
+         |        $buckets
+         |      FROM ser),
+         |pairs AS (SELECT a.user_id AS a, b.user_id AS b, a.v AS av, b.v AS bv
+         |          FROM w a JOIN w b ON $joinCond AND a.user_id < b.user_id),
+         |lags AS (SELECT a, b, av, bv, unnest(generate_series(-$M, $M)) AS lag FROM pairs),
+         |sc AS (SELECT a, b, lag,
+         |         list_dot_product(
+         |           av[1 + greatest(lag, 0) : greatest(lag, 0) + $L - abs(lag)],
+         |           bv[1 + greatest(-lag, 0) : greatest(-lag, 0) + $L - abs(lag)]) AS score,
+         |         CAST($L - abs(lag) AS BIGINT) AS overlap
+         |       FROM lags),
+         |r AS (SELECT a, b, lag, score, overlap,
+         |        row_number() OVER (PARTITION BY a, b
+         |          ORDER BY score DESC, abs(lag), lag) AS rk
+         |      FROM sc)
+         |SELECT a, b, CAST(lag AS BIGINT) AS best_lag, score AS best_score, overlap
+         |FROM r WHERE rk = 1""".stripMargin
+    },
     "ts05_change_point" -> {
       import TimeSeriesQueries.{MotifSeriesLen => N}
       s"""WITH ser AS (SELECT user_id,

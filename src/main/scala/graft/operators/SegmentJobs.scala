@@ -90,7 +90,13 @@ final case class UploadResult(
     compressed: Boolean,
     encrypted: Boolean,
     success: Boolean,
-    error: String)
+    error: String,
+    /** KIP-482 tagged-field wire form of the broker-facing custom
+      * metadata (r6, [[SegmentCustomMetadata]]): remote_size = TOTAL
+      * uploaded bytes (log + indexes + manifest, the reference's
+      * `SegmentCustomMetadataBuilder.totalSize`), object_key = the
+      * segment's main path. Empty on failure. */
+    custom_metadata: Array[Byte] = Array.emptyByteArray)
 
 /** SURVEY §3.1 — `copyLogSegmentData` as a Spark job.
   *
@@ -164,11 +170,21 @@ object SegmentUploadJob {
         IndexTransform.upload(storage, segKey, ix, dk.map(_.dataKey),
           dk.map(_.aad).getOrElse(Array.emptyByteArray)))
       // Manifest last = commit point.
-      storage.uploadBytes(
-        SegmentManifest(seg.index, segmentIndexes, doCompress, encMeta,
-          cfg.compressionCodec).toJson.getBytes("UTF-8"), manifestKey)
+      val manifestBytes = SegmentManifest(seg.index, segmentIndexes, doCompress, encMeta,
+        cfg.compressionCodec).toJson.getBytes("UTF-8")
+      storage.uploadBytes(manifestBytes, manifestKey)
+      // broker-facing custom metadata: total remote size across all three
+      // objects + the main path, in the reference's tagged-field wire form
+      val indexesExtent = segmentIndexes.map { si =>
+        Seq(Some(si.offset), Some(si.timestamp), Some(si.producerSnapshot),
+          Some(si.leaderEpoch), si.transaction).flatten
+          .map(i => i.position.toLong + i.size).foldLeft(0L)(math.max)
+      }.getOrElse(0L)
+      val wire = SegmentCustomMetadata.serialize(SegmentCustomMetadata.forUpload(
+        body.length.toLong + indexesExtent + manifestBytes.length, "", segKey))
       UploadResult(segKey, payload.length.toLong, seg.index.transformedFileSize,
-        seg.index.chunkCount, doCompress, cfg.encryption, success = true, error = "")
+        seg.index.chunkCount, doCompress, cfg.encryption, success = true, error = "",
+        custom_metadata = wire)
     } catch {
       case e: Throwable =>
         // Compensating delete: never leave a partial segment behind.

@@ -271,4 +271,48 @@ object TimeSeriesQueries {
         (0 until PaaSegments).map(i => s"b$i").mkString("concat_ws(',', ", ", ", ") AS word"),
         s"$distExpr AS dist")
   }
+
+  /** ts06 lag search radius (points). */
+  val XcorrMaxLag = 4
+
+  /** ts06: LEAD-LAG ALIGNMENT — for every candidate series pair (ts02's
+    * PAA-word join, the bounded candidate set), the integer lag in
+    * ±[[XcorrMaxLag]] maximizing the sliding inner product of the aligned
+    * overlaps: "does user B's trace follow user A's, and by how many
+    * steps?" — the cross-correlation primitive behind cascade/contagion
+    * detection and metric root-cause ordering (which signal moves first).
+    * Ties break to the smaller |lag|, then the smaller lag — a total
+    * order, so the argmax is deterministic.
+    *
+    * Scale shape: candidates come from the word EQUI-join (never all
+    * pairs); the ±4 lag fan-out is a 9-row explode per candidate and each
+    * score is one [[graft.plans.VecDot]] fold over ≤ [[SeriesLen]] points
+    * — per-pair local arithmetic, no further shuffle beyond the candidate
+    * join and the (a, b)-keyed argmax partials. Doubles are safe: the
+    * fold order is pinned to DuckDB's `list_dot_product` exactly as in
+    * ts01. */
+  def ts06LeadLag(s: SparkSession, d: String): DataFrame = {
+    val worded = series(s, d).selectExpr(Seq("user_id", "v") ++ paaWordExprs: _*)
+    val left = worded.selectExpr(
+      Seq("user_id AS a", "v AS av") ++ (0 until PaaSegments).map(i => s"b$i"): _*)
+    val right = worded.selectExpr(
+      Seq("user_id AS b", "v AS bv") ++ (0 until PaaSegments).map(i => s"b$i AS rb$i"): _*)
+    val cond = (0 until PaaSegments)
+      .map(i => col(s"b$i") === col(s"rb$i"))
+      .reduce(_ && _) && col("a") < col("b")
+    left.join(right, cond)
+      .select(col("a"), col("b"), col("av"), col("bv"))
+      .selectExpr("a", "b", "av", "bv",
+        s"explode(sequence(${-XcorrMaxLag}, $XcorrMaxLag)) AS lag")
+      .selectExpr("a", "b", "lag",
+        s"""vec_dot(slice(av, 1 + greatest(lag, 0), $SeriesLen - abs(lag)),
+           |        slice(bv, 1 + greatest(-lag, 0), $SeriesLen - abs(lag))) AS score""".stripMargin,
+        s"CAST($SeriesLen - abs(lag) AS BIGINT) AS overlap")
+      .groupBy(col("a"), col("b"))
+      .agg(max(struct(col("score"),
+        (-abs(col("lag"))).as("nal"), (-col("lag")).as("nl"),
+        col("overlap").as("ov"))).as("best"))
+      .selectExpr("a", "b", "CAST(-best.nl AS BIGINT) AS best_lag",
+        "best.score AS best_score", "best.ov AS overlap")
+  }
 }

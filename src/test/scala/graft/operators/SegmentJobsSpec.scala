@@ -208,4 +208,25 @@ class SegmentJobsSpec extends SparkSpec {
     assert(!r2.success && r2.error.nonEmpty)
     assert(!real.listKeys("").exists(_.startsWith("seg-y")))
   }
+
+  test("upload result carries the tagged-field custom metadata; wire decodes to the real sizes") {
+    import scala.collection.immutable.TreeMap
+    val store = java.nio.file.Files.createTempDirectory("graft-cmeta").toString
+    val cfg = SegmentJobConfig.withGeneratedKeys(store).copy(chunkSize = 4096)
+    val payload = new Array[Byte](20000)
+    new java.util.Random(3).nextBytes(payload)
+    val storage = FileSystemStorage(store)
+    val r = SegmentUploadJob.uploadOne(storage, cfg.ring, None, cfg, "cm-seg", payload)
+    assert(r.success && r.custom_metadata.nonEmpty)
+    val fields = SegmentCustomMetadata.deserialize(r.custom_metadata)
+    assert(fields(SegmentCustomMetadata.ObjectKeyTag) == "cm-seg")
+    assert(fields(SegmentCustomMetadata.ObjectPrefixTag) == "")
+    // remote_size == the actual bytes sitting in the store for this segment
+    val stored = storage.listKeys("").filter(_.startsWith("cm-seg"))
+      .map(storage.size).sum
+    assert(fields(SegmentCustomMetadata.RemoteSizeTag) == stored,
+      s"wire remote_size ${fields(SegmentCustomMetadata.RemoteSizeTag)} != stored $stored")
+    // failure rows carry no metadata
+    assert(TreeMap.empty[Int, Any] == SegmentCustomMetadata.deserialize(Array.emptyByteArray))
+  }
 }

@@ -211,6 +211,12 @@ class PlanChecksSpec extends SparkSpec {
       "top-1 must be an aggregate, not TakeOrdered:\n" + p1.take(3000))
     assert(!p1.contains("GlobalLimit"),
       "top-1 must be an aggregate, not sort+limit:\n" + p1.take(3000))
+    // ts06: same candidate discipline as ts02 — word equi-join, no
+    // cartesian; the lag fan-out is projection-side only
+    val p6 = plan(TimeSeriesQueries.ts06LeadLag(spark, d))
+    assert(!p6.contains("CartesianProduct") && !p6.contains("BroadcastNestedLoopJoin"),
+      "ts06 must equi-join on the word key:\n" + p6.take(3000))
+    assert(p6.contains("partial_"), "ts06 argmax must partial-aggregate:\n" + p6.take(3000))
     // ts02: candidates come from a true equi-join on the PAA word — the
     // SAX analogue of d03's band join; never a cartesian pair scan
     val p2 = plan(TimeSeriesQueries.ts02PaaCandidates(spark, d))
