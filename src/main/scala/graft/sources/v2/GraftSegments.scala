@@ -189,12 +189,58 @@ final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
 
 final case class SegmentPartition(segKey: String) extends InputPartition
 
+object SegmentsScan {
+  /** Test observability: partition count of the most recent planning pass
+    * (post static AND runtime pruning) — runtime-filter effectiveness is
+    * otherwise invisible outside BatchScanExec internals. */
+  @volatile private[graft] var lastPlannedPartitions: Int = -1
+}
+
 final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
-                         pruning: Array[Filter]) extends Scan with Batch {
+                         pruning: Array[Filter]) extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  private def keep(key: String): Boolean = pruning.forall {
+  /** Planner-visible size estimate (r6): Σ `.log` object sizes over the
+    * statically-pruned segment set — one metadata `size()` per segment,
+    * no byte fetched. Joins against a pruned segments scan can then
+    * broadcast correctly instead of defaulting to a shuffle (an unknown-
+    * size v2 scan is assumed huge). Transformed size ≥ original payload
+    * minus compression — a conservative under/over estimate is fine for
+    * join-strategy selection, exactness is not the contract. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes: Long = {
+      val storage = conf.storage
+      val manifestSuffix = "." + graft.sources.ObjectKey.Suffix.Manifest.value
+      val logSuffix = "." + graft.sources.ObjectKey.Suffix.Log.value
+      storage.listKeys(conf.prefix)
+        .filter(_.endsWith(manifestSuffix))
+        .map(_.dropRight(manifestSuffix.length))
+        .filter(keep)
+        .map(k => try storage.size(s"$k$logSuffix") catch { case _: Exception => 0L })
+        .sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  /** Runtime (join-driven) segment pruning — DSv2 dynamic partition
+    * pruning (r6): a broadcast join on `segment_key` hands the build
+    * side's key set to the scan as an IN filter BEFORE partitions run, so
+    * "fetch these 40 segments of the 40 000 in the store" plans 40
+    * partitions instead of scanning everything and filtering rows. The
+    * object-store analogue of DPP on a partitioned table; at 100 TB this
+    * is the difference between a point join and a full-store fetch. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("segment_key"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
+
+  private def keep(key: String): Boolean = (pruning ++ runtimeFilters).forall {
     case EqualTo("segment_key", v: String)  => key == v
     case In("segment_key", vs)              => vs.exists(_ == key)
     case StringStartsWith("segment_key", p) => key.startsWith(p)
@@ -206,13 +252,15 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val storage = conf.storage
     val manifestSuffix = "." + graft.sources.ObjectKey.Suffix.Manifest.value
-    storage.listKeys(conf.prefix)
+    val parts = storage.listKeys(conf.prefix)
       .filter(_.endsWith(manifestSuffix))
       .map(_.dropRight(manifestSuffix.length))
       .filter(keep)
       .sorted
       .map(SegmentPartition(_): InputPartition)
       .toArray
+    SegmentsScan.lastPlannedPartitions = parts.length
+    parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -74,6 +74,49 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     assert(pfx.count() == 30) // common sanitized prefix matches all three
   }
 
+  test("runtime filtering: a broadcast join on segment_key prunes partitions at RUN time (r6)") {
+    import spark.implicits._
+    val (store, cfg, keys) = setup()
+    // the probe keys are only known at runtime (a FILTERED dimension
+    // table — DPP requires a selective predicate on the build side), so
+    // static pushdown cannot prune; SupportsRuntimeFiltering hands the
+    // broadcast build side's key set to the scan before partitions launch
+    val dimDir = Files.createTempDirectory("dsv2-dim").toString
+    keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("segment_key", "pick")
+      .write.mode("overwrite").parquet(dimDir)
+    val wanted = spark.read.parquet(dimDir).where(col("pick") === 0L).select("segment_key")
+    val df = reader(store, cfg).load()
+      .join(org.apache.spark.sql.functions.broadcast(wanted), "segment_key")
+    graft.sources.v2.SegmentsScan.lastPlannedPartitions = -1
+    val rows = df.select(col("kafka.offset")).collect()
+    assert(rows.map(_.getLong(0)).toSet == (0L until 10L).toSet,
+      "joined read must return exactly the probed segment's records")
+    // the FINAL planning pass saw the runtime IN filter: one partition,
+    // not three (the static scan would plan 3 and discard rows post-join)
+    assert(graft.sources.v2.SegmentsScan.lastPlannedPartitions == 1,
+      s"expected runtime-pruned planning of 1 partition, got ${graft.sources.v2.SegmentsScan.lastPlannedPartitions}")
+    // and the physical plan carries the runtime filter on the scan node
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters") || plan.toLowerCase.contains("dynamicpruning"),
+      "expected a runtime filter on the BatchScan:\n" + plan.take(3000))
+  }
+
+  test("estimateStatistics: pruned scans report the pruned byte size (r6)") {
+    val (store, cfg, keys) = setup()
+    def statsOf(df: org.apache.spark.sql.DataFrame): Long = {
+      val rel = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get
+      rel.computeStats().sizeInBytes.toLong
+    }
+    val full = statsOf(reader(store, cfg).load())
+    val one = statsOf(reader(store, cfg).load().where(col("segment_key") === keys.head))
+    val logSizes = keys.map(k => graft.sources.FileSystemStorage(store).size(s"$k.log"))
+    assert(full == logSizes.sum, s"full-scan estimate $full != sum of log sizes ${logSizes.sum}")
+    assert(one == logSizes.head, s"pruned estimate $one != pruned log size ${logSizes.head}")
+    assert(one < full)
+  }
+
   test("column pruning: metadata-only scans never materialize payloads") {
     val (store, cfg, _) = setup()
     val df = reader(store, cfg).load().select(col("kafka.batch_base_offset").as("b"))
