@@ -328,6 +328,34 @@ object EventStreams {
       }
   }
 
+  final case class QuotaState(items: List[(Long, Long)]) // (n_distinct desc, doc_id asc)
+  final case class QuotaUpdate(source: String, doc_ids: Seq[Long], n_distincts: Seq[Long])
+
+  /** Streaming PER-SOURCE QUOTA — the d14 curation gate maintained online:
+    * as documents arrive, each source's keeper set (top
+    * [[graft.queries.TextQueries.SourceQuota]]-style cap by
+    * (n_distinct DESC, doc_id) — the same integer-exact order as the
+    * batch query) is held in bounded state (≤ k pairs per source) and
+    * re-emitted on every update. After any prefix of the stream the
+    * latest emission per source equals the batch d14 cut over the same
+    * rows — pinned in StreamingSpec across a batch split. A crawl
+    * pipeline runs this as the continuous domain-balancing admission
+    * check instead of re-running the batch cut per snapshot. */
+  def sourceQuota(spark: SparkSession, docs: DataFrame, k: Int): Dataset[QuotaUpdate] = {
+    import spark.implicits._
+    docs.selectExpr("source", "doc_id", "n_distinct")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long, Long)], state: GroupState[QuotaState]) =>
+          val prev = state.getOption.map(_.items).getOrElse(Nil)
+          val merged = (prev.iterator ++ rows.map { case (_, id, n) => (n, id) })
+            .toList.sortBy { case (n, id) => (-n, id) }.take(k)
+          state.update(QuotaState(merged))
+          QuotaUpdate(source, merged.map(_._2), merged.map(_._1))
+      }
+  }
+
   final case class Scd2State(attr: String, since: Long)
   final case class Scd2Version(key: Long, attr: String, valid_from: Long, valid_to: Long)
 

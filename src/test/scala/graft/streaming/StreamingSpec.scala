@@ -705,6 +705,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming per-source quota: latest keeper set equals the batch d14 cut across a split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    // the same scored projection the batch query uses
+    val scored = graft.queries.Tables.documents(spark, d)
+      .selectExpr("doc_id", "source",
+        "CAST(size(array_distinct(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '))) AS BIGINT) AS n_distinct")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (first, second) = scored.sortBy(_._1).splitAt(scored.length / 2)
+
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "source", "n_distinct")
+    val k = graft.queries.TextQueries.SourceQuota
+    val q = EventStreams.sourceQuota(spark, docs, k)
+      .writeStream.format("memory").queryName("quota").outputMode("update").start()
+    input.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    input.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // latest emission per source (memory sink appends every update)
+    val emitted = spark.sql("SELECT * FROM quota").collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getSeq[Long](2)))
+    val latest = emitted.zipWithIndex.groupBy(_._1._1)
+      .map { case (src, rows) => src -> rows.maxBy(_._2)._1._2 }
+    val batch = graft.queries.TextQueries.d14SourceQuota(spark, d).collect()
+      .groupBy(_.getString(1))
+      .map { case (src, rows) =>
+        val sorted = rows.sortBy(_.getLong(3)) // rnk
+        src -> (sorted.map(_.getLong(0)).toSeq, sorted.map(_.getLong(2)).toSeq)
+      }
+    assert(latest.keySet == batch.keySet)
+    latest.foreach { case (src, (ids, ns)) =>
+      assert((ids, ns) == batch(src), s"source $src keeper set diverged: stream=($ids) batch=(${batch(src)})")
+    }
+  }
+
   test("streaming scrub: per-arrival verdicts equal the batch ScrubJob on the same store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.{ScrubJob, SegmentJobConfig, SegmentUploadJob}
