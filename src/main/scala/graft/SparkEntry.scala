@@ -67,6 +67,7 @@ object SparkEntry {
     "t09_salient_terms" -> (TextQueries.t09SalientTerms _),
     "t10_mix_sample" -> (TextQueries.t10MixSample _),
     "p01_clean_corpus" -> (TextQueries.p01CleanCorpus _),
+    "p03_curation_funnel" -> (TextQueries.p03CurationFunnel _),
     "x01_token_windows" -> (TextQueries.x01TokenWindows _),
     "x02_pack_bins" -> (TextQueries.x02PackBins _),
     "t06_stratified_sample" -> (TextQueries.t06StratifiedSample _),
@@ -736,6 +737,28 @@ object SparkEntry {
          |FROM documents""".stripMargin,
     "t02_quality" -> t02Sql,
     "t03_langid" -> t03Sql,
+    // p03: cumulative stage survivors; same t02/t03/d07 CTEs as p01 plus
+    // the d14 quota cut over stage-4 survivors
+    "p03_curation_funnel" ->
+      s"""WITH q AS ($t02Sql), l AS ($t03Sql), c AS ($d07Sql),
+         |s2 AS (SELECT doc_id FROM l WHERE pred_lang = lang),
+         |s3 AS (SELECT q.doc_id, q.n_distinct FROM s2 JOIN q ON s2.doc_id = q.doc_id
+         |       WHERE q.n_tokens >= ${TextQueries.CleanMinTokens}
+         |         AND q.ttr >= ${TextQueries.CleanMinTtr}),
+         |s4 AS (SELECT s3.doc_id, s3.n_distinct FROM s3
+         |       JOIN c ON s3.doc_id = c.doc_id AND c.doc_id = c.cluster_rep),
+         |s5 AS (SELECT doc_id FROM (
+         |         SELECT s4.doc_id,
+         |           row_number() OVER (PARTITION BY d.source
+         |             ORDER BY s4.n_distinct DESC, s4.doc_id) AS rk
+         |         FROM s4 JOIN documents d ON s4.doc_id = d.doc_id)
+         |       WHERE rk <= ${TextQueries.SourceQuota})
+         |SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+         |       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+         |UNION ALL SELECT 2, 'lang', (SELECT COUNT(*) FROM s2)
+         |UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM s3)
+         |UNION ALL SELECT 4, 'dedup', (SELECT COUNT(*) FROM s4)
+         |UNION ALL SELECT 5, 'quota', (SELECT COUNT(*) FROM s5)""".stripMargin,
     "p01_clean_corpus" ->
       s"""WITH q AS ($t02Sql), l AS ($t03Sql), c AS ($d07Sql)
          |SELECT q.doc_id, l.lang, q.n_tokens, q.ttr

@@ -1244,6 +1244,44 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("ttr"))
   }
 
+  /** p03: CURATION FUNNEL REPORT — the per-stage survivor counts every
+    * pipeline run publishes (and the first thing anyone debugging a
+    * data-mixture change looks at): raw → language-consistent (t03) →
+    * quality-gated (t02 thresholds) → dedup keepers (d07 cluster reps) →
+    * per-source quota (d14's cap applied to the survivors). Cumulative
+    * by construction — each stage filters the previous one's survivors,
+    * so the counts are monotonically non-increasing and any regression
+    * localizes to a stage.
+    *
+    * Scale shape: ONE tokenize pass feeds every signal (the p01
+    * discipline — at 100 TB the tokenize scan dominates); all joins
+    * co-key on doc_id; the quota cut reuses the TopKPerGroup operator
+    * (bounded per-source shuffle); the five stage counts are one-row
+    * aggregates unioned. */
+  def p03CurationFunnel(s: SparkSession, d: String): DataFrame = {
+    val tok = normToks(s, d).localCheckpoint(true)
+    val pairs = d03From(d02From(s, tok)).localCheckpoint(true)
+    val keepers = clusterLabels(s, pairs, tok.select(col("doc_id")), MaxDriverEdges)
+      .filter(col("doc_id") === col("cluster_rep")).select("doc_id")
+    val quality = t02From(tok).select("doc_id", "n_tokens", "n_distinct", "ttr")
+    val s2 = t03From(tok).filter(col("pred_lang") === col("lang")).select("doc_id")
+    val s3 = s2.join(quality, "doc_id")
+      .filter(col("n_tokens") >= CleanMinTokens && col("ttr") >= CleanMinTtr)
+      .select("doc_id", "n_distinct")
+    val s4 = s3.join(keepers, "doc_id")
+    val s5 = graft.plans.TopKPerGroup(
+      s4.join(documents(s, d).select(col("doc_id"), col("source")), "doc_id"),
+      Seq("source"), Seq("n_distinct" -> true, "doc_id" -> false), SourceQuota)
+    def stage(n: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .selectExpr(s"CAST($n AS BIGINT) AS stage", s"'$name' AS stage_name", "n_docs")
+    stage(1, "raw", documents(s, d))
+      .unionByName(stage(2, "lang", s2))
+      .unionByName(stage(3, "quality", s3))
+      .unionByName(stage(4, "dedup", s4))
+      .unionByName(stage(5, "quota", s5))
+  }
+
   /** Bit width of the hashed token fingerprint used by d06 (512-byte
     * bitsets). Fixed width — no global vocabulary exists anywhere in the
     * plan, so the query is scale-independent of vocabulary size. */

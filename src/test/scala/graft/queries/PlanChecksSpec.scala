@@ -594,6 +594,19 @@ class PlanChecksSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) != r.getLong(2), "self-match excluded"))
   }
 
+  test("p03: funnel counts monotone; quota leg rides the top-k operator") {
+    val df = TextQueries.p03CurationFunnel(spark, d)
+    val p = plan(df)
+    assert(p.contains("TopKExec") || p.contains("TopK"),
+      "quota stage must run through the top-k operator:\n" + p.take(3000))
+    val rows = df.collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq("raw", "lang", "quality", "dedup", "quota"))
+    val ns = rows.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
+      s"stage counts must be non-increasing: ${rows.mkString(", ")}")
+    assert(ns.head > 0 && ns.last >= 0)
+  }
+
   test("r6 additions: b03 co-keyed postings, t15 partial-agg, d14 top-k node, m08 narrow") {
     // b03: only equi-joins (doc_id co-key); the span predicate is a
     // residual, never a nested loop
