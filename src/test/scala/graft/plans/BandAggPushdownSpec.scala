@@ -117,7 +117,7 @@ class BandAggPushdownSpec extends SparkSpec {
     } finally spark.conf.unset(BandAggPushdown.RowsPerWindowKey)
   }
 
-  test("property: random widths/bounds styles — decomposition ≡ nested-loop counts") {
+  test("property: random widths/bounds styles — decomposition ≡ nested-loop for count+sum+min+max") {
     forceOn()
     val gen = for {
       w <- Gen.chooseNum(1L, 40L)
@@ -132,11 +132,15 @@ class BandAggPushdownSpec extends SparkSpec {
         val hi = if (inclHi) $"bx" <= $"px" else $"bx" < $"px"
         lo && hi
       }
-      def q = p.join(build, cond).groupBy($"pid").agg(count($"bid").as("n"))
+      // every decomposable aggregate kind in one Aggregate, so the legs
+      // must carry FOUR positionally-aligned partials
+      def agg(df: DataFrame) = df.groupBy($"pid")
+        .agg(count($"bid").as("n"), sum($"bv").as("s"),
+          min($"bx").as("mn"), max($"bx").as("mx"))
+      def q = agg(p.join(build, cond))
       assert(physical(q).contains("graft_full_bin"),
         s"rule must fire for w=$w strictLo=$strictLo inclHi=$inclHi")
-      val expected = withoutRules(sortedRows(
-        p.join(build, cond).groupBy($"pid").agg(count($"bid").as("n"))))
+      val expected = withoutRules(sortedRows(agg(p.join(build, cond))))
       assert(sortedRows(q) == expected,
         s"w=$w strictLo=$strictLo inclHi=$inclHi shift=$shift")
     }
