@@ -258,6 +258,11 @@ object BandAggPushdown extends Rule[LogicalPlan] with PredicateHelper {
           case _: Count => true
           case s: Sum => !s.child.dataType.isInstanceOf[DecimalType]
           case _: Min | _: Max => true
+          // AVG decomposes as (sum, count) pairs; restricted to INTEGRAL
+          // children so both the original plan (double accumulation of
+          // exact integers) and the decomposition (exact long partial
+          // sums, one final divide) produce identical doubles
+          case a: Average => Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(a.child.dataType)
           case _ => false
         }
         if (!okFn || !fn.deterministic ||
@@ -298,6 +303,34 @@ object BandAggPushdown extends Rule[LogicalPlan] with PredicateHelper {
     val fhi = Subtract(floorDiv(hi, b), lit(1L))
     val binX = floorDiv(band.x, b)
     val aggFns = outs.collect { case AggOut(_, fn) => fn }
+    def cexpr(fn: AggregateFunction): Expression =
+      AggregateExpression(fn, Complete, isDistinct = false)
+    /** Per original aggregate: the per-bin partial functions (full leg),
+      * the per-row partial expressions (boundary leg, positionally
+      * aligned), and the merge over the union's partial attrs. */
+    final case class Decomp(partialFns: Seq[AggregateFunction],
+                            rowExprs: Seq[Expression],
+                            merge: Seq[Attribute] => Expression)
+    def nonNullOf(children: Seq[Expression]): Expression =
+      children.map(IsNotNull(_): Expression).reduceOption(And).getOrElse(Literal.TrueLiteral)
+    def decompose(fn: AggregateFunction): Decomp = fn match {
+      case c: Count => Decomp(Seq(c),
+        Seq(If(nonNullOf(c.children), lit(1L), lit(0L))),
+        ps => cexpr(Sum(ps.head)))
+      case sm: Sum => Decomp(Seq(sm), Seq(Cast(sm.child, sm.dataType)),
+        ps => cexpr(Sum(ps.head)))
+      case m: Min => Decomp(Seq(m), Seq(m.child), ps => cexpr(Min(ps.head)))
+      case m: Max => Decomp(Seq(m), Seq(m.child), ps => cexpr(Max(ps.head)))
+      case a: Average =>
+        val sumFn = Sum(a.child)
+        Decomp(Seq(sumFn, Count(Seq(a.child))),
+          Seq(Cast(a.child, sumFn.dataType),
+            If(IsNotNull(a.child), lit(1L), lit(0L))),
+          ps => Divide(Cast(cexpr(Sum(ps(0))), DoubleType),
+            Cast(cexpr(Sum(ps(1))), DoubleType)))
+      case other => throw new IllegalStateException(s"unguarded aggregate $other")
+    }
+    val decomps = aggFns.map(decompose)
 
     // ---- full-bin leg: y × explode(fullBins) ⨝ per-bin pre-aggregates
     // Sequence is TimeZoneAwareExpression: resolution requires a zone id
@@ -309,7 +342,7 @@ object BandAggPushdown extends Rule[LogicalPlan] with PredicateHelper {
     val yFull = Generate(Explode(fullBins), unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(fullBinAttr), child = ySide)
     val binAlias = Alias(binX, "graft_bin")()
-    val partials = aggFns.zipWithIndex.map { case (fn, i) =>
+    val partials = decomps.flatMap(_.partialFns).zipWithIndex.map { case (fn, i) =>
       Alias(AggregateExpression(fn, Complete, isDistinct = false), s"graft_p$i")()
     }
     val binnedX = Aggregate(Seq(binX), binAlias +: partials, xSide)
@@ -338,16 +371,7 @@ object BandAggPushdown extends Rule[LogicalPlan] with PredicateHelper {
       And(And(GreaterThanOrEqual(band.x, lo), LessThan(band.x, hi)), outsideFull))
     val joinBnd = Join(yBnd, xBnd, Inner, Some(bndCond), noBcast)
     val gkBnd = grouping.zipWithIndex.map { case (g, i) => Alias(g, s"graft_g$i")() }
-    val rowPartials = aggFns.zipWithIndex.map { case (fn, i) =>
-      val e: Expression = fn match {
-        case c: Count =>
-          val nonNull = c.children.map(IsNotNull(_): Expression)
-            .reduceOption(And).getOrElse(Literal.TrueLiteral)
-          If(nonNull, lit(1L), lit(0L))
-        case s: Sum => Cast(s.child, s.dataType)
-        case m: Min => m.child
-        case m: Max => m.child
-      }
+    val rowPartials = decomps.flatMap(_.rowExprs).zipWithIndex.map { case (e, i) =>
       Alias(e, s"graft_p$i")()
     }
     val projBnd = Project(gkBnd ++ rowPartials, joinBnd)
@@ -359,6 +383,7 @@ object BandAggPushdown extends Rule[LogicalPlan] with PredicateHelper {
     val nGroup = grouping.length
     val gkAttrs = unionOut.take(nGroup)
     val pAttrs = unionOut.drop(nGroup)
+    var pOffset = 0
     var aggIdx = -1
     val finalExprs: Seq[NamedExpression] = outs.map {
       case GroupOut(ne) =>
@@ -372,17 +397,12 @@ object BandAggPushdown extends Rule[LogicalPlan] with PredicateHelper {
             if (i >= 0) gkAttrs(i) else sub
         }
         Alias(over, ne.name)(exprId = ne.exprId)
-      case AggOut(ne, fn) =>
+      case AggOut(ne, _) =>
         aggIdx += 1
-        val p = pAttrs(aggIdx)
-        val merged: AggregateFunction = fn match {
-          case _: Count => Sum(p)
-          case _: Sum => Sum(p)
-          case _: Min => Min(p)
-          case _: Max => Max(p)
-        }
-        Alias(AggregateExpression(merged, Complete, isDistinct = false),
-          ne.name)(exprId = ne.exprId)
+        val dec = decomps(aggIdx)
+        val ps = pAttrs.slice(pOffset, pOffset + dec.partialFns.length)
+        pOffset += dec.partialFns.length
+        Alias(dec.merge(ps), ne.name)(exprId = ne.exprId)
     }
     Aggregate(gkAttrs, finalExprs, union)
   }

@@ -58,7 +58,9 @@ class BandAggPushdownSpec extends SparkSpec {
     forceOn()
     def agg(df: DataFrame) = df.groupBy($"pid")
       .agg(count(lit(1)).as("n"), sum($"bv").as("s"),
-        min($"bx").as("mn"), max($"bx").as("mx"))
+        min($"bx").as("mn"), max($"bx").as("mx"),
+        // integral AVG decomposes exactly: long partial sums + one divide
+        avg($"bv").as("av"))
     def q = agg(probe.join(build, $"bx" >= $"px" - 7L && $"bx" < $"px"))
     assert(physical(q).contains("graft_full_bin"), physical(q).take(2000))
     val expected = withoutRules(sortedRows(
@@ -94,9 +96,11 @@ class BandAggPushdownSpec extends SparkSpec {
     val p2 = physical(probeN.join(build, band).groupBy($"pid")
       .agg(count($"ptag").as("n")))
     assert(!p2.contains("graft_full_bin"), p2.take(2000))
-    // avg must not decompose (would need sum+count pairing)
-    val p3 = physical(probe.join(build, band).groupBy($"pid")
-      .agg(avg($"bv").as("a")))
+    // avg over a FLOATING column must not decompose (fp-associativity
+    // differs between per-bin partial sums and the original accumulation)
+    val buildD = build.withColumn("bd", $"bv".cast("double") / 3.0)
+    val p3 = physical(probe.join(buildD, band).groupBy($"pid")
+      .agg(avg($"bd").as("a")))
     assert(!p3.contains("graft_full_bin"), p3.take(2000))
     // an extra conjunct beyond the band disables the count decomposition
     val p4 = physical(probe.join(build,
@@ -132,11 +136,12 @@ class BandAggPushdownSpec extends SparkSpec {
         val hi = if (inclHi) $"bx" <= $"px" else $"bx" < $"px"
         lo && hi
       }
-      // every decomposable aggregate kind in one Aggregate, so the legs
-      // must carry FOUR positionally-aligned partials
+      // every decomposable aggregate kind in one Aggregate — avg expands
+      // to a (sum, count) pair, so the legs carry SIX positionally-
+      // aligned partials
       def agg(df: DataFrame) = df.groupBy($"pid")
         .agg(count($"bid").as("n"), sum($"bv").as("s"),
-          min($"bx").as("mn"), max($"bx").as("mx"))
+          min($"bx").as("mn"), max($"bx").as("mx"), avg($"bv").as("av"))
       def q = agg(p.join(build, cond))
       assert(physical(q).contains("graft_full_bin"),
         s"rule must fire for w=$w strictLo=$strictLo inclHi=$inclHi")
