@@ -41,6 +41,7 @@ object SparkEntry {
     "i01_interval_join" -> (RelationalQueries.i01IntervalJoin _),
     "i02_band_join_auto" -> (RelationalQueries.i02BandJoinAuto _),
     "i04_band_agg_pushdown" -> (RelationalQueries.i04BandAggPushdown _),
+    "i05_band_stats" -> (RelationalQueries.i05BandStats _),
     // oracle-gated since r3: output = exact values + in-bounds flags the
     // live sketches must satisfy (oracle emits literal-true flags)
     "a01_sketches" -> (RelationalQueries.a01Sketches _),
@@ -393,6 +394,22 @@ object SparkEntry {
         | AND epoch_us(a.ts) < epoch_us(e.ts)
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id, e.user_id, e.ts""".stripMargin,
+    // i05: all five decomposable aggregate kinds over the same naive band
+    // join; cents via DECIMAL(18,2) so sums and the avg division are
+    // exact identical doubles
+    "i05_band_stats" ->
+      """WITH a AS (SELECT epoch_us(ts) AS us,
+        |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |           FROM events),
+        |e AS (SELECT event_id, epoch_us(ts) AS err_us FROM events
+        |      WHERE event_type = 'error')
+        |SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_window,
+        |       CAST(SUM(a.cents) AS BIGINT) AS sum_cents,
+        |       CAST(MIN(a.cents) AS BIGINT) AS min_cents,
+        |       CAST(MAX(a.cents) AS BIGINT) AS max_cents,
+        |       CAST(SUM(a.cents) AS DOUBLE) / COUNT(*) AS avg_cents
+        |FROM e JOIN a ON a.us >= e.err_us - 3600000000 AND a.us < e.err_us
+        |GROUP BY e.event_id""".stripMargin,
     // i04: IDENTICAL naive SQL — the BandAggPushdown rewrite is
     // semantics-preserving, so the oracle for the decomposed plan is the
     // plain pair-enumerating band join

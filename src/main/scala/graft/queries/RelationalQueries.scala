@@ -431,6 +431,33 @@ object RelationalQueries {
         date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("n_window"))
   }
 
+  /** i05: the full WINDOWED-STATS band aggregate — per error, count /
+    * sum / min / max / avg of the value (in exact cents) over events in
+    * the preceding hour: the "context stats around each incident" query,
+    * exercising EVERY decomposition kind [[graft.plans.BandAggPushdown]]
+    * supports under the driver's DuckDB oracle (i04 gates count alone;
+    * avg expands to a (sum, count) partial pair). Cents via the i03
+    * DECIMAL(18,2) quantization, so sums and the avg division are exact
+    * identical doubles on both engines. Decomposition forced (crossover
+    * 0) like i04 — the pairs are never enumerated at any density. */
+  def i05BandStats(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val winUs = 3600L * 1000000
+    val acts = events(s, d).select(unix_micros(col("ts")).as("us"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    graft.functions.GraftDsl.tuneRangeBins(acts, col("us"), winUs)
+    s.conf.set(graft.plans.BandAggPushdown.MinRowsPerWindowKey, "0")
+    val errors = events(s, d).filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("err_us"))
+    errors.join(acts, col("us") >= col("err_us") - winUs && col("us") < col("err_us"))
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_window"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+        avg(col("cents")).as("avg_cents"))
+      .selectExpr("err_id AS event_id", "n_window", "sum_cents",
+        "min_cents", "max_cents", "avg_cents")
+  }
+
   /** Sketch aggregations — the sublinear-memory operators a 100 TB
     * aggregation actually runs: HyperLogLog++ distinct counts and
     * approximate percentiles next to their exact counterparts. No DuckDB

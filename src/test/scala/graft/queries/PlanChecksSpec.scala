@@ -70,6 +70,16 @@ class PlanChecksSpec extends SparkSpec {
       "range join must bin to an equi-join:\n" + p.take(3000))
   }
 
+  test("i04/i05: band aggregates are decomposed — no pair enumeration in the plan") {
+    for ((df, nm) <- Seq(RelationalQueries.i04BandAggPushdown(spark, d) -> "i04",
+                         RelationalQueries.i05BandStats(spark, d) -> "i05")) {
+      val p = plan(df)
+      assert(p.contains("graft_full_bin") && p.contains("graft_bnd_bin"),
+        s"$nm must run the BandAggPushdown decomposition:\n" + p.take(3000))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    }
+  }
+
   test("i02: NAIVE band join is auto-binned by RangeBinJoin, never nested-loop") {
     val p = plan(RelationalQueries.i02BandJoinAuto(spark, d))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
