@@ -176,15 +176,21 @@ object GraftDsl {
     val perBin = axis.groupBy((axisCol - pmod(axisCol, lit(windowWidth)))
         .divide(lit(windowWidth)).cast("long").as("graft_w_bin"))
       .agg(count(lit(1)).as("c"))
-    val st = perBin.agg(sum(col("c") * col("c")), sum(col("c"))).head()
-    val (k, rpw) =
-      if (st.isNullAt(1) || st.getLong(1) == 0L) (1, 0.0)
+    val st = perBin.agg(sum(col("c") * col("c")), sum(col("c")),
+      max(col("c"))).head()
+    val (k, rpw, maxWin) =
+      if (st.isNullAt(1) || st.getLong(1) == 0L) (1, 0.0, 0.0)
       else {
         val sizeBiased = st.getLong(0).toDouble / st.getLong(1)
-        (graft.plans.RangeBinJoin.chooseSubdivisions(sizeBiased), sizeBiased)
+        // any width-w window intersects at most TWO w-wide bins, so
+        // 2·max(c) soundly bounds every window's population — the
+        // magnitude half of BandAggPushdown's AVG 2⁵³ exactness guard
+        (graft.plans.RangeBinJoin.chooseSubdivisions(sizeBiased), sizeBiased,
+          2.0 * st.getLong(2))
       }
     s.conf.set(graft.plans.RangeBinJoin.SubdivisionsKey, k.toString)
     s.conf.set(graft.plans.BandAggPushdown.RowsPerWindowKey, rpw.toString)
+    s.conf.set(graft.plans.BandTuning.MaxRowsPerWindowKey, maxWin.toString)
     k
   }
 

@@ -147,13 +147,15 @@ private[plans] object BandPatterns {
   *    once per leg);
   *  - output attribute ids are preserved, so parent plans are untouched.
   *
-  * k comes from `spark.graft.rangebin.rowsPerWindow` — the MEASURED
-  * size-biased rows-per-window written by `GraftDsl.tuneRangeBins`
-  * (Σc²/Σc over w-wide bins: the expected window population seen by a
-  * random probe, robust to clustering where a uniform-density estimate
-  * undercounts) — via k = √(2·rpw) clamped to [[MinSubdivisions]]..
-  * [[MaxSubdivisions]]; unset, [[DefaultSubdivisions]] (cost is within
-  * 2× of optimal for rpw up to ~10⁵).
+  * k comes from the MEASURED size-biased rows-per-window (Σc²/Σc over
+  * w-wide bins: the expected window population seen by a random probe,
+  * robust to clustering where a uniform-density estimate undercounts) —
+  * via k = √(2·rpw) clamped to [[MinSubdivisions]]..[[MaxSubdivisions]].
+  * The measurement arrives either from the explicit
+  * `GraftDsl.tuneRangeBins` pre-flight (session confs, takes precedence)
+  * or, since r7, LAZILY at planning time via [[BandTuning.density]] —
+  * the naive band join tunes itself. With sampling disabled and no conf,
+  * [[DefaultSubdivisions]] (cost within 2× of optimal for rpw ≲ 10⁵).
   *
   * Registered BEFORE [[RangeBinJoin]] in the same batch: when this rule
   * fires, the boundary join carries a bin equi-key, so RangeBinJoin
@@ -167,6 +169,12 @@ object BandAggPushdown extends Rule[LogicalPlan] with PredicateHelper {
   val DefaultSubdivisions = 64
   val MinSubdivisions = 8
   val MaxSubdivisions = 1024
+
+  /** Largest double-exact integer magnitude: window sums at or above this
+    * make the original AVG's double accumulation lossy, so the rewrite's
+    * exact long sums could produce a DIFFERENT double — the AVG guard in
+    * rewriteMatch rejects the pushdown there. */
+  val TwoPow53 = 9007199254740992.0
 
   /** Cost crossover: below this MEASURED rows-per-window the plain
     * pair-enumerating band join (RangeBinJoin's linear shuffle) is
@@ -235,11 +243,6 @@ object BandAggPushdown extends Rule[LogicalPlan] with PredicateHelper {
     // a decomposable aggregate over x-side inputs
     if (grouping.exists(g => !g.deterministic || !g.references.subsetOf(ySide.outputSet)))
       return None
-    // cost crossover on the measured density (see MinRowsPerWindowKey)
-    val rpwStr = conf.getConfString(RowsPerWindowKey, "")
-    val minRpw = conf.getConfString(MinRowsPerWindowKey,
-      DefaultMinRowsPerWindow.toString).toDouble
-    if (rpwStr.nonEmpty && rpwStr.toDouble < minRpw) return None
 
     val outs: Seq[Out] = aggExprs.map {
       case ne if ne.collectFirst { case _: AggregateExpression => () }.isEmpty =>
@@ -276,7 +279,48 @@ object BandAggPushdown extends Rule[LogicalPlan] with PredicateHelper {
       p.find(_.expressions.exists(!_.deterministic)).isEmpty
     if (!planDeterministic(xSide) || !planDeterministic(ySide)) return None
 
-    Some(rewrite(grouping, outs, band, xSide, ySide))
+    // measured density: explicit tuneRangeBins confs win; unset, sample
+    // lazily at planning time (BandTuning, r7) so the naive formulation
+    // gets the same crossover + k without a pre-flight call
+    val confRpw = conf.getConfString(RowsPerWindowKey, "")
+    val confMaxWin = conf.getConfString(BandTuning.MaxRowsPerWindowKey, "")
+    lazy val sampledDensity = BandTuning.density(xSide, band.x, band.width)
+    val rpw: Option[Double] =
+      if (confRpw.nonEmpty) Some(confRpw.toDouble)
+      else sampledDensity.map(_.rowsPerWindow)
+    val maxWin: Option[Double] =
+      if (confMaxWin.nonEmpty) Some(confMaxWin.toDouble)
+      else sampledDensity.map(_.maxWindowRows)
+    // cost crossover on the measured density (see MinRowsPerWindowKey);
+    // UNKNOWN density still decomposes — at 100 TB the quadratic-pair
+    // risk dominates the decomposition's fixed overhead
+    val minRpw = conf.getConfString(MinRowsPerWindowKey,
+      DefaultMinRowsPerWindow.toString).toDouble
+    if (rpw.exists(_ < minRpw)) return None
+
+    // AVG exactness guard (r7, VERDICT r6 task 7): the decomposition's
+    // exact long partial sums and the original plan's double accumulation
+    // are bit-identical ONLY while every window's sum stays within 2⁵³.
+    // Enforce max|value| × maxWindowRows < 2⁵³ — the value bound static by
+    // type for byte/short/int, MEASURED (max/min probe over the x side)
+    // for long, whose range no static bound covers; either bound
+    // unavailable → fall back to enumeration rather than silently drift.
+    val avgChildren = outs.collect { case AggOut(_, a: Average) => a.child }
+    if (avgChildren.nonEmpty) {
+      val safe = maxWin.exists(mw => avgChildren.forall { ch =>
+        val maxAbs: Option[Double] = ch.dataType match {
+          case ByteType => Some(128.0)              // 2⁷
+          case ShortType => Some(32768.0)           // 2¹⁵
+          case IntegerType => Some(2147483648.0)    // 2³¹
+          case LongType => BandTuning.maxAbs(xSide, ch)
+          case _ => None
+        }
+        maxAbs.exists(ma => ma * mw < TwoPow53)
+      })
+      if (!safe) return None
+    }
+
+    Some(rewrite(grouping, outs, band, xSide, ySide, rpw))
   }
 
   private sealed trait Out
@@ -284,12 +328,10 @@ object BandAggPushdown extends Rule[LogicalPlan] with PredicateHelper {
   private final case class AggOut(ne: NamedExpression, fn: AggregateFunction) extends Out
 
   private def rewrite(grouping: Seq[Expression], outs: Seq[Out],
-                      band: Band, xSide: LogicalPlan, ySide: LogicalPlan): LogicalPlan = {
+                      band: Band, xSide: LogicalPlan, ySide: LogicalPlan,
+                      rpw: Option[Double]): LogicalPlan = {
     val w = band.width
-    val k = conf.getConfString(RowsPerWindowKey, "") match {
-      case "" => DefaultSubdivisions
-      case s => chooseSubdivisions(s.toDouble)
-    }
+    val k = rpw.map(chooseSubdivisions).getOrElse(DefaultSubdivisions)
     val b = math.max(1L, (w + k - 1) / k)
     def lit(v: Long) = Literal(v, LongType)
 

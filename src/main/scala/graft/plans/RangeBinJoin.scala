@@ -106,9 +106,15 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
     val xOnLeft = band.x.references.subsetOf(j.left.outputSet)
     val (xSide, ySide) = if (xOnLeft) (j.left, j.right) else (j.right, j.left)
 
-    // bin width b = ceil(w/k); k=1 (default) reproduces the classic
-    // [bin−1, bin] two-bin rewrite exactly
-    val k = math.max(1, conf.getConfString(SubdivisionsKey, "1").toInt)
+    // bin width b = ceil(w/k). Explicit conf (tuneRangeBins pre-flight)
+    // wins; unset, LAZILY sample the axis density at planning time
+    // (BandTuning, r7) so the naive formulation gets measured sub-binning
+    // too; no session and sampling off → k=1, the classic two-bin plan
+    val k = conf.getConfString(SubdivisionsKey, "") match {
+      case "" => BandTuning.density(xSide, band.x, band.width)
+        .map(d => chooseSubdivisions(d.rowsPerWindow)).getOrElse(1)
+      case s => math.max(1, s.toInt)
+    }
     val b = math.max(1L, (band.width + k - 1) / k)
     // x ∈ [y−w, y) ⟹ floor(x/b) ∈ [floor((y−w)/b), floor(y/b)] ⊇-safely
     // [floor(y/b)−m, floor(y/b)] with m = ceil(w/b); each matching pair

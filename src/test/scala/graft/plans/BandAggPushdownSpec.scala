@@ -33,7 +33,12 @@ class BandAggPushdownSpec extends SparkSpec {
   private def forceOn(): Unit = {
     GraftFunctions.register(spark)
     spark.conf.set(BandAggPushdown.MinRowsPerWindowKey, "0")
+    // the session is shared across suites: clear every explicit-tuning
+    // conf a sibling (tuneRangeBins) may have left, so these tests
+    // exercise the r7 lazy-sampling path
     spark.conf.unset(BandAggPushdown.RowsPerWindowKey)
+    spark.conf.unset(BandTuning.MaxRowsPerWindowKey)
+    spark.conf.unset(RangeBinJoin.SubdivisionsKey)
   }
 
   private def probe = (0L until 150L).map(i => (i, i * 7 % 97)).toDF("pid", "px")
@@ -148,6 +153,31 @@ class BandAggPushdownSpec extends SparkSpec {
       val expected = withoutRules(sortedRows(agg(p.join(build, cond))))
       assert(sortedRows(q) == expected,
         s"w=$w strictLo=$strictLo inclHi=$inclHi shift=$shift")
+    }
+  }
+
+  test("property: AVG 2^53 guard — decomposes iff max|v|·maxWindowRows < 2^53, rows always exact") {
+    forceOn()
+    // deterministic density: bx = i%30 over 120 rows → three width-10
+    // bins of 40 rows each → measured maxWindowRows = 2·40 = 80;
+    // bv ≈ 2^e, so the guard's product is (2^e + 6) · 80
+    val p = (0L until 50L).map(i => (i, 5 + i % 25)).toDF("pid", "px")
+    forAllN(Gen.chooseNum(40, 56), n = 8) { e =>
+      val base = 1L << e
+      val b = (0L until 120L).map(i => (i, i % 30, base + i % 7))
+        .toDF("bid", "bx", "bv")
+      def q = p.join(b, $"bx" >= $"px" - 10L && $"bx" < $"px")
+        .groupBy($"pid").agg(avg($"bv").as("av"), count($"bid").as("n"))
+      val shouldFire = (base + 6).toDouble * 80.0 < BandAggPushdown.TwoPow53
+      val fired = physical(q).contains("graft_full_bin")
+      assert(fired == shouldFire,
+        s"e=$e base=$base: guard expected fire=$shouldFire got $fired")
+      // either plan must reproduce the nested-loop reference exactly —
+      // the fallback IS the original enumeration, so no drift is possible
+      val expected = withoutRules(sortedRows(
+        p.join(b, $"bx" >= $"px" - 10L && $"bx" < $"px")
+          .groupBy($"pid").agg(avg($"bv").as("av"), count($"bid").as("n"))))
+      assert(sortedRows(q) == expected, s"e=$e rows drifted")
     }
   }
 
