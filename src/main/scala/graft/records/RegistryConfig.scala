@@ -41,6 +41,13 @@ object RegistryConfig {
       throw new IllegalArgumentException(s"missing required config '$UrlKey'"))
       .split(',').map(_.trim).filter(_.nonEmpty).toVector
     require(rawUrls.nonEmpty, s"'$UrlKey' has no URLs")
+    // fail fast on URL shape (commons ValidUrl parity): http/https + host
+    rawUrls.foreach(graft.core.ConfigValidators.validUrl(UrlKey, _))
+    // present credentials/passwords must be non-blank (NonEmptyPassword)
+    for (k <- Seq(BasicUserInfoKey, BearerTokenKey,
+        SslPrefix + "truststore.password", SslPrefix + "keystore.password",
+        SslPrefix + "keystore.key.password"); v <- conf.get(k))
+      graft.core.ConfigValidators.nonEmptyPassword(k, v)
 
     val basicSource = conf.get(BasicSourceKey).map(_.toUpperCase)
     val bearerSource = conf.get(BearerSourceKey).map(_.toUpperCase)

@@ -48,8 +48,17 @@ object StorageBackends {
     * returns the scheme it bound). This is the reference's config shape:
     * deployments put a class name in config, not code. */
   def registerProvider(className: String): String = {
-    val p = Class.forName(className).getDeclaredConstructor()
-      .newInstance().asInstanceOf[Provider]
+    val cls =
+      try Class.forName(className)
+      catch {
+        case _: ClassNotFoundException =>
+          throw new graft.core.ConfigValidators.ConfigException(
+            s"storage provider class '$className' not found on the classpath")
+      }
+    // commons Subclass-validator parity: name the contract BEFORE
+    // instantiating, instead of a bare ClassCastException later
+    graft.core.ConfigValidators.subclassOf("storage provider class", cls, classOf[Provider])
+    val p = cls.getDeclaredConstructor().newInstance().asInstanceOf[Provider]
     register(p.scheme, p.create)
     p.scheme
   }
