@@ -44,6 +44,17 @@ final case class EncryptionMetadata(
     keyId: String, wrappedDataKey: Array[Byte], aad: Array[Byte],
     wrapAlg: String = SegmentManifest.WrapAlgOaepSha256)
 
+/** Exact per-segment record statistics, computed by the upload job from
+  * the payload it is already serializing (r7): lets metadata-only queries
+  * — `count(*)`, `min/max(kafka.offset)`, `min/max(kafka.timestamp)` —
+  * answer from the manifest without fetching a byte of log data
+  * ([[graft.sources.v2.GraftSegments]] aggregate pushdown). OPTIONAL and
+  * self-describing: reference-written manifests (and payloads that are
+  * not Kafka wire) simply omit it, and readers fall back to the payload. */
+final case class RecordStats(
+    count: Long, minOffset: Long, maxOffset: Long,
+    minTimestamp: Long, maxTimestamp: Long)
+
 /** Versioned per-segment manifest: chunk index + index ranges + transform
   * flags. Ref `manifest/SegmentManifestV1.java:30-77`; JSON field layout per
   * FIXTURES.md F3.
@@ -60,7 +71,11 @@ final case class SegmentManifest(
       * ships with Spark). Declaring the codec in the manifest makes the
       * boundary explicit: a reader without a codec sees its name and can
       * reject cleanly instead of failing mid-detransform. */
-    compressionCodec: String = SegmentManifest.CodecLz4Name
+    compressionCodec: String = SegmentManifest.CodecLz4Name,
+    /** Exact record stats for metadata-only aggregates (see
+      * [[RecordStats]]); None when the writer could not parse the payload
+      * as Kafka wire, or for reference-written manifests. */
+    recordStats: Option[RecordStats] = None
 ) {
   def toJson: String = SegmentManifest.toJson(this)
 }
@@ -126,6 +141,12 @@ object SegmentManifest {
         n.put("wrapAlg", e.wrapAlg)
       case None => root.putNull("encryption")
     }
+    m.recordStats.foreach { rs =>
+      val n = root.putObject("recordStats")
+      n.put("count", rs.count)
+      n.put("minOffset", rs.minOffset); n.put("maxOffset", rs.maxOffset)
+      n.put("minTimestamp", rs.minTimestamp); n.put("maxTimestamp", rs.maxTimestamp)
+    }
     mapper.writeValueAsString(root)
   }
 
@@ -190,9 +211,15 @@ object SegmentManifest {
           unb64(e.get("aad").asText()), WrapAlgOaepSha3512)
       }
     }
+    val recordStats = Option(root.get("recordStats")).filter(!_.isNull).map { rs =>
+      RecordStats(rs.get("count").asLong(),
+        rs.get("minOffset").asLong(), rs.get("maxOffset").asLong(),
+        rs.get("minTimestamp").asLong(), rs.get("maxTimestamp").asLong())
+    }
     SegmentManifest(chunkIndex, segmentIndexes, root.get("compression").asBoolean(), encryption,
       Option(root.get("compressionCodec")).filter(!_.isNull).map(_.asText()).getOrElse(
         // the reference's only codec is zstd; our pre-r3 manifests were lz4
-        if (isReference) CodecZstdName else CodecLz4Name))
+        if (isReference) CodecZstdName else CodecLz4Name),
+      recordStats)
   }
 }

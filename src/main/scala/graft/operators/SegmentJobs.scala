@@ -139,6 +139,31 @@ object SegmentUploadJob {
   private def sanitizeKey(rawKey: String): String =
     rawKey.replaceFirst("^file:/+", "").replace('/', '_').replace(':', '_')
 
+  /** Exact record stats from the payload already in hand (r7): one wire
+    * parse over bytes the job is about to chunk/compress/encrypt anyway,
+    * recorded in the manifest so metadata-only aggregates (count, offset
+    * and timestamp bounds) never fetch log bytes
+    * ([[graft.sources.v2.GraftSegments]] aggregate pushdown). Offsets and
+    * timestamps use the SAME per-record reconstruction as the row schema
+    * (base + delta — `RowSchema.kafkaRow`), so pushed and unpushed plans
+    * agree bit-for-bit. None when the payload is not parseable Kafka wire
+    * (arbitrary bytes are legal payloads for tooling/tests). */
+  private[graft] def recordStatsOf(payload: Array[Byte]): Option[RecordStats] =
+    try {
+      var n = 0L
+      var minOff = Long.MaxValue; var maxOff = Long.MinValue
+      var minTs = Long.MaxValue; var maxTs = Long.MinValue
+      for (b <- graft.records.KafkaWireCodec.parseSegment(payload); r <- b.records) {
+        n += 1
+        val off = b.baseOffset + r.offsetDelta
+        val ts = b.baseTimestamp + r.timestampDelta
+        if (off < minOff) minOff = off; if (off > maxOff) maxOff = off
+        if (ts < minTs) minTs = ts; if (ts > maxTs) maxTs = ts
+      }
+      if (n == 0L) Some(RecordStats(0L, 0L, -1L, 0L, -1L))
+      else Some(RecordStats(n, minOff, maxOff, minTs, maxTs))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def uploadOne(
       storage: StorageBackend,
       ring: RsaKeyRing,
@@ -171,7 +196,7 @@ object SegmentUploadJob {
           dk.map(_.aad).getOrElse(Array.emptyByteArray)))
       // Manifest last = commit point.
       val manifestBytes = SegmentManifest(seg.index, segmentIndexes, doCompress, encMeta,
-        cfg.compressionCodec).toJson.getBytes("UTF-8")
+        cfg.compressionCodec, recordStatsOf(payload)).toJson.getBytes("UTF-8")
       storage.uploadBytes(manifestBytes, manifestKey)
       // broker-facing custom metadata: total remote size across all three
       // objects + the main path, in the reference's tagged-field wire form

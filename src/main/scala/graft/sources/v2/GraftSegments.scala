@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringStartsWith}
 import org.apache.spark.sql.types._
@@ -163,10 +164,12 @@ final class SegmentsTable(conf: GraftSegments.SourceConf) extends Table
 }
 
 final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = GraftSegments.fullSchema
   private var pruning: Array[Filter] = Array.empty
+  private var pushedAgg: Option[SegmentsAggScan.AggSpec] = None
 
   /** Keep the segment_key filters we can prune WITH; return everything as
     * residual — segment-level pruning is coarse by design. */
@@ -184,7 +187,33 @@ final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SegmentsScan(conf, required, pruning)
+  /** Metadata-only aggregates (r7, VERDICT r6 task 6): `count(*)` /
+    * `count(<non-null col>)` / `min/max(kafka.offset|kafka.timestamp)`,
+    * optionally grouped by `segment_key`, answer from per-segment manifest
+    * [[graft.core.RecordStats]] — the 100 TB ops question ("how many
+    * records, what's the high watermark") reads ZERO log bytes. PARTIAL
+    * pushdown: each segment contributes one pre-aggregated row and Spark
+    * runs the final merge, so the manifest reads stay distributed across
+    * executors instead of serializing on the driver.
+    *
+    * Safety: a residual row-level filter would make manifest-level stats
+    * wrong — but Spark only offers pushAggregation when NO post-scan
+    * filter remains, and our pushFilters returns EVERY filter as residual
+    * (segment_key prunes included), so any filtered aggregate keeps the
+    * row-path plan. Pruning still applies through a `prefix` source
+    * option, which restricts the listing below the filter layer. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    SegmentsAggScan.translate(aggregation) match {
+      case Some(spec) => pushedAgg = Some(spec); true
+      case None => false
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(spec) => new SegmentsAggScan(conf, pruning, spec)
+    case None => new SegmentsScan(conf, required, pruning)
+  }
 }
 
 final case class SegmentPartition(segKey: String) extends InputPartition
@@ -194,6 +223,26 @@ object SegmentsScan {
     * (post static AND runtime pruning) — runtime-filter effectiveness is
     * otherwise invisible outside BatchScanExec internals. */
   @volatile private[graft] var lastPlannedPartitions: Int = -1
+
+  /** Driver-side manifest KEY listing (strings only, no bytes), filtered
+    * by the prunable segment_key shapes — shared by the row scan and the
+    * aggregate scan. */
+  private[v2] def listSegments(conf: GraftSegments.SourceConf,
+                               filters: Array[Filter]): Array[String] = {
+    val storage = conf.storage
+    val manifestSuffix = "." + graft.sources.ObjectKey.Suffix.Manifest.value
+    storage.listKeys(conf.prefix)
+      .filter(_.endsWith(manifestSuffix))
+      .map(_.dropRight(manifestSuffix.length))
+      .filter(key => filters.forall {
+        case EqualTo("segment_key", v: String)  => key == v
+        case In("segment_key", vs)              => vs.exists(_ == key)
+        case StringStartsWith("segment_key", p) => key.startsWith(p)
+        case _                                  => true
+      })
+      .sorted
+      .toArray
+  }
 }
 
 final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
@@ -250,15 +299,8 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
   /** Driver-side planning: manifest KEY LISTING only (strings; no manifest
     * is parsed, no byte fetched until an executor runs its partition). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val storage = conf.storage
-    val manifestSuffix = "." + graft.sources.ObjectKey.Suffix.Manifest.value
-    val parts = storage.listKeys(conf.prefix)
-      .filter(_.endsWith(manifestSuffix))
-      .map(_.dropRight(manifestSuffix.length))
-      .filter(keep)
-      .sorted
+    val parts = SegmentsScan.listSegments(conf, pruning ++ runtimeFilters)
       .map(SegmentPartition(_): InputPartition)
-      .toArray
     SegmentsScan.lastPlannedPartitions = parts.length
     parts
   }
@@ -411,6 +453,143 @@ final class SegmentsReader(conf: GraftSegments.SourceConf, required: StructType,
   private var current: InternalRow = _
   override def next(): Boolean = { if (iter.hasNext) { current = iter.next(); true } else false }
   override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------------------
+// Aggregate pushdown: metadata-only count / offset / timestamp bounds.
+// ---------------------------------------------------------------------------
+
+object SegmentsAggScan {
+  /** The aggregates a manifest's [[graft.core.RecordStats]] can answer. */
+  sealed trait AggCol
+  case object CountAll extends AggCol
+  case object MinOffset extends AggCol
+  case object MaxOffset extends AggCol
+  case object MinTs extends AggCol
+  case object MaxTs extends AggCol
+
+  final case class AggSpec(groupByKey: Boolean, cols: Seq[AggCol])
+
+  /** Test observability: how many partitions answered from manifest stats
+    * vs fell back to a payload parse (reference-written segments carry no
+    * stats) in the most recent aggregate scan. */
+  private[graft] val statsOnlyReads = new java.util.concurrent.atomic.AtomicInteger
+  private[graft] val payloadFallbackReads = new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def resetCounters(): Unit = { statsOnlyReads.set(0); payloadFallbackReads.set(0) }
+
+  /** Columns whose values are never null in the record schema, so
+    * `count(col)` ≡ `count(*)` (RowSchema declares them non-nullable). */
+  private val NonNullPaths: Set[Seq[String]] = Set(
+    Seq("segment_key"), Seq("kafka"), Seq("kafka", "offset"), Seq("kafka", "timestamp"))
+
+  private def path(e: org.apache.spark.sql.connector.expressions.Expression): Option[Seq[String]] =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        Some(nr.fieldNames.toSeq)
+      case _ => None
+    }
+
+  def translate(agg: Aggregation): Option[AggSpec] = {
+    val groupByKey = agg.groupByExpressions.toSeq match {
+      case Seq() => false
+      case Seq(g) if path(g).contains(Seq("segment_key")) => true
+      case _ => return None
+    }
+    val cols = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => CountAll
+      case c: Count if !c.isDistinct && path(c.column).exists(NonNullPaths) => CountAll
+      case m: Min if path(m.column).contains(Seq("kafka", "offset")) => MinOffset
+      case m: Min if path(m.column).contains(Seq("kafka", "timestamp")) => MinTs
+      case m: Max if path(m.column).contains(Seq("kafka", "offset")) => MaxOffset
+      case m: Max if path(m.column).contains(Seq("kafka", "timestamp")) => MaxTs
+      case _ => return None
+    }
+    if (cols.isEmpty) None else Some(AggSpec(groupByKey, cols))
+  }
+}
+
+/** One pre-aggregated row PER SEGMENT, straight from the manifest's
+  * [[graft.core.RecordStats]] — no log object is opened. Partial-pushdown
+  * contract: Spark merges the per-partition rows (sum of counts, min of
+  * mins, max of maxes), so the output schema is positionally the group-by
+  * column then one LongType per aggregate. Segments without stats (the
+  * reference's own manifests) fall back to an exact payload parse of JUST
+  * that segment — correctness never depends on the stats being present. */
+final class SegmentsAggScan(conf: GraftSegments.SourceConf, pruning: Array[Filter],
+                            spec: SegmentsAggScan.AggSpec) extends Scan with Batch {
+  import SegmentsAggScan._
+
+  override def readSchema(): StructType = StructType(
+    (if (spec.groupByKey) Seq(StructField("segment_key", StringType, nullable = false)) else Nil) ++
+      spec.cols.zipWithIndex.map { case (c, i) =>
+        StructField(s"agg_col_$i", LongType, nullable = c != CountAll)
+      })
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = SegmentsScan.listSegments(conf, pruning)
+      .map(SegmentPartition(_): InputPartition)
+    SegmentsScan.lastPlannedPartitions = parts.length
+    parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SegmentsAggReaderFactory(conf, spec)
+
+  override def description(): String =
+    s"graft-segments AGG root=${conf.root} prefix='${conf.prefix}' " +
+      s"cols=${spec.cols.mkString(",")} groupByKey=${spec.groupByKey} (manifest-stats only)"
+}
+
+final class SegmentsAggReaderFactory(conf: GraftSegments.SourceConf,
+                                     spec: SegmentsAggScan.AggSpec)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SegmentsAggReader(conf, spec, partition.asInstanceOf[SegmentPartition].segKey)
+}
+
+final class SegmentsAggReader(conf: GraftSegments.SourceConf,
+                              spec: SegmentsAggScan.AggSpec, segKey: String)
+    extends PartitionReader[InternalRow] {
+  import SegmentsAggScan._
+
+  private var emitted = false
+
+  private lazy val row: InternalRow = {
+    conf.ensureBackend()
+    val storage = conf.storage
+    val manifest = graft.core.SegmentManifest.fromJson(new String(
+      storage.fetchBytes(s"$segKey.${graft.sources.ObjectKey.Suffix.Manifest.value}"), "UTF-8"))
+    val stats: graft.core.RecordStats = manifest.recordStats match {
+      case Some(rs) => statsOnlyReads.incrementAndGet(); rs
+      case None =>
+        // no stats in the manifest (reference-written segment): exact
+        // fallback — parse THIS segment's payload; other segments still
+        // answer from metadata
+        payloadFallbackReads.incrementAndGet()
+        val bytes = SegmentFetchJob.fetchRange(conf.jobConfig, segKey,
+          BytesRange(0L, Long.MaxValue - 1L))
+        graft.operators.SegmentUploadJob.recordStatsOf(bytes).getOrElse(
+          throw new IllegalStateException(
+            s"segment $segKey has neither manifest recordStats nor parseable payload"))
+    }
+    def v(c: AggCol): Any = c match {
+      case CountAll => stats.count
+      case MinOffset => if (stats.count == 0L) null else stats.minOffset
+      case MaxOffset => if (stats.count == 0L) null else stats.maxOffset
+      case MinTs => if (stats.count == 0L) null else stats.minTimestamp
+      case MaxTs => if (stats.count == 0L) null else stats.maxTimestamp
+    }
+    val keyCol =
+      if (spec.groupByKey) Seq(org.apache.spark.unsafe.types.UTF8String.fromString(segKey))
+      else Nil
+    InternalRow.fromSeq(keyCol ++ spec.cols.map(v))
+  }
+
+  override def next(): Boolean = if (emitted) false else { emitted = true; row != null }
+  override def get(): InternalRow = row
   override def close(): Unit = ()
 }
 

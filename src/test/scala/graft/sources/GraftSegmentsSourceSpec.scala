@@ -126,6 +126,65 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     assert(df.distinct().collect().map(_.getLong(0)).toSet == Set(0L, 10L, 20L))
   }
 
+  test("aggregate pushdown: count/min/max answer from manifests with ZERO payload reads (r7)") {
+    import graft.sources.v2.SegmentsAggScan
+    val (store, cfg, keys) = setup()
+    def agg = reader(store, cfg).load()
+      .agg(count(lit(1)).as("n"), min(col("kafka.offset")).as("lo"),
+        max(col("kafka.offset")).as("hi"), max(col("kafka.timestamp")).as("ts"))
+    // plan must be the aggregate scan, not the row scan
+    assert(agg.queryExecution.executedPlan.toString.contains("graft-segments AGG"),
+      agg.queryExecution.executedPlan.toString.take(2000))
+    // the strongest possible "zero payload reads": DELETE every log object;
+    // the metadata-only query must still answer exactly
+    keys.foreach(k => FileSystemStorage(store).delete(s"$k.log"))
+    SegmentsAggScan.resetCounters()
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (30L, 0L, 29L, 1700000000000L + 29L))
+    assert(SegmentsAggScan.statsOnlyReads.get() == 3 &&
+      SegmentsAggScan.payloadFallbackReads.get() == 0)
+    // grouped by segment_key: one exact row per segment, still no payload
+    SegmentsAggScan.resetCounters()
+    val grouped = reader(store, cfg).load().groupBy(col("segment_key"))
+      .agg(count(lit(1)).as("n"), max(col("kafka.offset")).as("hi"))
+      .orderBy("segment_key").collect()
+    assert(grouped.map(g => (g.getString(0), g.getLong(1), g.getLong(2))).toSeq ==
+      keys.zipWithIndex.map { case (k, i) => (k, 10L, i * 10L + 9L) })
+    assert(SegmentsAggScan.payloadFallbackReads.get() == 0)
+  }
+
+  test("aggregate pushdown guards: residual filters and stats-less manifests stay exact") {
+    import graft.sources.v2.SegmentsAggScan
+    val (store, cfg, keys) = setup()
+    // a row-level filter keeps the ROW plan (manifest stats can't apply)
+    val filtered = reader(store, cfg).load()
+      .where(col("kafka.offset") >= 5L).agg(count(lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("graft-segments AGG"))
+    assert(filtered.head().getLong(0) == 25L)
+    // distinct is not decomposable from stats → row plan
+    val distinct = reader(store, cfg).load()
+      .agg(countDistinct(col("kafka.offset")).as("n"))
+    assert(!distinct.queryExecution.executedPlan.toString.contains("graft-segments AGG"))
+    assert(distinct.head().getLong(0) == 30L)
+    // strip recordStats from ONE manifest (a reference-written segment):
+    // that partition falls back to an exact payload parse, others stay
+    // metadata-only
+    val fs = FileSystemStorage(store)
+    val mKey = s"${keys.head}.rsm-manifest"
+    val json = new String(fs.fetchBytes(mKey), "UTF-8")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("recordStats")
+    fs.uploadBytes(mapper.writeValueAsString(node).getBytes("UTF-8"), mKey)
+    SegmentsAggScan.resetCounters()
+    val r = reader(store, cfg).load()
+      .agg(count(lit(1)).as("n"), max(col("kafka.offset")).as("hi")).head()
+    assert((r.getLong(0), r.getLong(1)) == (30L, 29L))
+    assert(SegmentsAggScan.statsOnlyReads.get() == 2 &&
+      SegmentsAggScan.payloadFallbackReads.get() == 1)
+  }
+
   test("write path: records → tiered segments → read back identical (full V2 round trip)") {
     val (store, cfg, keys) = setup()
     val dst = Files.createTempDirectory("dsv2-dst").toString
@@ -385,10 +444,13 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     assert(cachedSegs == keys.toSet, s"cache holds $cachedSegs")
     assert(cache.cachedKeys.exists(_.endsWith("#1")), "multi-chunk segments expected")
 
-    // re-scan: storage is never touched again (no new cache loads)
+    // re-scan: storage is never touched again (no new cache loads).
+    // NOTE: must be a ROW-path read — a bare count() would ride the r7
+    // aggregate pushdown and answer from manifests without touching the
+    // chunk cache at all (see the aggregate pushdown tests)
     val before = cache.stats
     assert(reader(store, cfg).option("read.prefetch.bytes", prefetch.toString)
-      .load().count() == 30)
+      .load().select(col("kafka.offset")).collect().length == 30)
     val after = cache.stats
     assert(after.misses == before.misses, "re-scan must not reload from storage")
     assert(after.hits > before.hits, "re-scan must be served by the cache")
