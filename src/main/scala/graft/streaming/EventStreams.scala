@@ -302,6 +302,75 @@ object EventStreams {
       }
   }
 
+  final case class BandStatsState(buf: List[(Long, Long)]) // (us asc, cents)
+  final case class BandStatsUpdate(event_id: Long, n_window: Long, sum_cents: Long,
+                                   min_cents: Long, max_cents: Long, avg_cents: Double)
+
+  /** Streaming twin of the batch i05 WINDOWED-STATS band aggregate (r7,
+    * VERDICT r6 task 8): per error event, count / sum / min / max / avg of
+    * the value (exact cents, the i03 DECIMAL(18,2) quantization) over ALL
+    * events in the strictly-preceding hour — [[trailingCounts]]'s trailing
+    * buffer generalized from (count, sum) to every decomposable aggregate
+    * kind [[graft.plans.BandAggPushdown]] supports, maintained
+    * incrementally instead of re-joining per snapshot.
+    *
+    * State: ONE buffer holding exactly the live window's (us, cents)
+    * pairs — count/sum could ride two scalars, but MIN/MAX under eviction
+    * need the window contents, so the buffer IS the aggregate state (the
+    * same bound as the batch decomposition's boundary bins: window
+    * population, not stream length). The band's axis is GLOBAL (i05 has
+    * no per-user key), so there is a single state group — the stream
+    * serializes through one task, exactly as the batch axis is one
+    * timeline; a sharded variant would key by a partition column.
+    *
+    * Exactness contract: events process one PEER GROUP (equal `us`) at a
+    * time; an error's frame is the buffer BEFORE its own group lands
+    * (band upper bound is strict `<`), and errors with an empty frame
+    * emit nothing (the batch inner join drops them). sum/min/max are
+    * exact long arithmetic; avg = sum/n in one double divide — identical
+    * to the batch plan's doubles while window sums stay within 2⁵³ (the
+    * same bound BandAggPushdown's AVG guard enforces). Same
+    * watermarked-source ordering contract as [[trailingCounts]]. */
+  def bandStats(spark: SparkSession, events: DataFrame,
+                windowUs: Long = 3600L * 1000000): Dataset[BandStatsUpdate] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "unix_micros(ts) AS us",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+        "event_type = 'error' AS is_err")
+      .as[(Long, Long, Long, Boolean)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Long, Long, Boolean)], state: GroupState[BandStatsState]) =>
+          var buf = state.getOption.map(_.buf).getOrElse(Nil)
+          val sorted = rows.toVector.sortBy(r => (r._2, r._1))
+          val out = Vector.newBuilder[BandStatsUpdate]
+          var i = 0
+          while (i < sorted.length) {
+            val us = sorted(i)._2
+            var j = i
+            while (j < sorted.length && sorted(j)._2 == us) j += 1
+            // evict, then read the frame BEFORE this peer group lands:
+            // every remaining entry has us' ∈ [us − w, us) — the band
+            buf = buf.dropWhile(_._1 < us - windowUs)
+            if (buf.nonEmpty && sorted.slice(i, j).exists(_._4)) {
+              var n = 0L; var sum = 0L
+              var mn = Long.MaxValue; var mx = Long.MinValue
+              buf.foreach { case (_, c) =>
+                n += 1; sum += c
+                if (c < mn) mn = c; if (c > mx) mx = c
+              }
+              val upd = (id: Long) =>
+                BandStatsUpdate(id, n, sum, mn, mx, sum.toDouble / n.toDouble)
+              sorted.slice(i, j).foreach(r => if (r._4) out += upd(r._1))
+            }
+            buf = buf ++ sorted.slice(i, j).map(r => (r._2, r._3))
+            i = j
+          }
+          state.update(BandStatsState(buf))
+          out.result().iterator
+      }
+  }
+
   final case class TopKState(items: List[(Long, Long)]) // (value desc, id asc)
   final case class TopKUpdate(user_id: Long, top_ids: Seq[Long], top_values: Seq[Long])
 

@@ -119,6 +119,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("band stats twin: incremental i05 equals the batch decomposition across a batch split") {
+    import spark.implicits._
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    // two time-ordered files -> two micro-batches: second-batch errors
+    // reach back into window state carried from the first
+    val src = Files.createTempDirectory("graft-bandstats-src").toString
+    val cut = events.selectExpr("percentile_approx(ts, 0.5) AS m").head().getTimestamp(0)
+    events.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    events.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = EventStreams.bandStats(spark, stream).writeStream
+      .format("memory").queryName("bandstats")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+        "SELECT event_id, n_window, sum_cents, min_cents, max_cents, avg_cents FROM bandstats")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    // the batch i05 runs the forced BandAggPushdown decomposition — this
+    // pin therefore also gates the REWRITE against an independent
+    // incremental computation
+    val batch = graft.queries.RelationalQueries
+      .i05BandStats(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("trailing RANGE twin: equal-timestamp peers all share the full peer frame") {
     // RANGE frames include ALL equal-timestamp peers for every peer row —
     // the first of two same-microsecond events must emit n/sum that
