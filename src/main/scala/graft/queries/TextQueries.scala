@@ -60,9 +60,33 @@ object TextQueries {
     * p01 materializes this once and derives quality, language and minhash
     * from it instead of re-tokenizing the corpus per signal. */
   private def normToks(s: SparkSession, d: String): DataFrame =
-    documents(s, d).selectExpr("doc_id", "lang",
+    normToksFrom(documents(s, d))
+
+  private def normToksFrom(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "lang",
       "CAST(length(text) AS BIGINT) AS n_chars_txt",
       s"$normExpr AS norm", s"$toksExpr AS toks")
+
+  /** Scan-parallelism floor for compute-dominated inventory stages (r7,
+    * VERDICT r6 task 3). Everything upstream of the first exchange runs
+    * one task PER INPUT SPLIT — and the bench corpus is a single parquet
+    * file, so d11/d12's window-hash inventory (one md5 per corpus token,
+    * the dominant stage) ran SINGLE-TASK at sf0.1: their bench wobble was
+    * one core's scheduling/JIT state, not AQE flapping (measured: AQE off
+    * is slower with the same spread; 16 GB vs 48 GB heap, no change; the
+    * 10× replica wobbles less because Spark wrote it as 24-32 splits).
+    * Repartition ONLY when the scan yields fewer splits than cores: a
+    * 100 TB corpus has thousands of splits, and must never pay a
+    * corpus-wide shuffle for a no-op parallelism fix. */
+  private def withScanParallelism(s: SparkSession, df: DataFrame): DataFrame = {
+    val n = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
+  /** [[normToks]] with the scan-parallelism floor — for queries whose
+    * pre-shuffle compute dominates (the d11/d12 window-hash inventory). */
+  private def normToksPar(s: SparkSession, d: String): DataFrame =
+    normToksFrom(withScanParallelism(s, documents(s, d)))
 
   /** t02: quality scoring — length, lexical diversity (type-token ratio),
     * stopword ratio, mean token length. */
@@ -787,28 +811,33 @@ object TextQueries {
     * construction (a hot span is still one aggregate row). Volume is the
     * only cost: one 32-byte md5 per corpus token (md5 because the hash is
     * oracle-visible; production would key on xxhash64 longs, 4× narrower,
-    * exactly as d10 does for its bloom keys). The per-doc `distinct`
-    * collapses within-doc repeats BEFORE the ndocs aggregate, so a
-    * boilerplate-heavy doc cannot inflate its own span's doc count. */
+    * exactly as d10 does for its bloom keys).
+    *
+    * Shape (r7 restructure): ONE partial-agged pass collapses wins to
+    * (doc_id, whash, cnt) — map-side combine absorbs within-doc repeats,
+    * so a boilerplate-heavy doc cannot inflate its own span's doc count
+    * AND every later exchange moves only collapsed rows. The ndocs
+    * inventory, the dup join, and the per-doc rollup (plain SUMs — the
+    * r6 `countDistinct` forced an Expand that re-shuffled the full
+    * window-row volume twice) all run over that collapsed relation. */
   def d11DupSpans(s: SparkSession, d: String): DataFrame = {
-    val wins = normToks(s, d)
+    val wins = normToksPar(s, d)
       .filter(s"size(toks) >= $DupSpanW")
       .selectExpr("doc_id",
         s"explode(sequence(1, size(toks) - ${DupSpanW - 1})) AS pos", "toks")
       .selectExpr("doc_id", "pos",
         s"md5(array_join(slice(toks, pos, $DupSpanW), ' ')) AS whash")
-    val dup = wins.select("doc_id", "whash").distinct()
-      .groupBy("whash").agg(count(lit(1)).as("ndocs"))
+    val perDocHash = wins.groupBy("doc_id", "whash").agg(count(lit(1)).as("cnt"))
+    val dup = perDocHash.groupBy("whash").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
       .select(col("whash"), lit(1L).as("is_dup"))
-    wins
+    perDocHash
       .join(dup, Seq("whash"), "left")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_windows"),
-        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_windows"),
-        countDistinct(when(col("is_dup").isNotNull, col("whash")))
-          .as("n_dup_spans"))
+        sum(col("cnt")).as("n_windows"),
+        sum(when(col("is_dup").isNotNull, col("cnt")).otherwise(0L)).as("n_dup_windows"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_spans"))
   }
 
   /** d12: exact duplicated-span REMOVAL — d11's detection signal turned
@@ -836,7 +865,7 @@ object TextQueries {
     * final rollup reuses that partitioning. A 100 TB corpus with 1% span
     * duplication pays the d11 inventory plus ~8× rows on that 1%. */
   def d12SpanCut(s: SparkSession, d: String): DataFrame = {
-    val base = normToks(s, d)
+    val base = normToksPar(s, d)
     val wins = base
       .filter(s"size(toks) >= $DupSpanW")
       .selectExpr("doc_id",
