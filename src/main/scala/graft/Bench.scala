@@ -256,6 +256,36 @@ object Bench {
       }
       d += label -> (content.length / 1e6 / bestD)
     }
+
+    // The reference JMH grid's LARGEST content point is 1 GiB
+    // (`TransformBench.java:57` params 10 MiB/100 MiB/1 GiB) — r7 task 9:
+    // cover it at all three chunk sizes in the shipped configuration
+    // (compression+encryption, lz4). min-of-2 instead of min-of-3: at
+    // ~1 GB/s each pass costs ~1-2 s and the 10 MiB grid above already
+    // pins the per-config variance; 2 passes bound the added bench wall
+    // time to ~20 s. Buffers are allocated once and reused.
+    val big = new Array[Byte](1 << 30)
+    rnd.nextBytes(big)
+    java.util.Arrays.fill(big, big.length / 2, big.length, 7.toByte)
+    Seq(100, 1024, 5120).foreach { chunkKiB =>
+      val spec = specOf(chunkKiB, comp = true, enc = true, Transforms.CodecNameLz4)
+      val label = s"chunk${chunkKiB}_comp1_enc1_1g"
+      var bestT = Double.MaxValue
+      var seg: TransformedSegment = null
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        seg = TransformPipeline.transform(big, spec)
+        bestT = math.min(bestT, (System.nanoTime() - t0) / 1e9)
+      }
+      t += label -> (big.length / 1e6 / bestT)
+      var bestD = Double.MaxValue
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        TransformPipeline.detransformAll(seg, spec)
+        bestD = math.min(bestD, (System.nanoTime() - t0) / 1e9)
+      }
+      d += label -> (big.length / 1e6 / bestD)
+    }
     (t.result(), d.result())
   }
 }
