@@ -124,13 +124,22 @@ object MultimodalQueries {
   /** m07: IMAGE near-duplicate detection by perceptual hash — the
     * multimodal leg of the dedup family: dHash fingerprints from the REAL
     * decode path ([[Multimodal.imagePhash]]: PNG → box-resize → luminance
-    * gradient signs), then exactly d09's banded-Hamming machinery — a
-    * pair is a candidate iff some band matches (pigeonhole-complete for
-    * the radius), emitted from its FIRST shared band (no distinct
-    * exchange), verified by codegen'd `bit_count(a ^ b)`, summarized per
-    * image (n_near, smallest near-dup rep). This is how a 100 TB image
-    * store finds re-encodes/resizes without any pairwise pixel scan:
-    * signatures-only joins, the pixel data is read exactly once. */
+    * gradient signs), then d09's banded-Hamming machinery over DISTINCT
+    * SIGNATURES ONLY (r7): collapse to (phash, count, min doc) FIRST,
+    * band-join the distinct hashes (first-shared-band emission, verified
+    * by codegen'd `bit_count`), and recover every per-image answer
+    * arithmetically — n_near = (own-hash count − 1) + Σ near-hash counts,
+    * rep = least(doc_id, own-hash min, near-hash min).
+    *
+    * Why distinct-first is the 100 TB shape (measured, r7 100× probe):
+    * re-encode-heavy image stores saturate the signature space — the
+    * 100× replica carries 500k images over only 220 distinct phashes, so
+    * per-PAIR enumeration is Θ(n²/D) ≈ 3×10⁹ rows (it filled the
+    * sandbox disk); the distinct form's join is Θ(D·candidates) with the
+    * same exact output, and per-image work is one narrow groupBy + one
+    * co-keyed join. With no saturation (D ≈ n) it degrades gracefully to
+    * exactly the old cost minus the exact-duplicate pairs. Pixels are
+    * still read exactly once. */
   def m07PhashNearDup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val sig = Multimodal.imagePhash(
@@ -138,30 +147,35 @@ object MultimodalQueries {
           .repartition(s.sparkContext.defaultParallelism), "doc_id",
         w = M03Width, h = M03Height)
       .localCheckpoint(true)
-    val bands = sig.selectExpr("doc_id", "phash",
+    val groups = sig.groupBy("phash")
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("gmin"))
+    val bands = groups.selectExpr("phash", "cnt", "gmin",
       """stack(4, 0L, phash & 2047,
         |         1L, shiftright(phash, 11) & 2047,
         |         2L, shiftright(phash, 22) & 1023,
         |         3L, shiftright(phash, 32) & 1023) AS (band, bkey)""".stripMargin)
-    val a = bands.toDF("a", "pha", "band", "bkey")
-    val b = bands.toDF("b", "phb", "band", "bkey")
+    val a = bands.toDF("pha", "cnta", "mina", "band", "bkey")
+    val b = bands.toDF("phb", "cntb", "minb", "band", "bkey")
+    // unordered distinct-hash pairs, emitted from their FIRST shared band
     val pairs = a.join(b, Seq("band", "bkey"))
-      .filter(col("a") < col("b"))
+      .filter(col("pha") < col("phb"))
       .filter(expr(
         """(band < 1 OR (pha & 2047)                  != (phb & 2047)) AND
           |(band < 2 OR (shiftright(pha, 11) & 2047)  != (shiftright(phb, 11) & 2047)) AND
           |(band < 3 OR (shiftright(pha, 22) & 1023)  != (shiftright(phb, 22) & 1023))""".stripMargin))
       .filter(expr(s"bit_count(pha ^ phb) <= $PhashHammingMax"))
-      .localCheckpoint(true)
-    val sym = pairs.selectExpr("a AS doc_id", "b AS partner")
-      .union(pairs.selectExpr("b AS doc_id", "a AS partner"))
-    sig.select(col("doc_id"), col("phash"))
-      .join(sym.groupBy("doc_id")
-          .agg(count(lit(1)).as("deg"), min(col("partner")).as("p_min")),
-        Seq("doc_id"), "left")
+    // per distinct hash: total neighbor population + smallest neighbor doc
+    val nbr = pairs.selectExpr("pha AS phash", "cntb AS ncnt", "minb AS nmin")
+      .union(pairs.selectExpr("phb AS phash", "cnta AS ncnt", "mina AS nmin"))
+      .groupBy("phash")
+      .agg(sum(col("ncnt")).as("nbr_cnt"), min(col("nmin")).as("nbr_min"))
+    sig.join(groups, Seq("phash"))
+      .join(nbr, Seq("phash"), "left")
       .selectExpr("doc_id", "phash",
-        "coalesce(deg, 0L) AS n_near",
-        "least(coalesce(p_min, doc_id), doc_id) AS rep")
+        "cnt - 1 + coalesce(nbr_cnt, 0L) AS n_near",
+        // min over partners ∪ self: own-group min covers same-hash
+        // partners (gmin == doc_id exactly when no smaller same-hash doc)
+        "least(doc_id, gmin, coalesce(nbr_min, doc_id)) AS rep")
   }
 
   /** m08: corrupt-media QUARANTINE — the ingest-robustness pass: a
