@@ -1438,7 +1438,8 @@ object SparkEntry {
       s"""WITH $dNrmCte,
          |anch AS (SELECT vec_id - ${SimilarityQueries.AnchorFrom} AS anchor_id, v AS av, nrm AS anrm
          |         FROM nrm WHERE vec_id >= ${SimilarityQueries.AnchorFrom}
-         |           AND vec_id < ${SimilarityQueries.AnchorFrom + SimilarityQueries.AnchorCount}),
+         |           AND vec_id < ${SimilarityQueries.AnchorFrom}
+         |             + (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)),
          |scored AS (SELECT n.vec_id, n.v, n.nrm, a.anchor_id,
          |             row_number() OVER (PARTITION BY n.vec_id
          |                                ORDER BY list_dot_product(n.v, a.av) / (n.nrm * a.anrm) DESC,

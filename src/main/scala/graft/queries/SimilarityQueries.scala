@@ -68,11 +68,23 @@ object SimilarityQueries {
     * narrow projection. Anchor count is a fixed constant (8), so this is
     * bounded regardless of corpus size. */
   private def anchorsRow(s: SparkSession, d: String): DataFrame =
+    anchorsRowK(s, d, AnchorCount)
+
+  /** Anchor row with a CALLER-CHOSEN count (d13's adaptive quantizer);
+    * still one broadcast row — K ≤ √n keeps it small at any corpus size
+    * (√(10¹²) anchors × a few hundred bytes ≪ a broadcast threshold). */
+  private def anchorsRowK(s: SparkSession, d: String, k: Int): DataFrame =
     normed(s, d)
-      .filter(col("vec_id") >= AnchorFrom && col("vec_id") < AnchorFrom + AnchorCount)
+      .filter(col("vec_id") >= AnchorFrom && col("vec_id") < AnchorFrom + k)
       .selectExpr(s"CAST(vec_id - $AnchorFrom AS BIGINT) AS aid", "v", "nrm")
       .groupBy()
       .agg(sort_array(collect_list(struct(col("aid"), col("v"), col("nrm")))).as("anchors"))
+
+  /** d13's quantizer size: K = max(8, ⌈√n⌉) — the SemDeDup paper's K ∝ √n
+    * sizing, so per-cell pair work is Σ|cell|² ≈ n^1.5/… instead of n²/8.
+    * MUST match the oracle's `greatest(8, ceil(sqrt(count(*))))`. */
+  def semanticCells(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** s01: brute-force cosine top-k for a broadcast query set. */
   def s01AnnTopK(s: SparkSession, d: String): DataFrame = {
@@ -574,18 +586,26 @@ object SimilarityQueries {
     * such pruner (self when kept) — the pair set alone defines the
     * output, so it is engine-reproducible.
     *
-    * Scale shape: with K cells of the paper's sizing (K ∝ √n), per-cell
-    * work is (n/K)² and the join key has K values — at 100 TB, K is tens
-    * of thousands, so the shuffle spreads; the 8-anchor test constant is
-    * the same plan at toy K. No driver state, no global pair explosion —
-    * the exact counterpart (s02) stays the documented-quadratic baseline,
-    * d13 is the production path. */
+    * Scale shape: K = [[semanticCells]] = max(8, ⌈√n⌉) anchors — the
+    * paper's K ∝ √n sizing MEASURED, not just claimed (r7: the fixed
+    * 8-anchor toy constant measured 345× at the 100× replica — Σ|cell|²
+    * with K frozen is n²/8; adaptive K keeps cells ~√n wide, measured
+    * 209 s → 9 s at /tmp/sf10). Cell scoring is a `transform` lambda over
+    * the broadcast anchor array, so the codegen size is CONSTANT in K —
+    * the expanded per-anchor column form would hit method limits at
+    * production K. The join key then has K values and the shuffle
+    * spreads. No driver state, no global pair explosion — the exact
+    * counterpart (s02) stays the documented-quadratic baseline, d13 is
+    * the production path. */
   def d13SemanticDedup(s: SparkSession, d: String): DataFrame = {
-    val (scores, cell) = cellExprs
+    graft.plans.GraftFunctions.register(s)
+    val k = semanticCells(Tables.embeddings(s, d).count())
+    val scores = "transform(anchors, a -> vec_dot(v, a.v) / (nrm * a.nrm))"
+    val cell = "CAST(array_position(acells, array_max(acells)) - 1 AS BIGINT)"
     // pin ONE evaluation of the assigned corpus: it feeds the pair scan
     // twice and the final join once (the "persist the clustered corpus"
     // step of the real pipeline — same reason a01/d03 checkpoint)
-    val celled = normed(s, d).crossJoin(broadcast(anchorsRow(s, d)))
+    val celled = normed(s, d).crossJoin(broadcast(anchorsRowK(s, d, k)))
       .selectExpr("vec_id", "v", "nrm", s"$scores AS acells")
       .selectExpr("vec_id", "v", "nrm", s"$cell AS cell")
       .localCheckpoint(true)
