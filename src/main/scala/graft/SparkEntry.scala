@@ -665,9 +665,15 @@ object SparkEntry {
     },
     // m07 = dHash near-dup: the oracle recomputes the box-averaged cells
     // (m04's verified floor-average closed form), luminance gradient
-    // signs → the 42-bit hash, then the d09-style exact Hamming pair scan
-    // and per-image summary. The ENGINE gets the same bits from real
-    // PNG decode + banded joins; agreement proves codec + banding.
+    // signs → the 42-bit hash, then the exact Hamming pair relation —
+    // collapsed to DISTINCT signatures (exact identity: every doc's own
+    // signature is Hamming-0 from itself, so n_near = Σ counts of
+    // signatures within T minus self, and rep = min doc_id over the near
+    // signature set ∪ self = that set's min). Keeps the oracle O(D²)
+    // pairs, D = distinct hashes, instead of O(n²) rows — tractable at
+    // the 100× replica where n = 500k but D ≈ 220. The ENGINE gets the
+    // same bits from real PNG decode + banded joins; agreement proves
+    // codec + banding.
     "m07_phash_neardup" -> {
       import MultimodalQueries.{M03Width => W, M03Height => H, PhashHammingMax => T}
       val (ow, oh) = (W / 2, H / 2)
@@ -686,13 +692,13 @@ object SparkEntry {
          |ph AS (SELECT doc_id,
          |         CAST(SUM(CAST(bit AS BIGINT) << (y * ${ow - 1} + x)) AS BIGINT) AS phash
          |       FROM bits GROUP BY doc_id),
-         |p AS (SELECT a.doc_id AS x1, b.doc_id AS y1
-         |      FROM ph a JOIN ph b ON a.doc_id <> b.doc_id
-         |      WHERE bit_count(xor(a.phash, b.phash)) <= $T)
-         |SELECT s.doc_id, s.phash, COUNT(p.y1) AS n_near,
-         |       CAST(least(coalesce(MIN(p.y1), s.doc_id), s.doc_id) AS BIGINT) AS rep
-         |FROM ph s LEFT JOIN p ON p.x1 = s.doc_id
-         |GROUP BY s.doc_id, s.phash""".stripMargin
+         |phd AS (SELECT phash, COUNT(*) AS cnt, MIN(doc_id) AS min_id FROM ph GROUP BY phash),
+         |near AS (SELECT a.phash, SUM(b.cnt) AS near_cnt, MIN(b.min_id) AS near_min
+         |         FROM phd a JOIN phd b ON bit_count(xor(a.phash, b.phash)) <= $T
+         |         GROUP BY a.phash)
+         |SELECT s.doc_id, s.phash, CAST(n.near_cnt - 1 AS BIGINT) AS n_near,
+         |       CAST(n.near_min AS BIGINT) AS rep
+         |FROM ph s JOIN near n ON n.phash = s.phash""".stripMargin
     },
     // m05: every frame's features recomputed from the closed-form waveform
     // — block-local zero crossings (off > 0 mirrors the engine's n > 0
@@ -1440,13 +1446,13 @@ object SparkEntry {
          |         FROM nrm WHERE vec_id >= ${SimilarityQueries.AnchorFrom}
          |           AND vec_id < ${SimilarityQueries.AnchorFrom}
          |             + (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)),
-         |scored AS (SELECT n.vec_id, n.v, n.nrm, a.anchor_id,
+         |scored AS (SELECT n.vec_id, a.anchor_id,
          |             row_number() OVER (PARTITION BY n.vec_id
          |                                ORDER BY list_dot_product(n.v, a.av) / (n.nrm * a.anrm) DESC,
          |                                         a.anchor_id) AS rk
          |           FROM nrm n, anch a),
-         |celled AS (SELECT vec_id, v, nrm, CAST(anchor_id AS BIGINT) AS cell
-         |           FROM scored WHERE rk = 1),
+         |celled AS (SELECT s.vec_id, n.v, n.nrm, CAST(s.anchor_id AS BIGINT) AS cell
+         |           FROM scored s JOIN nrm n ON n.vec_id = s.vec_id WHERE s.rk = 1),
          |p AS (SELECT a.vec_id AS x, min(b.vec_id) AS pruned_by
          |      FROM celled a JOIN celled b ON a.cell = b.cell AND b.vec_id < a.vec_id
          |      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= ${SimilarityQueries.NearDupThreshold}

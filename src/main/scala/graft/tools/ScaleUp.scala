@@ -19,11 +19,24 @@ import org.apache.spark.sql.functions._
   *
   * Writes only under the target dir (intended: /tmp/sf1); testdata stays
   * untouched.
+  *
+  * A 4th arg picks the EVENTS time-axis shape: `densify` (default —
+  * copies share the base time range, so axis density grows `f`× — a
+  * busier deployment) or `stretch` (each copy's timestamps shift by
+  * k×(span+2h), so the retention window grows `f`× at the SAME density —
+  * the shape a 100 TB store actually has: more history, not denser
+  * traffic). Band-join work is quadratic-in-`f` under densify
+  * (rows × rows-per-window both grow) but linear under stretch
+  * (rows-per-window flat) — probing both separates the dataset's
+  * intrinsic pair growth from the operator's scaling.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
-    val Array(src, dst, fs) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleUp <srcDir> <dstDir> <factor> [densify|stretch]")
+    val Array(src, dst, fs) = args.take(3)
+    val mode = if (args.length == 4) args(3) else "densify"
+    require(mode == "densify" || mode == "stretch", s"unknown mode $mode")
     val f = fs.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -68,13 +81,36 @@ object ScaleUp {
       if (k == 0) l
       else l.withColumn("l_orderkey", col("l_orderkey") + lit(k * IdSpan))
     }
-    // events: same users and time range, f× the density — event_id offset
-    // keeps identity unique; per-user windows/sessions get f× heavier,
-    // which is the growth a busier deployment actually shows. ts is raw
-    // parquet NANOS (read as long, Tables.events converts) — keep it raw.
+    // events: same users; under densify the copies share the base time
+    // range (f× the density — a busier deployment), under stretch copy k
+    // shifts by k×(span+2h) so retention grows f× at flat density (a
+    // longer-lived deployment). event_id offset keeps identity unique.
+    // ts is raw parquet NANOS (read as long, Tables.events converts) —
+    // keep it raw; the 2h gap keeps 1h band windows from bridging copies.
+    // span in the column's own unit: raw int64 stays nanos; a TIMESTAMP
+    // column (the driver currently writes micros) shifts via timestampadd
+    val eventsBase = spark.read.parquet(s"$src/events.parquet")
+    val tsIsLong =
+      eventsBase.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val spanUnits: Long =
+      if (mode != "stretch") 0L
+      else if (tsIsLong)
+        eventsBase.selectExpr(s"max(ts) - min(ts) + ${2L * 3600 * 1000000000L}")
+          .head.getLong(0)
+      else
+        eventsBase // timestampdiff accepts TIMESTAMP and TIMESTAMP_NTZ alike
+          .selectExpr(s"timestampdiff(MICROSECOND, min(ts), max(ts)) + ${2L * 3600 * 1000000L}")
+          .head.getLong(0)
     copies("events") { (e, k) =>
       if (k == 0) e
-      else e.withColumn("event_id", col("event_id") + lit(k * IdSpan))
+      else {
+        val shifted =
+          if (mode != "stretch") e
+          else if (tsIsLong) e.withColumn("ts", col("ts") + lit(k * spanUnits))
+          else e.withColumn("ts",
+            expr(s"timestampadd(MICROSECOND, ${k * spanUnits}, ts)"))
+        shifted.withColumn("event_id", col("event_id") + lit(k * IdSpan))
+      }
     }
     // dimension tables ride along unscaled (TPC-H ratios keep dims small;
     // the copies reuse the same custkeys/nationkeys, so joins stay valid)
