@@ -1439,20 +1439,26 @@ object SparkEntry {
          |FROM st""".stripMargin,
   ) ++ tsOracles
 
-  // SemDeDup oracle, shared by d13 and p02.
+  // SemDeDup oracle, shared by d13 and p02. Cell assignment is a single
+  // streaming aggregate: max over the lexicographic struct
+  // {score, -anchor_id, anchor_id} ≡ row_number(ORDER BY score DESC,
+  // anchor_id ASC) = 1, without materializing the n×K scored relation
+  // through a window (DuckDB kept the 64-double vectors alive across that
+  // window — >100 GB at the 100× replica; the aggregate form holds one
+  // running struct per vec_id).
   private def d13Sql: String =
       s"""WITH $dNrmCte,
          |anch AS (SELECT vec_id - ${SimilarityQueries.AnchorFrom} AS anchor_id, v AS av, nrm AS anrm
          |         FROM nrm WHERE vec_id >= ${SimilarityQueries.AnchorFrom}
          |           AND vec_id < ${SimilarityQueries.AnchorFrom}
          |             + (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)),
-         |scored AS (SELECT n.vec_id, a.anchor_id,
-         |             row_number() OVER (PARTITION BY n.vec_id
-         |                                ORDER BY list_dot_product(n.v, a.av) / (n.nrm * a.anrm) DESC,
-         |                                         a.anchor_id) AS rk
-         |           FROM nrm n, anch a),
-         |celled AS (SELECT s.vec_id, n.v, n.nrm, CAST(s.anchor_id AS BIGINT) AS cell
-         |           FROM scored s JOIN nrm n ON n.vec_id = s.vec_id WHERE s.rk = 1),
+         |celled0 AS (SELECT n.vec_id,
+         |              max({'s': list_dot_product(n.v, a.av) / (n.nrm * a.anrm),
+         |                   'na': -a.anchor_id, 'aid': a.anchor_id}) AS best
+         |            FROM nrm n, anch a GROUP BY n.vec_id),
+         |celled AS (SELECT c.vec_id, n.v, n.nrm,
+         |             CAST(struct_extract(c.best, 'aid') AS BIGINT) AS cell
+         |           FROM celled0 c JOIN nrm n ON n.vec_id = c.vec_id),
          |p AS (SELECT a.vec_id AS x, min(b.vec_id) AS pruned_by
          |      FROM celled a JOIN celled b ON a.cell = b.cell AND b.vec_id < a.vec_id
          |      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= ${SimilarityQueries.NearDupThreshold}
