@@ -135,6 +135,9 @@ object SparkEntry {
     "x04_curriculum" -> (TextQueries.x04Curriculum _),
     "ts05_change_point" -> (TimeSeriesQueries.ts05ChangePoint _),
     "ts06_lead_lag" -> (TimeSeriesQueries.ts06LeadLag _),
+    "x05_mixture_sample" -> (TextQueries.x05MixtureSample _),
+    "p04_dataset_card" -> (TextQueries.p04DatasetCard _),
+    "s12_triplet_mining" -> (SimilarityQueries.s12TripletMining _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -1437,6 +1440,72 @@ object SparkEntry {
          |SELECT doc_id, CAST(stage AS BIGINT) AS stage,
          |       CAST(row_number() OVER (ORDER BY stage, rk, doc_id) AS BIGINT) AS pos
          |FROM st""".stripMargin,
+    // x05 = temperature mixture: quota_s = ceil(target·⌊√n_s⌋ / Σ⌊√n⌋) in
+    // pure integer arithmetic (the only float is one correctly-rounded
+    // IEEE sqrt of an exact integer, floored identically on both engines);
+    // selection is the same md5 rank both engines order byte-identically.
+    "x05_mixture_sample" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+         |w AS (SELECT source, CAST(n AS BIGINT) AS n,
+         |        CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) // 2 AS target,
+         |             CAST(SUM(w) AS BIGINT) AS wsum FROM w),
+         |q AS (SELECT source,
+         |        CAST((t.target * w.w + t.wsum - 1) // t.wsum AS BIGINT) AS quota
+         |      FROM w, t),
+         |h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |r AS (SELECT doc_id, source,
+         |        CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rnk
+         |      FROM h)
+         |SELECT r.doc_id, r.source, r.rnk, q.quota
+         |FROM r JOIN q ON q.source = r.source WHERE r.rnk <= q.quota""".stripMargin,
+    // p04 = dataset card: integer aggregates only; the quality predicate
+    // is p01's exact form (same doubles, same compare on both engines).
+    "p04_dataset_card" ->
+      s"""WITH t AS (SELECT source, lang, $dToks AS toks FROM documents),
+         |pd AS (SELECT source, lang, toks,
+         |         CAST(len(toks) AS BIGINT) AS n_toks,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq FROM t),
+         |base AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         |           CAST(MIN(n_toks) AS BIGINT) AS min_doc_tokens,
+         |           CAST(MAX(n_toks) AS BIGINT) AS max_doc_tokens,
+         |           CAST(SUM(CASE WHEN n_toks >= ${TextQueries.CleanMinTokens}
+         |                          AND CAST(n_uniq AS DOUBLE) / n_toks >= ${TextQueries.CleanMinTtr}
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+         |         FROM pd GROUP BY 1, 2),
+         |v AS (SELECT source, lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+         |      FROM (SELECT source, lang, unnest(toks) AS tok FROM pd) u
+         |      WHERE tok <> '' GROUP BY 1, 2)
+         |SELECT base.source, base.lang, n_docs, total_tokens, min_doc_tokens,
+         |       max_doc_tokens, n_quality, v.vocab
+         |FROM base JOIN v ON v.source = base.source AND v.lang = base.lang""".stripMargin,
+    // s12 = triplet mining: the d13 lexicographic-struct-max discipline —
+    // {cosine, -vec_id, vec_id} ≡ (cosine DESC, vec_id ASC) — conditional
+    // on label parity; cosines are the pinned sequential-fold dot product,
+    // so the margin subtraction is bit-identical.
+    "s12_triplet_mining" ->
+      s"""WITH nrm AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |a AS (SELECT vec_id AS anchor_id, label AS albl, v AS qv, nrm AS qnrm
+         |      FROM nrm WHERE vec_id < ${SimilarityQueries.TripletAnchorCount}),
+         |sc AS (SELECT a.anchor_id, a.albl, n.label, n.vec_id,
+         |         list_dot_product(a.qv, n.v) / (a.qnrm * n.nrm) AS c
+         |       FROM a, nrm n WHERE n.vec_id <> a.anchor_id),
+         |g AS (SELECT anchor_id, albl,
+         |        max(CASE WHEN label = albl
+         |                 THEN {'c': c, 'ni': -vec_id, 'id': vec_id} END) AS bp,
+         |        max(CASE WHEN label <> albl
+         |                 THEN {'c': c, 'ni': -vec_id, 'id': vec_id} END) AS bn
+         |      FROM sc GROUP BY 1, 2)
+         |SELECT anchor_id, CAST(albl AS BIGINT) AS label,
+         |       CAST(struct_extract(bp, 'id') AS BIGINT) AS pos_id,
+         |       struct_extract(bp, 'c') AS pos_cos,
+         |       CAST(struct_extract(bn, 'id') AS BIGINT) AS neg_id,
+         |       struct_extract(bn, 'c') AS neg_cos,
+         |       struct_extract(bp, 'c') - struct_extract(bn, 'c') AS margin
+         |FROM g""".stripMargin,
   ) ++ tsOracles
 
   // SemDeDup oracle, shared by d13 and p02. Cell assignment is a single

@@ -645,6 +645,48 @@ object SimilarityQueries {
       .select(col("doc_id"), col("cell"), col("n_tokens"), col("ttr"))
   }
 
+  /** Anchor set size for s12 (the fine-tuning batch being mined). */
+  val TripletAnchorCount = 16
+
+  /** s12: HARD-NEGATIVE TRIPLET MINING — for each anchor vector, the
+    * closest SAME-label vector (positive) and the closest DIFFERENT-label
+    * vector (the hard negative — the impostor the embedding model most
+    * confuses), plus the triplet margin. This is the batch-construction
+    * step of contrastive / metric-learning training (FaceNet triplets,
+    * DPR in-batch negatives, SimCSE hard negatives): random negatives are
+    * trivially separable and teach nothing — training signal comes from
+    * mining the closest impostors.
+    *
+    * Scale shape: the anchor set broadcasts; the corpus is scanned ONCE,
+    * narrowly — each (anchor, candidate) cosine feeds a per-anchor
+    * lexicographic-struct max, conditional on label parity, that Spark
+    * partial-aggregates map-side. The exchange carries at most
+    * |anchors| pre-reduced rows per partition and the corpus is never
+    * shuffled (no window over the candidate relation — contrast s01).
+    * Ties break deterministically (cosine DESC, vec_id ASC) via the
+    * struct's negated-id field; cosines are the pinned `vec_dot` fold, so
+    * the margin subtraction is bit-identical across engines. */
+  def s12TripletMining(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val all = embeddings(s, d).selectExpr(
+        "vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .selectExpr("vec_id", "label", "v", "sqrt(vec_dot(v, v)) AS nrm")
+    val anchors = broadcast(all.filter(col("vec_id") < TripletAnchorCount)
+      .selectExpr("vec_id AS anchor_id", "label AS albl", "v AS qv", "nrm AS qnrm"))
+    anchors.crossJoin(all)
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .selectExpr("anchor_id", "albl", "label", "vec_id",
+        s"$dotExpr / (qnrm * nrm) AS c")
+      .groupBy(col("anchor_id"), col("albl"))
+      .agg(
+        max(expr("CASE WHEN label = albl THEN named_struct('c', c, 'ni', -vec_id, 'id', vec_id) END")).as("bp"),
+        max(expr("CASE WHEN label <> albl THEN named_struct('c', c, 'ni', -vec_id, 'id', vec_id) END")).as("bn"))
+      .selectExpr("anchor_id", "CAST(albl AS BIGINT) AS label",
+        "bp.id AS pos_id", "bp.c AS pos_cos",
+        "bn.id AS neg_id", "bn.c AS neg_cos",
+        "bp.c - bn.c AS margin")
+  }
+
   def s03AnnLsh(s: SparkSession, d: String): DataFrame = {
     val bucketed = normed(s, d).crossJoin(broadcast(anchorsRow(s, d)))
       .selectExpr("vec_id", "v", "nrm", s"($bucketExpr) AS bucket")

@@ -1733,4 +1733,86 @@ object TextQueries {
     val langs = docs.selectExpr("lang AS item").localCheckpoint(true)
     gate(chars, "ch", MgCharK).unionByName(gate(langs, "lang", MgLangK))
   }
+
+  /** x05: TEMPERATURE-SMOOTHED SOURCE MIXING — per-source selection
+    * quotas ∝ n_s^α with α = 1/2 (the up-/down-sampling rule multilingual
+    * corpora use so head sources stop dominating without starving the
+    * tail), realized as exact top-quota selection by deterministic hash
+    * rank. Distinct from t10 (CONFIGURED per-source rates, expected
+    * fraction via hash threshold) and d14 (fixed quota K per source):
+    * here the quotas derive from the corpus's own source histogram, and
+    * selection is an exact count, not an expectation.
+    *
+    * Exactness across engines: the weight is the INTEGER floor of
+    * √n_s (correctly-rounded IEEE sqrt of an exactly-representable
+    * count — both engines floor the same double), and the quota is pure
+    * integer ceil-division ⌈target·w_s / Σw⌉ — no float sums anywhere, so
+    * the strict hash gate holds at any scale.
+    *
+    * Scale: the source histogram is a partial-agged aggregate with one
+    * row per source (collected — bounded by the source alphabet, same
+    * audit class as q27's 64 hot keys); the corpus-side selection is
+    * [[graft.plans.TopKPerGroup]] per-partition heaps at k = max quota —
+    * the shuffle carries ≤ k rows per (partition, source), never the
+    * corpus — and the rank window runs over survivors only. */
+  def x05MixtureSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    val hist = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val target = hist.map(_._2).sum / 2
+    val ws = hist.map { case (src, n) => (src, math.sqrt(n.toDouble).toLong) }
+    val wsum = ws.map(_._2).sum
+    val quotas = ws.map { case (src, w) =>
+      (src, ((target * w + wsum - 1) / wsum).toInt)
+    }
+    val kMax = quotas.map(_._2).max
+    val quotaExpr = quotas.map { case (src, q) =>
+      s"WHEN source = '$src' THEN CAST($q AS BIGINT)"
+    }.mkString("CASE ", " ", " ELSE CAST(0 AS BIGINT) END")
+    val scored = docs.selectExpr("doc_id", "source",
+      "md5(CAST(CAST(doc_id AS STRING) AS BINARY)) AS h")
+    val top = graft.plans.TopKPerGroup(scored, Seq("source"),
+      Seq("h" -> false, "doc_id" -> false), kMax)
+    top.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .withColumn("quota", expr(quotaExpr))
+      .filter(col("rnk") <= col("quota"))
+      .select("doc_id", "source", "rnk", "quota")
+  }
+
+  /** p04: DATASET CARD — the per-(source, language) corpus report every
+    * curated-release ships (docs, token volume, per-doc length extremes,
+    * quality-gate survivors at p01's thresholds, vocabulary size): the
+    * numbers a consumer reads before training on the release, produced by
+    * the engine that curated it rather than a side pipeline.
+    *
+    * Scale: one tokenize pass feeds BOTH rollups; the doc-level leg is a
+    * partial-agged groupBy with one row per (source, lang); the
+    * vocabulary leg is countDistinct — Spark's two-phase expansion
+    * partial-aggregates (source, lang, token) before the exchange, so the
+    * shuffle carries the per-partition vocabulary, not token
+    * occurrences. Output is |sources|×|langs| rows. All aggregates are
+    * integers; the quality predicate reuses p01's exact form. */
+  def p04DatasetCard(s: SparkSession, d: String): DataFrame = {
+    val perDoc = documents(s, d)
+      .selectExpr("source", "lang", s"$toksExpr AS toks")
+      .selectExpr("source", "lang", "toks",
+        "CAST(size(toks) AS BIGINT) AS n_toks",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_uniq")
+      .localCheckpoint(true) // one tokenize pass feeds both rollups
+    val base = perDoc.groupBy(col("source"), col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("total_tokens"),
+      min(col("n_toks")).as("min_doc_tokens"),
+      max(col("n_toks")).as("max_doc_tokens"),
+      sum(when(col("n_toks") >= CleanMinTokens &&
+            col("n_uniq").cast("double") / col("n_toks") >= CleanMinTtr,
+          1L).otherwise(0L)).as("n_quality"))
+    val vocab = perDoc.selectExpr("source", "lang", "explode(toks) AS tok")
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("lang"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    base.join(vocab, Seq("source", "lang"))
+  }
 }

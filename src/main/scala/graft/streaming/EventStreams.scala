@@ -425,6 +425,70 @@ object EventStreams {
       }
   }
 
+  final case class TripletState(albl: Long, posId: Long, posCos: Double,
+                                negId: Long, negCos: Double,
+                                hasPos: Boolean, hasNeg: Boolean)
+  final case class TripletUpdate(anchor_id: Long, label: Long,
+                                 pos_id: Long, pos_cos: Double,
+                                 neg_id: Long, neg_cos: Double, margin: Double)
+
+  /** Streaming HARD-NEGATIVE TRIPLET MINING — the batch s12 operator
+    * ([[graft.queries.SimilarityQueries.s12TripletMining]]) maintained
+    * online: candidate vectors arrive as a stream, each scores against the
+    * broadcast anchor set with the same pinned `vec_dot` cosine, and each
+    * anchor's state is ONE (positive, hard-negative) pair of (cosine, id)
+    * — the incremental form of the batch conditional struct max, updated
+    * under the identical total order (cosine DESC, vec_id ASC), so after
+    * any prefix of the stream under any micro-batch slicing the latest
+    * emission per anchor equals batch s12 over the same rows (pinned in
+    * StreamingSpec across a batch split). A training pipeline runs this
+    * as continuous mining while the embedding corpus grows, instead of
+    * re-scanning per refresh; state is O(|anchors|), nothing corpus-sized
+    * anywhere. Emits only once an anchor has BOTH legs (a margin needs a
+    * positive and a negative). */
+  def tripletMine(spark: SparkSession, candidates: DataFrame,
+                  corpusDir: String): Dataset[TripletUpdate] = {
+    import spark.implicits._
+    import graft.queries.SimilarityQueries
+    graft.plans.GraftFunctions.register(spark)
+    val anchors = graft.queries.Tables.embeddings(spark, corpusDir)
+      .filter(col("vec_id") < SimilarityQueries.TripletAnchorCount)
+      .selectExpr("vec_id AS anchor_id", "CAST(label AS BIGINT) AS albl",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+      .selectExpr("anchor_id", "albl", "qv", "sqrt(vec_dot(qv, qv)) AS qnrm")
+    candidates
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .selectExpr("vec_id", "label", "v", "sqrt(vec_dot(v, v)) AS nrm")
+      .crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .selectExpr("anchor_id", "albl", "label", "vec_id",
+        "vec_dot(qv, v) / (qnrm * nrm) AS c")
+      .as[(Long, Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (aid: Long, rows: Iterator[(Long, Long, Long, Long, Double)],
+         state: GroupState[TripletState]) =>
+          var st = state.getOption.getOrElse(
+            TripletState(0L, 0L, 0.0, 0L, 0.0, hasPos = false, hasNeg = false))
+          rows.foreach { case (_, albl, lbl, vid, c) =>
+            st = st.copy(albl = albl)
+            if (lbl == albl) {
+              if (!st.hasPos || c > st.posCos || (c == st.posCos && vid < st.posId))
+                st = st.copy(posId = vid, posCos = c, hasPos = true)
+            } else {
+              if (!st.hasNeg || c > st.negCos || (c == st.negCos && vid < st.negId))
+                st = st.copy(negId = vid, negCos = c, hasNeg = true)
+            }
+          }
+          state.update(st)
+          if (st.hasPos && st.hasNeg)
+            Iterator.single(TripletUpdate(aid, st.albl, st.posId, st.posCos,
+              st.negId, st.negCos, st.posCos - st.negCos))
+          else Iterator.empty
+      }
+  }
+
   final case class Scd2State(attr: String, since: Long)
   final case class Scd2Version(key: Long, attr: String, valid_from: Long, valid_to: Long)
 

@@ -672,4 +672,31 @@ class PlanChecksSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.exists(_.getLong(1) == 0L) && rows.exists(_.getLong(1) == 1L),
       "m08 must emit both healthy and quarantined verdicts")
   }
+
+  test("r7 additions: x05 top-k bounded shuffle, s12 broadcast + partial max, p04 partial aggs") {
+    // x05: corpus-side selection rides the TopK heaps; ONE corpus
+    // exchange (keyed on source), and the rank window runs over the
+    // already-partitioned survivors without its own exchange
+    val p1 = plan(TextQueries.x05MixtureSample(spark, d))
+    assert(p1.contains("GraftTopKPartial") && p1.contains("GraftTopKFinal"),
+      "x05 must bound the shuffle with per-partition heaps:\n" + p1.take(3000))
+    assert(shuffles(p1) == 1,
+      s"x05 should shuffle exactly once (${shuffles(p1)}):\n" + p1.take(3000))
+    // s12: anchors broadcast, corpus scanned narrowly, struct-max
+    // partial-aggregated map-side; the only exchange carries pre-reduced
+    // per-anchor rows
+    val p2 = plan(SimilarityQueries.s12TripletMining(spark, d))
+    assert(p2.contains("BroadcastNestedLoopJoin"),
+      "s12 must broadcast the anchor set:\n" + p2.take(3000))
+    assert(p2.contains("partial_max"),
+      "s12 must partial-aggregate the struct max map-side:\n" + p2.take(3000))
+    assert(shuffles(p2) == 1,
+      s"s12 must never shuffle the corpus (${shuffles(p2)}):\n" + p2.take(3000))
+    assert(!p2.contains("Window"),
+      "s12 must not rank through a window:\n" + p2.take(3000))
+    // p04: both rollups partial-aggregate; no window anywhere
+    val p3 = plan(TextQueries.p04DatasetCard(spark, d))
+    assert(p3.contains("partial_"), "p04 must map-side combine:\n" + p3.take(3000))
+    assert(!p3.contains("Window"), "p04 is aggregation-only:\n" + p3.take(3000))
+  }
 }

@@ -737,6 +737,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming triplet mining: latest emission per anchor equals batch s12 across a split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    // every corpus vector is a candidate (the stream twin of s12's scan);
+    // self-pairs are excluded inside the operator, exactly as in batch
+    val rows = graft.queries.Tables.embeddings(spark, d)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+    val (first, second) = rows.sortBy(_._1).splitAt(rows.length / 2)
+
+    val input = MemoryStream[(Long, Long, Seq[Float])]
+    val cands = input.toDF().toDF("vec_id", "label", "embedding")
+    val q = EventStreams.tripletMine(spark, cands, d)
+      .writeStream.format("memory").queryName("triplets").outputMode("update").start()
+    input.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    input.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val emitted = spark.sql("SELECT * FROM triplets").collect()
+    val latest = emitted.zipWithIndex.groupBy(_._1.getLong(0))
+      .map { case (aid, rs) => aid -> rs.maxBy(_._2)._1 }
+    val batch = graft.queries.SimilarityQueries.s12TripletMining(spark, d)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(latest.keySet == batch.keySet, "anchor sets diverged")
+    latest.foreach { case (aid, r) =>
+      val b = batch(aid)
+      assert(r.getLong(1) == b.getLong(1), s"anchor $aid label")
+      assert(r.getLong(2) == b.getLong(2) && r.getDouble(3) == b.getDouble(3),
+        s"anchor $aid positive diverged: stream=(${r.getLong(2)}, ${r.getDouble(3)}) batch=(${b.getLong(2)}, ${b.getDouble(3)})")
+      assert(r.getLong(4) == b.getLong(4) && r.getDouble(5) == b.getDouble(5),
+        s"anchor $aid negative diverged")
+      assert(r.getDouble(6) == b.getDouble(6), s"anchor $aid margin diverged")
+    }
+  }
+
   test("streaming per-source quota: latest keeper set equals the batch d14 cut across a split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
