@@ -21,14 +21,51 @@ import org.apache.spark.sql.functions._
   * key; ~rpw/k candidate rows per threshold). Different code path,
   * different shuffle structure, same exact integers — a disagreement
   * would catch any boundary/strictness/merge bug in the rewrite at the
-  * scale the rewrite exists for. MIN/MAX are not prefix-decomposable
-  * (eviction needs window contents), so the gate covers COUNT/SUM/AVG;
-  * min/max stay oracle-gated at sf0.01 and the 10× replica.
+  * scale the rewrite exists for.
+  *
+  * MIN/MAX are not prefix-decomposable (eviction needs window contents),
+  * so they get their OWN independent leg (r7): the classic
+  * monotonic-deque sliding-window-extrema sweep — axis bucketed at the
+  * window width (each event duplicated into the next bucket, factor
+  * exactly 2), each bucket's rows sorted in one task and swept with two
+  * deques in O(n) — a sequential textbook algorithm sharing nothing with
+  * the engine's distributed bin decomposition, linear at any density.
   *
   * `runMain graft.tools.ScaleGate <sfDir>` → one JSON line:
-  * rows compared, mismatches (count, sum, avg), verdict.
+  * rows compared, mismatches (count, sum, avg, min, max), verdict.
   */
 object ScaleGate {
+
+  /** One bucket of the MIN/MAX deque sweep: rows are
+    * (bucket, us, cents, isErr 0/1, err_id) — events AND the bucket's
+    * errors, in any order. Sorts by (us, errors-first-at-ties) so an
+    * event at us == err_us stays outside the error's [t−w, t) window,
+    * then runs the textbook two-deque sliding-window-extrema scan.
+    * Emits (err_id, windowMin, windowMax) for every error whose window
+    * is non-empty. Property-tested against brute force in ScaleGateSpec. */
+  private[tools] def sweepBucket(rows: Array[(Long, Long, Long, Long, Long)],
+                                 winUs: Long): Iterator[(Long, Long, Long)] = {
+    java.util.Arrays.sort(rows,
+      Ordering.by[(Long, Long, Long, Long, Long), (Long, Long)](r => (r._2, -r._4)))
+    val loUs = new java.util.ArrayDeque[Long]; val loC = new java.util.ArrayDeque[Long]
+    val hiUs = new java.util.ArrayDeque[Long]; val hiC = new java.util.ArrayDeque[Long]
+    val out = Vector.newBuilder[(Long, Long, Long)]
+    rows.foreach { case (_, us, cents, isErr, id) =>
+      if (isErr == 0L) {
+        while (!loC.isEmpty && loC.peekLast >= cents) { loC.pollLast(); loUs.pollLast() }
+        loC.addLast(cents); loUs.addLast(us)
+        while (!hiC.isEmpty && hiC.peekLast <= cents) { hiC.pollLast(); hiUs.pollLast() }
+        hiC.addLast(cents); hiUs.addLast(us)
+      } else {
+        val from = us - winUs
+        while (!loUs.isEmpty && loUs.peekFirst < from) { loUs.pollFirst(); loC.pollFirst() }
+        while (!hiUs.isEmpty && hiUs.peekFirst < from) { hiUs.pollFirst(); hiC.pollFirst() }
+        if (!loC.isEmpty) out += ((id, loC.peekFirst, hiC.peekFirst))
+      }
+    }
+    out.result().iterator
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 1, "usage: ScaleGate <sfDir>")
     val dir = args.head
@@ -97,7 +134,8 @@ object ScaleGate {
 
     val t0 = System.nanoTime()
     val i05 = graft.queries.RelationalQueries.i05BandStats(spark, dir)
-      .select(col("event_id").as("err_id"), col("n_window"), col("sum_cents"), col("avg_cents"))
+      .select(col("event_id").as("err_id"), col("n_window"), col("sum_cents"),
+        col("avg_cents"), col("min_cents"), col("max_cents"))
     val joined = i05.join(recomputed.withColumnRenamed("n_window", "n2")
         .withColumnRenamed("sum_cents", "s2"), Seq("err_id"), "full")
     val agg = joined.agg(
@@ -110,10 +148,44 @@ object ScaleGate {
     val sec = (System.nanoTime() - t0) / 1e9
     val (rows, missing, nM, sM, aM) =
       (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3), agg.getLong(4))
-    val ok = missing == 0 && nM == 0 && sM == 0 && aM == 0
+
+    // ===== MIN/MAX leg: monotonic-deque sliding-window sweep =====
+    val t1 = System.nanoTime()
+    import spark.implicits._
+    // (bucket, us, cents, isError(0/1), err_id); B = window width, every
+    // event rides its own bucket AND the next (an error at t ∈ bucket b
+    // has [t−w, t) ⊆ buckets {b−1, b} exactly when B = w)
+    val evRows = events.select(
+      expr(s"CAST(floor(us / $winUs) AS BIGINT)").as("bucket"),
+      col("us"), col("cents"), lit(0L).as("isErr"), lit(0L).as("id"))
+    val evNext = evRows.withColumn("bucket", col("bucket") + 1)
+    val errRows = errors.select(
+      expr(s"CAST(floor(err_us / $winUs) AS BIGINT)").as("bucket"),
+      col("err_us").as("us"), lit(0L).as("cents"), lit(1L).as("isErr"),
+      col("err_id").as("id"))
+    val sweep = evRows.unionAll(evNext).unionAll(errRows)
+      .as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups((_, it) => sweepBucket(it.toArray, winUs))
+      .toDF("err_id", "min2", "max2")
+    val jm = i05.select(col("err_id"), col("min_cents"), col("max_cents"))
+      .join(sweep, Seq("err_id"), "full")
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("min_cents").isNull || col("min2").isNull, 1L).otherwise(0L)).as("missing"),
+        sum(when(col("min_cents") =!= col("min2"), 1L).otherwise(0L)).as("minM"),
+        sum(when(col("max_cents") =!= col("max2"), 1L).otherwise(0L)).as("maxM")).head()
+    val mmSec = (System.nanoTime() - t1) / 1e9
+    val (mmRows, mmMissing, minM, maxM) =
+      (jm.getLong(0), jm.getLong(1), jm.getLong(2), jm.getLong(3))
+
+    val ok = missing == 0 && nM == 0 && sM == 0 && aM == 0 &&
+      mmMissing == 0 && minM == 0 && maxM == 0
     println(s"""{"gate":"i05_vs_prefix_ranks","sf_dir":"$dir","rows":$rows,""" +
       s""""missing":$missing,"count_mismatch":$nM,"sum_mismatch":$sM,"avg_mismatch":$aM,""" +
-      s""""sec":${f"$sec%.1f"},"pass":$ok}""")
+      s""""sec":${f"$sec%.1f"},""" +
+      s""""minmax_gate":"deque_sweep","minmax_rows":$mmRows,"minmax_missing":$mmMissing,""" +
+      s""""min_mismatch":$minM,"max_mismatch":$maxM,"minmax_sec":${f"$mmSec%.1f"},"pass":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }
