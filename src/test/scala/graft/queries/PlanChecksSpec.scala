@@ -698,5 +698,23 @@ class PlanChecksSpec extends SparkSpec {
     val p3 = plan(TextQueries.p04DatasetCard(spark, d))
     assert(p3.contains("partial_"), "p04 must map-side combine:\n" + p3.take(3000))
     assert(!p3.contains("Window"), "p04 is aggregation-only:\n" + p3.take(3000))
+    // x05 semantics: every source contributes exactly min(quota, n_s)
+    // docs, and ceil-rounding never under-allocates the overall target
+    val docs = graft.queries.Tables.documents(spark, d)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = TextQueries.x05MixtureSample(spark, d).collect()
+    val bySrc = out.groupBy(_.getString(1))
+    assert(bySrc.keySet == docs.keySet, "every source must be represented")
+    bySrc.foreach { case (src, rows) =>
+      val quota = rows.head.getLong(3)
+      assert(rows.length == math.min(quota, docs(src)).toInt,
+        s"source $src: got ${rows.length}, quota $quota, available ${docs(src)}")
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq,
+        s"source $src ranks must be dense 1..k")
+    }
+    val target = docs.values.sum / 2
+    assert(bySrc.values.map(rs => rs.head.getLong(3)).sum >= target,
+      "ceil-division quotas must cover the target")
   }
 }
