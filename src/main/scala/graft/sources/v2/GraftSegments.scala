@@ -165,11 +165,24 @@ final class SegmentsTable(conf: GraftSegments.SourceConf) extends Table
 
 final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = GraftSegments.fullSchema
   private var pruning: Array[Filter] = Array.empty
   private var pushedAgg: Option[SegmentsAggScan.AggSpec] = None
+  private var limitOpt: Option[Int] = None
+
+  /** LIMIT pushdown (r7): `LIMIT n` plans only enough segments to cover n
+    * rows — manifest `RecordStats` counts are walked in sorted-key order
+    * at plan time (small manifest GETs, never log bytes) and planning
+    * stops once the running count reaches n. "Show me 10 sample records"
+    * against a 100 TB store fetches ONE segment, not the store. PARTIAL
+    * pushdown (`isPartiallyPushed` = true): Spark keeps its own limit on
+    * top, so a stats-less manifest in the walk just means one more
+    * planned segment, never a wrong answer. Spark only offers the limit
+    * when no residual filter sits below it, so filtered scans keep the
+    * full row path. */
+  override def pushLimit(limit: Int): Boolean = { limitOpt = Some(limit); true }
 
   /** Keep the segment_key filters we can prune WITH; return everything as
     * residual — segment-level pruning is coarse by design. */
@@ -212,7 +225,7 @@ final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
 
   override def build(): Scan = pushedAgg match {
     case Some(spec) => new SegmentsAggScan(conf, pruning, spec)
-    case None => new SegmentsScan(conf, required, pruning)
+    case None => new SegmentsScan(conf, required, pruning, limitOpt)
   }
 }
 
@@ -246,7 +259,8 @@ object SegmentsScan {
 }
 
 final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
-                         pruning: Array[Filter]) extends Scan with Batch
+                         pruning: Array[Filter],
+                         limitOpt: Option[Int] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -297,10 +311,34 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
   }
 
   /** Driver-side planning: manifest KEY LISTING only (strings; no manifest
-    * is parsed, no byte fetched until an executor runs its partition). */
+    * is parsed, no byte fetched until an executor runs its partition) —
+    * except under a pushed LIMIT, where manifests are walked in sorted-key
+    * order and planning stops once their `RecordStats` counts cover the
+    * limit (small manifest GETs only; a stats-less manifest contributes an
+    * unknown count, so the walk keeps going — correct, just less pruned;
+    * Spark's own limit still applies on top). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val parts = SegmentsScan.listSegments(conf, pruning ++ runtimeFilters)
-      .map(SegmentPartition(_): InputPartition)
+    val keys = SegmentsScan.listSegments(conf, pruning ++ runtimeFilters)
+    val chosen = limitOpt match {
+      case Some(n) =>
+        val storage = { conf.ensureBackend(); conf.storage }
+        val manifestSuffix = "." + graft.sources.ObjectKey.Suffix.Manifest.value
+        val picked = Array.newBuilder[String]
+        var covered = 0L
+        var satisfied = false
+        val it = keys.iterator
+        while (it.hasNext && !satisfied) {
+          val k = it.next(); picked += k
+          val count: Option[Long] =
+            try graft.core.SegmentManifest.fromJson(new String(
+              storage.fetchBytes(s"$k$manifestSuffix"), "UTF-8")).recordStats.map(_.count)
+            catch { case _: Exception => None }
+          count.foreach { c => covered += c; satisfied = covered >= n }
+        }
+        picked.result()
+      case None => keys
+    }
+    val parts = chosen.map(SegmentPartition(_): InputPartition)
     SegmentsScan.lastPlannedPartitions = parts.length
     parts
   }
@@ -323,14 +361,17 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SegmentsMicroBatchStream(this)
 
-  private[v2] def segmentKeys(): Array[String] = planInputPartitions()
-    .map(_.asInstanceOf[SegmentPartition].segKey)
+  // the stream's own listing: never limit-truncated (a pushed batch LIMIT
+  // must not shorten a micro-batch offset range)
+  private[v2] def segmentKeys(): Array[String] =
+    SegmentsScan.listSegments(conf, pruning ++ runtimeFilters)
 
   private[v2] def readerFactory(): PartitionReaderFactory = createReaderFactory()
 
   override def description(): String = {
     val pr = if (pruning.isEmpty) "" else pruning.mkString(" prunedBy=[", ", ", "]")
-    s"graft-segments root=${conf.root} prefix='${conf.prefix}'$pr"
+    val lm = limitOpt.map(n => s" limit=$n").getOrElse("")
+    s"graft-segments root=${conf.root} prefix='${conf.prefix}'$pr$lm"
   }
 }
 

@@ -74,6 +74,30 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     assert(pfx.count() == 30) // common sanitized prefix matches all three
   }
 
+  test("limit pushdown: LIMIT n plans only enough segments to cover n rows (r7)") {
+    val (store, cfg, _) = setup()
+    // 10 records per segment: LIMIT 5 is covered by the FIRST segment's
+    // manifest count - exactly one partition planned, 5 rows returned
+    graft.sources.v2.SegmentsScan.lastPlannedPartitions = -1
+    val five = reader(store, cfg).load().limit(5).collect()
+    assert(five.length == 5)
+    assert(graft.sources.v2.SegmentsScan.lastPlannedPartitions == 1,
+      s"LIMIT 5 should plan 1 of 3 segments, planned ${graft.sources.v2.SegmentsScan.lastPlannedPartitions}")
+    // LIMIT 15 needs two segments' counts (10 + 10 >= 15)
+    graft.sources.v2.SegmentsScan.lastPlannedPartitions = -1
+    val fifteen = reader(store, cfg).load().limit(15).collect()
+    assert(fifteen.length == 15)
+    assert(graft.sources.v2.SegmentsScan.lastPlannedPartitions == 2,
+      s"LIMIT 15 should plan 2 of 3 segments, planned ${graft.sources.v2.SegmentsScan.lastPlannedPartitions}")
+    // over-the-top limit degrades to the full listing and the full answer
+    assert(reader(store, cfg).load().limit(1000).count() == 30)
+    // a residual row filter keeps the unlimited row path (Spark never
+    // offers the limit below a filter) - correctness unaffected
+    val filtered = reader(store, cfg).load()
+      .where(col("kafka.offset") >= 25).limit(3).collect()
+    assert(filtered.length == 3)
+  }
+
   test("runtime filtering: a broadcast join on segment_key prunes partitions at RUN time (r6)") {
     import spark.implicits._
     val (store, cfg, keys) = setup()
