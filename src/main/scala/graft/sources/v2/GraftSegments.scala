@@ -165,12 +165,13 @@ final class SegmentsTable(conf: GraftSegments.SourceConf) extends Table
 
 final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = GraftSegments.fullSchema
   private var pruning: Array[Filter] = Array.empty
   private var pushedAgg: Option[SegmentsAggScan.AggSpec] = None
   private var limitOpt: Option[Int] = None
+  private var topNReversed: Boolean = false
 
   /** LIMIT pushdown (r7): `LIMIT n` plans only enough segments to cover n
     * rows — manifest `RecordStats` counts are walked in sorted-key order
@@ -183,6 +184,37 @@ final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
     * when no residual filter sits below it, so filtered scans keep the
     * full row path. */
   override def pushLimit(limit: Int): Boolean = { limitOpt = Some(limit); true }
+
+  // both limit and topN are PARTIAL pushes: the scan bounds planned
+  // segments, Spark's own limit/sort stays on top (Scala requires one
+  // explicit override for the two inherited Java default methods)
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TopN pushdown (r7): `ORDER BY kafka.offset [DESC] LIMIT n` walks the
+    * count-covering segments from the matching END of the sorted key
+    * list — "tail the tiered log" plans the LAST segments of the store
+    * instead of all of them. SOUND only under the append-ordered-key
+    * contract (one topic-partition per `prefix`, the ObjectKey %020d
+    * layout — the SAME contract the streaming source documents): there,
+    * sorted keys == sorted base offsets and each segment's offsets
+    * precede the next's, so the true top-n rows live in the walked
+    * suffix/prefix. Gated on a non-empty `prefix` option (the one-
+    * partition scope); multi-partition stores keep the full scan.
+    * PARTIAL pushdown: Spark's sort + limit stay on top. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val sortable = conf.prefix.nonEmpty && orders.length == 1 &&
+      (orders(0).expression() match {
+        case nr: NamedReference => nr.fieldNames.toSeq == Seq("kafka", "offset")
+        case _                  => false
+      })
+    if (sortable) {
+      limitOpt = Some(limit)
+      topNReversed = orders(0).direction() == SortDirection.DESCENDING
+      true
+    } else false
+  }
 
   /** Keep the segment_key filters we can prune WITH; return everything as
     * residual — segment-level pruning is coarse by design. */
@@ -225,7 +257,7 @@ final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
 
   override def build(): Scan = pushedAgg match {
     case Some(spec) => new SegmentsAggScan(conf, pruning, spec)
-    case None => new SegmentsScan(conf, required, pruning, limitOpt)
+    case None => new SegmentsScan(conf, required, pruning, limitOpt, topNReversed)
   }
 }
 
@@ -260,7 +292,8 @@ object SegmentsScan {
 
 final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
                          pruning: Array[Filter],
-                         limitOpt: Option[Int] = None) extends Scan with Batch
+                         limitOpt: Option[Int] = None,
+                         limitFromEnd: Boolean = false) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -326,7 +359,8 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
         val picked = Array.newBuilder[String]
         var covered = 0L
         var satisfied = false
-        val it = keys.iterator
+        // TopN DESC walks from the high-offset end of the sorted keys
+        val it = (if (limitFromEnd) keys.reverseIterator else keys.iterator)
         while (it.hasNext && !satisfied) {
           val k = it.next(); picked += k
           val count: Option[Long] =
@@ -370,7 +404,8 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
 
   override def description(): String = {
     val pr = if (pruning.isEmpty) "" else pruning.mkString(" prunedBy=[", ", ", "]")
-    val lm = limitOpt.map(n => s" limit=$n").getOrElse("")
+    val lm = limitOpt.map(n =>
+      if (limitFromEnd) s" topN=$n(from-end)" else s" limit=$n").getOrElse("")
     s"graft-segments root=${conf.root} prefix='${conf.prefix}'$pr$lm"
   }
 }

@@ -98,6 +98,37 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     assert(filtered.length == 3)
   }
 
+  test("topN pushdown: tail-the-log plans from the END of the store; gated on prefix (r7)") {
+    val (store, cfg, keys) = setup()
+    val pfx = keys.head.take(3) // shared sanitized prefix of all three keys
+    // ORDER BY offset DESC LIMIT 5: the newest rows live in the LAST
+    // segment - one planned partition, exact tail rows
+    graft.sources.v2.SegmentsScan.lastPlannedPartitions = -1
+    val tail = reader(store, cfg).option("prefix", pfx).load()
+      .orderBy(col("kafka.offset").desc).limit(5)
+      .select("kafka.offset").collect().map(_.getLong(0))
+    assert(tail.toSeq == Seq(29L, 28L, 27L, 26L, 25L))
+    assert(graft.sources.v2.SegmentsScan.lastPlannedPartitions == 1,
+      s"tail-5 should plan the last segment only, planned ${graft.sources.v2.SegmentsScan.lastPlannedPartitions}")
+    // ascending: the oldest rows live in the FIRST segment
+    graft.sources.v2.SegmentsScan.lastPlannedPartitions = -1
+    val head = reader(store, cfg).option("prefix", pfx).load()
+      .orderBy(col("kafka.offset")).limit(5)
+      .select("kafka.offset").collect().map(_.getLong(0))
+    assert(head.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(graft.sources.v2.SegmentsScan.lastPlannedPartitions == 1)
+    // WITHOUT a prefix scope the append-order contract does not hold
+    // (multi-topic-partition stores interleave offsets): no topN pruning,
+    // answer still exact through the full scan + Spark's own sort
+    graft.sources.v2.SegmentsScan.lastPlannedPartitions = -1
+    val unscoped = reader(store, cfg).load()
+      .orderBy(col("kafka.offset").desc).limit(5)
+      .select("kafka.offset").collect().map(_.getLong(0))
+    assert(unscoped.toSeq == Seq(29L, 28L, 27L, 26L, 25L))
+    assert(graft.sources.v2.SegmentsScan.lastPlannedPartitions == 3,
+      "unscoped topN must keep the full listing")
+  }
+
   test("runtime filtering: a broadcast join on segment_key prunes partitions at RUN time (r6)") {
     import spark.implicits._
     val (store, cfg, keys) = setup()
