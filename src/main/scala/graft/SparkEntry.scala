@@ -939,13 +939,18 @@ object SparkEntry {
     // s11: IVF-PQ + ADC — cells/codes/tables all on quantized integers;
     // argmins tie-break (dist, k) = the engine's array_position-of-first-min;
     // ADC is the sum of the query's per-subspace table entries at the
-    // candidate's codes.
+    // candidate's codes. The multiply-referenced CTEs are MATERIALIZED:
+    // DuckDB 1.0 inlines CTEs by default, and this pipeline's 6-deep
+    // multiply-referenced chain (r → cel → cdst → q, fanned into d0..d3,
+    // sd and cand) explodes exponentially under inlining — >12 min /
+    // >100 GB at the 10× replica; materialized it runs in ~0.5 s there
+    // (same rows, semantics-free hint).
     "s11_ivfpq_adc" -> {
       import SimilarityQueries.{AnchorFrom, AnchorCount, PqCodes, PqSubspaces, PqSubDim, QueryCount, KMeansQScale}
       val subCtes = (0 until PqSubspaces).map { m =>
         val lo = m * PqSubDim + 1
         val hi = (m + 1) * PqSubDim
-        s"""d$m AS (SELECT r.vec_id, s.sk,
+        s"""d$m AS MATERIALIZED (SELECT r.vec_id, s.sk,
            |  list_dot_product(r.r[$lo:$hi], r.r[$lo:$hi]) + list_dot_product(s.sr[$lo:$hi], s.sr[$lo:$hi])
            |    - 2 * list_dot_product(r.r[$lo:$hi], s.sr[$lo:$hi]) AS dist
            |  FROM r, sd s),
@@ -958,24 +963,24 @@ object SparkEntry {
       val tblJoins = (0 until PqSubspaces)
         .map(m => s"JOIN d$m qt$m ON qt$m.vec_id = qs.query_id AND qt$m.sk = c.code$m").mkString("\n|         ")
       val adcSum = (0 until PqSubspaces).map(m => s"qt$m.dist").mkString(" + ")
-      s"""WITH q AS (SELECT vec_id,
+      s"""WITH q AS MATERIALIZED (SELECT vec_id,
          |             list_transform(embedding::DOUBLE[],
          |               x -> CAST(CAST(round(x * $KMeansQScale) AS INT) AS DOUBLE)) AS qd
          |           FROM embeddings),
-         |a AS (SELECT vec_id - $AnchorFrom AS k, qd AS ad FROM q
+         |a AS MATERIALIZED (SELECT vec_id - $AnchorFrom AS k, qd AS ad FROM q
          |      WHERE vec_id >= $AnchorFrom AND vec_id < ${AnchorFrom + AnchorCount}),
          |cdst AS (SELECT q.vec_id, a.k,
          |           list_dot_product(q.qd, q.qd) + list_dot_product(a.ad, a.ad)
          |             - 2 * list_dot_product(q.qd, a.ad) AS dist
          |         FROM q, a),
-         |cel AS (SELECT vec_id, k AS cell FROM
+         |cel AS MATERIALIZED (SELECT vec_id, k AS cell FROM
          |          (SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rk FROM cdst)
          |        WHERE rk = 1),
-         |r AS (SELECT q.vec_id, cel.cell,
+         |r AS MATERIALIZED (SELECT q.vec_id, cel.cell,
          |        list_transform(list_zip(q.qd, a.ad),
          |          s -> struct_extract(s, 1) - struct_extract(s, 2)) AS r
          |      FROM q JOIN cel ON q.vec_id = cel.vec_id JOIN a ON a.k = cel.cell),
-         |sd AS (SELECT vec_id AS sk, r AS sr FROM r WHERE vec_id < $PqCodes),
+         |sd AS MATERIALIZED (SELECT vec_id AS sk, r AS sr FROM r WHERE vec_id < $PqCodes),
          |${subCtes.mkString(",\n")},
          |qs AS (SELECT vec_id AS query_id, cell AS qcell FROM cel WHERE vec_id < $QueryCount),
          |cand AS (SELECT qs.query_id, c.cell, c.vec_id, ($adcSum) AS adc
