@@ -133,10 +133,11 @@ object ScaleGate {
       .filter(col("n_window") > 0) // inner-join semantics: empty windows absent
 
     val t0 = System.nanoTime()
+    val recomputedP = recomputed.persist() // reused by three query legs
     val i05 = graft.queries.RelationalQueries.i05BandStats(spark, dir)
       .select(col("event_id").as("err_id"), col("n_window"), col("sum_cents"),
         col("avg_cents"), col("min_cents"), col("max_cents"))
-    val joined = i05.join(recomputed.withColumnRenamed("n_window", "n2")
+    val joined = i05.join(recomputedP.withColumnRenamed("n_window", "n2")
         .withColumnRenamed("sum_cents", "s2"), Seq("err_id"), "full")
     val agg = joined.agg(
       count(lit(1)).as("rows"),
@@ -179,13 +180,35 @@ object ScaleGate {
     val (mmRows, mmMissing, minM, maxM) =
       (jm.getLong(0), jm.getLong(1), jm.getLong(2), jm.getLong(3))
 
+    // ===== i02/i04 legs: the same prefix-rank counts pin BOTH the
+    // adaptive-crossover plan (i02) and the forced decomposition (i04) —
+    // at high density they take different physical paths; each must agree
+    // with the independent recomputation row-for-row =====
+    def countLeg(df: org.apache.spark.sql.DataFrame): (Long, Long, Long, Double) = {
+      val t = System.nanoTime()
+      val a = df.select(col("event_id").as("err_id"), col("n_window").as("nq"))
+        .join(recomputedP.select(col("err_id"), col("n_window").as("n2")), Seq("err_id"), "full")
+        .agg(count(lit(1)).as("r"),
+          sum(when(col("nq").isNull || col("n2").isNull, 1L).otherwise(0L)).as("m"),
+          sum(when(col("nq") =!= col("n2"), 1L).otherwise(0L)).as("x")).head()
+      (a.getLong(0), a.getLong(1), a.getLong(2), (System.nanoTime() - t) / 1e9)
+    }
+    val (r02, m02, x02, s02) =
+      countLeg(graft.queries.RelationalQueries.i02BandJoinAuto(spark, dir))
+    val (r04, m04, x04, s04) =
+      countLeg(graft.queries.RelationalQueries.i04BandAggPushdown(spark, dir))
+
     val ok = missing == 0 && nM == 0 && sM == 0 && aM == 0 &&
-      mmMissing == 0 && minM == 0 && maxM == 0
+      mmMissing == 0 && minM == 0 && maxM == 0 &&
+      m02 == 0 && x02 == 0 && m04 == 0 && x04 == 0
     println(s"""{"gate":"i05_vs_prefix_ranks","sf_dir":"$dir","rows":$rows,""" +
       s""""missing":$missing,"count_mismatch":$nM,"sum_mismatch":$sM,"avg_mismatch":$aM,""" +
       s""""sec":${f"$sec%.1f"},""" +
       s""""minmax_gate":"deque_sweep","minmax_rows":$mmRows,"minmax_missing":$mmMissing,""" +
-      s""""min_mismatch":$minM,"max_mismatch":$maxM,"minmax_sec":${f"$mmSec%.1f"},"pass":$ok}""")
+      s""""min_mismatch":$minM,"max_mismatch":$maxM,"minmax_sec":${f"$mmSec%.1f"},""" +
+      s""""i02_rows":$r02,"i02_missing":$m02,"i02_count_mismatch":$x02,"i02_sec":${f"$s02%.1f"},""" +
+      s""""i04_rows":$r04,"i04_missing":$m04,"i04_count_mismatch":$x04,"i04_sec":${f"$s04%.1f"},""" +
+      s""""pass":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }
