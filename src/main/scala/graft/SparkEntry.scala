@@ -138,6 +138,9 @@ object SparkEntry {
     "x05_mixture_sample" -> (TextQueries.x05MixtureSample _),
     "p04_dataset_card" -> (TextQueries.p04DatasetCard _),
     "s12_triplet_mining" -> (SimilarityQueries.s12TripletMining _),
+    "w09_anomaly" -> (RelationalQueries.w09Anomaly _),
+    "ts07_downsample" -> (TimeSeriesQueries.ts07Downsample _),
+    "s13_mmr_rerank" -> (SimilarityQueries.s13MmrRerank _),
   )
 
   // DuckDB-dialect fragments shared with the text/similarity oracles.
@@ -1673,7 +1676,108 @@ object SparkEntry {
          |       CAST(ca AS BIGINT) AS cusum_abs, CAST(sg AS BIGINT) AS shift_sign
          |FROM r WHERE rk = 1""".stripMargin
     },
+    "w09_anomaly" -> {
+      val n = RelationalQueries.AnomWin
+      val t2 = RelationalQueries.AnomTau * RelationalQueries.AnomTau
+      s"""WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+         |             CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |w AS (SELECT event_id, user_id, us, v,
+         |        count(*) OVER win AS nw,
+         |        CAST(sum(v) OVER win AS BIGINT) AS s1,
+         |        CAST(sum(v * v) OVER win AS BIGINT) AS s2
+         |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, us, v,
+         |       ($n * v - s1) * ($n * v - s1) AS dev2,
+         |       $t2 * ($n * s2 - s1 * s1) AS bound
+         |FROM w WHERE nw = $n
+         |  AND ($n * v - s1) * ($n * v - s1) > $t2 * ($n * s2 - s1 * s1)""".stripMargin
+    },
+    "ts07_downsample" -> {
+      val w = TimeSeriesQueries.DownsampleBucket
+      s"""WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         |             CAST(round(value * 100) AS BIGINT) AS y FROM events),
+         |b AS (SELECT user_id, event_id, y,
+         |        CAST(row_number() OVER w AS BIGINT) AS idx,
+         |        count(*) OVER (PARTITION BY user_id) AS n,
+         |        (us - min(us) OVER (PARTITION BY user_id)) // 1000000 AS x
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |c AS (SELECT *, lag(x) OVER w AS xp, lag(y) OVER w AS yp,
+         |        lead(x) OVER w AS xn, lead(y) OVER w AS yn
+         |      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY idx)),
+         |g AS (SELECT *, idx > 1 AND idx < n AS interior,
+         |        abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp)) AS area2,
+         |        CASE WHEN idx > 1 AND idx < n THEN (idx - 2) // $w ELSE -1 END AS bucket
+         |      FROM c),
+         |r AS (SELECT *, row_number()
+         |        OVER (PARTITION BY user_id, bucket ORDER BY area2 DESC, idx) AS rn
+         |      FROM g)
+         |SELECT user_id, idx, x AS x_s, y AS v100,
+         |       CASE WHEN interior THEN area2 ELSE 0 END AS area2
+         |FROM r WHERE idx = 1 OR idx = n OR (interior AND rn = 1)""".stripMargin
+    },
+    "s13_mmr_rerank" -> s13Sql,
   )
+
+  /** s13 oracle: the greedy MMR loop unrolled into [[SimilarityQueries.MmrK]]
+    * chained CTE rounds — each round scores the not-yet-selected candidates
+    * (rel − max integer-dot to the selected set), struct-max picks the
+    * argmax with the (score DESC, cand_id ASC) tie-break, and the pick is
+    * joined back to the pool to recover its vector for the next round.
+    * MATERIALIZED hints keep DuckDB from re-inlining the multiply-referenced
+    * pool/selection CTEs (exponential otherwise). Integer dots ≤ ~1.8e7 are
+    * double-exact, so `list_dot_product` over DOUBLE-cast lists equals
+    * Spark's long fold bit-for-bit. */
+  private def s13Sql: String = {
+    val q = SimilarityQueries.MmrQueries
+    val c = SimilarityQueries.MmrCand
+    val k = SimilarityQueries.MmrK
+    val sb = new StringBuilder
+    sb ++= s"""WITH iv AS MATERIALIZED (SELECT vec_id,
+              |  list_transform(embedding, e -> CAST(round(e * 1000) AS BIGINT)) AS q
+              |  FROM embeddings),
+              |qs AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv FROM iv WHERE vec_id < $q),
+              |rl AS MATERIALIZED (
+              |  SELECT query_id, c.vec_id AS cand_id, c.q AS cv,
+              |         CAST(list_dot_product(qv::DOUBLE[], c.q::DOUBLE[]) AS BIGINT) AS rel
+              |  FROM qs, iv c WHERE c.vec_id <> qs.query_id),
+              |cand AS MATERIALIZED (
+              |  SELECT query_id, cand_id, cv, rel FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY query_id
+              |      ORDER BY rel DESC, cand_id) AS rk FROM rl)
+              |  WHERE rk <= $c),
+              |p1 AS MATERIALIZED (
+              |  SELECT query_id, max({'s': rel, 'ni': -cand_id, 'id': cand_id}) AS m
+              |  FROM cand GROUP BY query_id),
+              |all1 AS MATERIALIZED (
+              |  SELECT c.query_id, CAST(1 AS BIGINT) AS pick, c.cand_id, c.rel,
+              |         c.rel AS score, c.cv
+              |  FROM cand c JOIN p1 ON p1.query_id = c.query_id
+              |    AND struct_extract(p1.m, 'id') = c.cand_id)""".stripMargin
+    for (i <- 2 to k) {
+      val prev = s"all${i - 1}"
+      sb ++= s""",
+                |sc$i AS MATERIALIZED (
+                |  SELECT c.query_id, c.cand_id, c.rel,
+                |    c.rel - max(CAST(list_dot_product(c.cv::DOUBLE[], s.cv::DOUBLE[]) AS BIGINT)) AS score
+                |  FROM cand c JOIN $prev s ON s.query_id = c.query_id
+                |  WHERE NOT EXISTS (SELECT 1 FROM $prev a
+                |    WHERE a.query_id = c.query_id AND a.cand_id = c.cand_id)
+                |  GROUP BY c.query_id, c.cand_id, c.rel),
+                |p$i AS MATERIALIZED (
+                |  SELECT query_id, max({'s': score, 'ni': -cand_id, 'id': cand_id}) AS m
+                |  FROM sc$i GROUP BY query_id),
+                |all$i AS MATERIALIZED (
+                |  SELECT * FROM $prev
+                |  UNION ALL
+                |  SELECT c.query_id, CAST($i AS BIGINT) AS pick, c.cand_id, c.rel,
+                |         CAST(struct_extract(p$i.m, 's') AS BIGINT) AS score, c.cv
+                |  FROM cand c JOIN p$i ON p$i.query_id = c.query_id
+                |    AND struct_extract(p$i.m, 'id') = c.cand_id)""".stripMargin
+    }
+    sb ++= s"\nSELECT query_id, pick, cand_id, rel, score FROM all$k"
+    sb.toString
+  }
 
   /** DuckDB mirror of [[graft.plans.TokensToHashBitset]]'s bit index: the
     * first 5 hex digits of md5(tok) as a base-16 integer, mod HashBits —

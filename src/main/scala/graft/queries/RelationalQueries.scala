@@ -1089,4 +1089,45 @@ object RelationalQueries {
       .select(col("h").as("hour_idx"), col("ns").as("n_starts"), col("ne").as("n_ends"),
         (sum(col("ns")).over(w) - (sum(col("ne")).over(w) - col("ne"))).as("n_active"))
   }
+
+  /** w09 trailing-window length (ROWS frame, current row included). */
+  val AnomWin = 16
+  /** w09 threshold multiplier τ: flag when |x − μ| > τ·σ. */
+  val AnomTau = 2
+
+  /** w09: rolling z-score anomaly detection — the streaming-metrics outlier
+    * primitive (flag an event whose value deviates more than τ population
+    * standard deviations from its own user's trailing [[AnomWin]]-event
+    * window). σ never needs a sqrt or a double: |x−μ| > τσ over the frame
+    * {v₁..vₙ} is EXACTLY (n·x − Σv)² > τ²·(n·Σv² − (Σv)²) after scaling
+    * values to integer cents — both sides are long arithmetic, so Spark and
+    * the oracle agree bit-for-bit and the flag is reproducible at any
+    * partitioning. Only full windows fire (count = n): the first n−1 events
+    * of a user have no baseline.
+    *
+    * Scale shape: ONE window exchange hash-partitioned by user_id; the
+    * frame is ROWS-bounded so each task holds ≤ [[AnomWin]] rows of state
+    * per open frame regardless of how many events a user has. count/sum/
+    * sum-of-squares ride the same frame — no self-join, no second shuffle,
+    * and the filter is a codegen'd long comparison. At 100 TB this is the
+    * shape of "scan the metric stream once, emit the outliers". */
+  def w09Anomaly(s: SparkSession, d: String): DataFrame = {
+    val n = AnomWin
+    val t2 = AnomTau * AnomTau
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(n - 1), 0)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("v")).over(w))
+      .withColumn("s2", sum(expr("v * v")).over(w))
+      .filter(col("nw") === n)
+      .withColumn("dev2", expr(s"($n * v - s1) * ($n * v - s1)"))
+      .withColumn("bound", expr(s"$t2 * ($n * s2 - s1 * s1)"))
+      .filter(col("dev2") > col("bound"))
+      .select(col("event_id"), col("user_id"), col("us"), col("v"),
+        col("dev2"), col("bound"))
+  }
 }

@@ -701,4 +701,87 @@ object SimilarityQueries {
       .filter(col("rnk") === 1)
       .selectExpr("query_id", "bucket", "vec_id AS neighbor_id", "cosine")
   }
+
+  /** s13 shape: queries, candidate-pool size, and picks per query. */
+  val MmrQueries = 4
+  val MmrCand = 24
+  val MmrK = 5
+
+  /** s13: Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — pick [[MmrK]] results per query that are RELEVANT but not
+    * redundant: after seeding with the most-relevant candidate, each round
+    * adds argmax of λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s). With
+    * λ = ½ the argmax order is rank-equivalent to the integer score
+    * rel − max-sim, so every comparison is exact long arithmetic over
+    * ×1000-scaled embeddings (dot products ≤ 64·530² ≈ 1.8·10⁷ — also
+    * double-exact, which is what lets the DuckDB oracle mirror it). Ties
+    * break to the smaller cand_id; the whole selection is a total order.
+    *
+    * Scale shape: the corpus is scanned ONCE to score rel against the
+    * broadcast query set, and [[graft.plans.TopKPerGroup]] bounds the
+    * shuffle to MmrCand rows per query (per-partition heaps, same operator
+    * as q20/d14 — no corpus-sized window partition). The greedy loop then
+    * runs [[MmrK]] rounds over the CACHED candidate pool: each round joins
+    * candidates to the ≤ MmrQueries·MmrK broadcast selected rows, takes a
+    * distributed struct-max argmax per query, and collects exactly
+    * MmrQueries rows — driver state is the selected set (a model
+    * constant), never the pool, so the same loop runs unchanged when the
+    * pool is millions of rows per query on a cluster. */
+  def s13MmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iv = embeddings(s, d).selectExpr("vec_id",
+      "transform(embedding, e -> CAST(round(e * 1000) AS BIGINT)) AS q")
+    val qs = broadcast(iv.filter(col("vec_id") < MmrQueries)
+      .selectExpr("vec_id AS query_id", "q AS qv"))
+    val idot = "aggregate(zip_with(qv, cv, (a, b) -> a * b), " +
+      "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    val cand = graft.plans.TopKPerGroup(
+        qs.crossJoin(iv.selectExpr("vec_id AS cand_id", "q AS cv"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .selectExpr("query_id", "cand_id", "cv", s"$idot AS rel"),
+        Seq("query_id"), Seq("rel" -> true, "cand_id" -> false), k = MmrCand)
+      .persist()
+    try {
+      // selected rows: (query_id, pick, cand_id, rel, score, cv)
+      var sel = Vector.empty[(Long, Long, Long, Long, Long, Seq[Long])]
+      for (pick <- 1 to MmrK) {
+        val best =
+          if (pick == 1) cand.groupBy(col("query_id"))
+            .agg(max(struct(col("rel").as("s"), (-col("cand_id")).as("ni"),
+              col("cand_id").as("id"))).as("m"))
+            .selectExpr("query_id", "m.id AS cand_id", "m.s AS score")
+          else {
+            val selDf = sel.toDF(
+              "query_id", "pick", "sel_id", "srel", "sscore", "sv")
+            val selPairs = broadcast(selDf
+              .select(col("query_id").as("sq"), col("sel_id")))
+            val selVecs = broadcast(selDf.select(col("query_id"), col("sv")))
+            val sim = "aggregate(zip_with(cv, sv, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            cand
+              .join(selPairs, col("query_id") === col("sq") &&
+                col("cand_id") === col("sel_id"), "left_anti")
+              .join(selVecs, Seq("query_id"))
+              .selectExpr("query_id", "cand_id", "rel", s"$sim AS sim")
+              .groupBy(col("query_id"), col("cand_id"), col("rel"))
+              .agg(max(col("sim")).as("msim"))
+              .selectExpr("query_id", "cand_id", "rel - msim AS score")
+              .groupBy(col("query_id"))
+              .agg(max(struct(col("score").as("s"), (-col("cand_id")).as("ni"),
+                col("cand_id").as("id"))).as("m"))
+              .selectExpr("query_id", "m.id AS cand_id", "m.s AS score")
+          }
+        val picked = broadcast(best.select(col("query_id"), col("cand_id"),
+          col("score")))
+        sel = sel ++ cand.join(picked, Seq("query_id", "cand_id"))
+          .select(col("query_id"), col("cand_id"), col("rel"), col("score"),
+            col("cv"))
+          .as[(Long, Long, Long, Long, Seq[Long])]
+          .collect()
+          .map { case (q, c, r, sc, v) => (q, pick.toLong, c, r, sc, v) }
+      }
+      sel.map { case (q, p, c, r, sc, _) => (q, p, c, r, sc) }
+        .toDF("query_id", "pick", "cand_id", "rel", "score")
+    } finally { cand.unpersist() }
+  }
 }

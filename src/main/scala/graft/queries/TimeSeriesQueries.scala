@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Time-series similarity over the per-user event-value sequences — the
   * missing modality next to text (d/t), embeddings (s) and media (m):
@@ -314,5 +315,59 @@ object TimeSeriesQueries {
         col("overlap").as("ov"))).as("best"))
       .selectExpr("a", "b", "CAST(-best.nl AS BIGINT) AS best_lag",
         "best.score AS best_score", "best.ov AS overlap")
+  }
+
+  /** ts07 bucket width: interior points are grouped in runs of this many
+    * (ts, event_id)-ordered points; one survivor per bucket. */
+  val DownsampleBucket = 8
+
+  /** ts07: visually-faithful series downsampling — the largest-triangle
+    * (one-bucket) reduction behind dashboard rendering and long-retention
+    * metric rollup (Steinarsson's LTTB thesis, 2013, simplified to fixed
+    * neighbors so selection has no sequential dependence). Per user, events
+    * in (ts, event_id) order are bucketed [[DownsampleBucket]] at a time;
+    * each interior point's salience is twice the area of the triangle it
+    * forms with its immediate neighbors — |(xₚ−xₙ)(y−yₚ) − (xₚ−x)(yₙ−yₚ)|
+    * — and only the per-bucket argmax survives, plus both endpoints. Axes
+    * are integers (seconds since the user's first event; value scaled
+    * ×100), so areas are exact longs and the (area DESC, idx) tie-break is
+    * a total order both engines agree on bit-for-bit.
+    *
+    * Scale shape: three window passes over the SAME (user_id, ts,
+    * event_id) sort order — Catalyst plans one exchange + one sort and
+    * reuses them; the bucket argmax partitions by (user_id, bucket), a
+    * strict refinement of the same hash key, so no second shuffle of the
+    * events is needed beyond the window exchange. Per-user state in any
+    * task is one window frame (3 rows of lag/lead), not the series — users
+    * with millions of events stream through. Output is ~n/8 rows; nothing
+    * is collected. */
+  def ts07Downsample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val u = Window.partitionBy(col("user_id"))
+    val marked = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(u))
+      .withColumn("x", expr("(us - min(us) OVER (PARTITION BY user_id)) div 1000000"))
+      .withColumn("xp", lag(col("x"), 1).over(w))
+      .withColumn("yp", lag(col("y"), 1).over(w))
+      .withColumn("xn", lead(col("x"), 1).over(w))
+      .withColumn("yn", lead(col("y"), 1).over(w))
+      .withColumn("interior", col("idx") > 1 && col("idx") < col("n"))
+      .withColumn("area2",
+        expr("abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp))"))
+      .withColumn("bucket",
+        when(col("interior"), expr(s"(idx - 2) div $DownsampleBucket"))
+          .otherwise(lit(-1L)))
+    val bw = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("area2").desc, col("idx"))
+    marked
+      .withColumn("rn", row_number().over(bw))
+      .filter(col("idx") === 1 || col("idx") === col("n") ||
+        (col("interior") && col("rn") === 1))
+      .select(col("user_id"), col("idx"), col("x").as("x_s"), col("y").as("v100"),
+        when(col("interior"), col("area2")).otherwise(lit(0L)).as("area2"))
   }
 }

@@ -717,4 +717,45 @@ class PlanChecksSpec extends SparkSpec {
     assert(bySrc.values.map(rs => rs.head.getLong(3)).sum >= target,
       "ceil-division quotas must cover the target")
   }
+
+  test("w09/ts07: window families reuse ONE user_id exchange") {
+    // w09: the rolling z-score rides a single ROWS-frame window pass —
+    // one hash exchange, no join, no second sort of the events
+    val p9 = plan(RelationalQueries.w09Anomaly(spark, d))
+    assert(p9.contains("Window"), p9.take(2000))
+    assert(shuffles(p9) == 1,
+      s"w09 must shuffle exactly once (${shuffles(p9)}):\n" + p9.take(3000))
+    assert(!p9.contains("Join"), "w09 is a single-pass window, no self-join")
+    // ts07: the (user_id, bucket) argmax window's ClusteredDistribution is
+    // satisfied by the user_id hash partitioning (subset rule), so the
+    // whole three-window chain costs one exchange
+    val p7 = plan(TimeSeriesQueries.ts07Downsample(spark, d))
+    assert(shuffles(p7) == 1,
+      s"ts07 must reuse the user_id exchange (${shuffles(p7)}):\n" + p7.take(3000))
+    assert(!p7.contains("Join"), "ts07 never joins")
+  }
+
+  test("s13: MMR picks are relevant-first, diverse, and pool-bounded") {
+    // the candidate pool is cut by the TopKPerGroup operator (per-partition
+    // heaps), not a corpus-wide window rank
+    val sel = SimilarityQueries.s13MmrRerank(spark, d).collect()
+    assert(sel.length == SimilarityQueries.MmrQueries * SimilarityQueries.MmrK)
+    val byQ = sel.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until SimilarityQueries.MmrQueries).toSet)
+    byQ.foreach { case (q, rows) =>
+      val ordered = rows.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).toSeq == (1L to SimilarityQueries.MmrK),
+        s"query $q picks must be dense ranks 1..K")
+      val ids = ordered.map(_.getLong(2))
+      assert(ids.distinct.length == ids.length, s"query $q picks must be distinct")
+      // seed = pure argmax relevance: every later pick's rel cannot exceed it
+      assert(ordered.tail.forall(_.getLong(3) <= ordered.head.getLong(3)),
+        s"query $q seed must be the most relevant candidate")
+      // the seed is scored by pure relevance (no selected set to penalize
+      // against yet); later scores are rel − max-sim, which may exceed rel
+      // when every selected vector is anti-correlated with the candidate
+      assert(ordered.head.getLong(4) == ordered.head.getLong(3),
+        s"query $q seed score must equal its relevance")
+    }
+  }
 }
