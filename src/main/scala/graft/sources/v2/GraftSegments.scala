@@ -87,7 +87,20 @@ object GraftSegments {
                               prefetchBytes: Long = 0L,
                               /** Executor-wide chunk-cache budget for the
                                 * prefetch path. */
-                              cacheBytes: Long = 256L << 20) {
+                              cacheBytes: Long = 256L << 20,
+                              /** Streaming admission control (0 = unlimited):
+                                * cap each micro-batch at this many segments /
+                                * this many `.log` payload bytes (metadata
+                                * `size()` sums — no byte fetched to decide).
+                                * A backfill of 40 000 tiered segments then
+                                * drains as bounded, checkpointable batches
+                                * instead of one giant catch-up batch. */
+                              maxSegmentsPerTrigger: Int = 0,
+                              maxBytesPerTrigger: Long = 0L) {
+    require(maxSegmentsPerTrigger >= 0,
+      s"stream.maxSegmentsPerTrigger must be >= 0, got $maxSegmentsPerTrigger")
+    require(maxBytesPerTrigger >= 0,
+      s"stream.maxBytesPerTrigger must be >= 0, got $maxBytesPerTrigger")
     /** Register the configured [[StorageBackends.Provider]] (idempotent) —
       * runs on DRIVER AND EXECUTORS before any storage resolution, so a
       * schemed root works wherever the partition lands; mirrors the
@@ -116,7 +129,9 @@ object GraftSegments {
         Option(o.get("rsaPrivateKeyB64")).getOrElse(""),
         Option(o.get("backend.provider")).getOrElse(""),
         Option(o.get("read.prefetch.bytes")).map(_.toLong).getOrElse(0L),
-        Option(o.get("read.cache.bytes")).map(_.toLong).getOrElse(256L << 20))
+        Option(o.get("read.cache.bytes")).map(_.toLong).getOrElse(256L << 20),
+        Option(o.get("stream.maxSegmentsPerTrigger")).map(_.toInt).getOrElse(0),
+        Option(o.get("stream.maxBytesPerTrigger")).map(_.toLong).getOrElse(0L))
     }
   }
 }
@@ -402,6 +417,8 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
 
   private[v2] def readerFactory(): PartitionReaderFactory = createReaderFactory()
 
+  private[v2] def sourceConf: GraftSegments.SourceConf = conf
+
   override def description(): String = {
     val pr = if (pruning.isEmpty) "" else pruning.mkString(" prunedBy=[", ", ", "]")
     val lm = limitOpt.map(n =>
@@ -444,14 +461,68 @@ object SegmentCountOffset {
 }
 
 final class SegmentsMicroBatchStream(scan: SegmentsScan)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
+    Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   override def initialOffset(): Offset = SegmentCountOffset(0L)
   override def latestOffset(): Offset = {
     val keys = scan.segmentKeys()
     SegmentCountOffset(keys.length.toLong, if (keys.isEmpty) "" else keys.last)
   }
+
+  /** Admission control (the Kafka-source `maxOffsetsPerTrigger` discipline
+    * for an object store): `stream.maxSegmentsPerTrigger` caps the batch by
+    * partition count, `stream.maxBytesPerTrigger` by the Σ of `.log` object
+    * sizes — decided from storage METADATA only (one `size()` HEAD per
+    * candidate key, no payload fetched, no manifest parsed). The byte cap
+    * always admits at least one segment past `start`, so a segment larger
+    * than the cap still makes progress instead of stalling the stream. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val c = scan.sourceConf
+    val lims = Seq(
+      Option.when(c.maxSegmentsPerTrigger > 0)(
+        ReadLimit.maxFiles(c.maxSegmentsPerTrigger)),
+      Option.when(c.maxBytesPerTrigger > 0)(
+        ReadLimit.maxBytes(c.maxBytesPerTrigger))).flatten
+    lims match {
+      case Seq()    => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val keys = scan.segmentKeys()
+    val a = start.asInstanceOf[SegmentCountOffset].n.toInt
+    def flat(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flat)
+      case other                 => Seq(other)
+    }
+    val ls = flat(limit)
+    val maxSeg = ls.collect { case f: ReadMaxFiles => f.maxFiles() }
+      .reduceOption(_ min _)
+    val maxBytes = ls.collect { case b: ReadMaxBytes => b.maxBytes() }
+      .reduceOption(_ min _)
+    val logSuffix = "." + graft.sources.ObjectKey.Suffix.Log.value
+    lazy val storage = { scan.sourceConf.ensureBackend(); scan.sourceConf.storage }
+    var end = a
+    var bytes = 0L
+    var stop = false
+    while (end < keys.length && !stop) {
+      if (maxSeg.exists(m => end - a >= m)) stop = true
+      else {
+        val sz = maxBytes.fold(0L)(_ =>
+          try storage.size(keys(end) + logSuffix) catch { case _: Exception => 0L })
+        if (maxBytes.exists(m => end > a && bytes + sz > m)) stop = true
+        else { bytes += sz; end += 1 }
+      }
+    }
+    SegmentCountOffset(end.toLong, if (end == 0) "" else keys(end - 1))
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
   override def deserializeOffset(json: String): Offset = SegmentCountOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -341,6 +341,67 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("append-ordered"))
   }
 
+  test("admission control: per-trigger segment/byte caps bound each micro-batch (r7)") {
+    import graft.sources.v2._
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val (store, _, keys) = setup()
+    val scan = new SegmentsScan(GraftSegments.SourceConf(store, "", "", ""),
+      GraftSegments.fullSchema, Array.empty)
+    val stream = scan.toMicroBatchStream("unused")
+      .asInstanceOf[SegmentsMicroBatchStream]
+    val start = stream.initialOffset()
+    // segment cap: exactly 2 of the 3 admitted, offset pinned to key 2
+    val seg2 = stream.latestOffset(start, ReadLimit.maxFiles(2))
+      .asInstanceOf[SegmentCountOffset]
+    assert(seg2.n == 2 && seg2.last == keys(1))
+    // byte cap below one segment still admits ONE (progress guarantee)
+    val one = stream.latestOffset(start, ReadLimit.maxBytes(1L))
+      .asInstanceOf[SegmentCountOffset]
+    assert(one.n == 1 && one.last == keys(0))
+    // byte cap covering two log objects admits exactly two
+    val st = FileSystemStorage(store)
+    val sizes = keys.map(k => st.size(s"$k.log"))
+    val two = stream.latestOffset(start, ReadLimit.maxBytes(sizes(0) + sizes(1)))
+      .asInstanceOf[SegmentCountOffset]
+    assert(two.n == 2 && two.last == keys(1))
+    // composite = tightest wins; resuming from n=2 drains the tail
+    val comp = stream.latestOffset(start, ReadLimit.compositeLimit(
+      Array(ReadLimit.maxFiles(1), ReadLimit.maxBytes(Long.MaxValue))))
+      .asInstanceOf[SegmentCountOffset]
+    assert(comp.n == 1)
+    val rest = stream.latestOffset(seg2, ReadLimit.maxFiles(2))
+      .asInstanceOf[SegmentCountOffset]
+    assert(rest.n == 3 && rest.last == keys(2))
+    // no caps configured → default limit is all-available
+    assert(stream.getDefaultReadLimit == ReadLimit.allAvailable())
+    // reportLatestOffset is the TRUE head (progress metrics see the lag)
+    assert(stream.reportLatestOffset().asInstanceOf[SegmentCountOffset].n == 3)
+  }
+
+  test("admission control end-to-end: maxSegmentsPerTrigger=1 drains as one-segment batches") {
+    val (store, cfg, _) = setup()
+    val enc = java.util.Base64.getEncoder
+    val stream = spark.readStream.format("graft-segments")
+      .option("root", store)
+      .option("rsaPublicKeyB64", enc.encodeToString(cfg.rsaPublicKey))
+      .option("rsaPrivateKeyB64", enc.encodeToString(cfg.rsaPrivateKey))
+      .option("stream.maxSegmentsPerTrigger", "1")
+      .load()
+      .selectExpr("segment_key", "kafka.offset AS off")
+    val q = stream.writeStream.format("memory").queryName("segadm")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // nothing skipped, nothing replayed...
+      val rows = spark.sql("SELECT off FROM segadm").collect().map(_.getLong(0))
+      assert(rows.sorted.toSeq == (0L until 30L))
+      // ...and no batch carried more than one segment's 10 records
+      val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.length == 3 && batches.forall(_ == 10L),
+        s"expected 3 batches of 10, got ${batches.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING graft-segments, then pure SQL") {
     val (store, cfg, keys) = setup()
     val enc = java.util.Base64.getEncoder
