@@ -397,6 +397,58 @@ object EventStreams {
       }
   }
 
+  final case class AnomState(buf: List[(Long, Long, Long)]) // (us, event_id, v) oldest-first
+  final case class AnomalyUpdate(event_id: Long, user_id: Long, us: Long, v: Long,
+                                 dev2: Long, bound: Long)
+
+  /** Streaming twin of the batch w09 ROLLING Z-SCORE outlier flag: per
+    * user, each event is judged against its trailing
+    * [[graft.queries.RelationalQueries.AnomWin]]-event window (itself
+    * included) with the same integer test — (n·x − Σv)² > τ²·(n·Σv² −
+    * (Σv)²) over cent-scaled longs — so the flags equal the batch ROWS-
+    * frame window bit-for-bit after any stream prefix (pinned in
+    * StreamingSpec across a micro-batch split).
+    *
+    * State is the frame itself: the newest ≤ AnomWin (us, event_id, v)
+    * triples per user — a constant 16 rows regardless of stream length,
+    * the same bound the batch window's frame buffer has per open frame.
+    * ROWS frames are positional, so unlike [[trailingCounts]] there is no
+    * peer-group subtlety: each event owns exactly one frame, ordered by
+    * (us, event_id) under the same watermarked-source ordering contract
+    * as the other twins. This is the "alert on the metric stream" shape:
+    * one stateful pass, emits only the outliers. */
+  def anomalyFlags(spark: SparkSession, events: DataFrame,
+                   win: Int = graft.queries.RelationalQueries.AnomWin,
+                   tau: Int = graft.queries.RelationalQueries.AnomTau)
+      : Dataset[AnomalyUpdate] = {
+    import spark.implicits._
+    val n = win.toLong
+    val t2 = (tau * tau).toLong
+    events.selectExpr("user_id", "event_id", "unix_micros(ts) AS us",
+        "CAST(round(value * 100) AS BIGINT) AS v")
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[AnomState]) =>
+          var cur = state.getOption.map(_.buf.toVector).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[AnomalyUpdate]
+          rows.toVector.sortBy(r => (r._3, r._2)).foreach { case (_, id, us, v) =>
+            cur = (cur :+ ((us, id, v))).takeRight(win)
+            if (cur.length == win) {
+              var s1 = 0L; var s2 = 0L
+              cur.foreach { case (_, _, x) => s1 += x; s2 += x * x }
+              val dev = n * v - s1
+              val dev2 = dev * dev
+              val bound = t2 * (n * s2 - s1 * s1)
+              if (dev2 > bound) out += AnomalyUpdate(id, user, us, v, dev2, bound)
+            }
+          }
+          state.update(AnomState(cur.toList))
+          out.result().iterator
+      }
+  }
+
   final case class QuotaState(items: List[(Long, Long)]) // (n_distinct desc, doc_id asc)
   final case class QuotaUpdate(source: String, doc_ids: Seq[Long], n_distincts: Seq[Long])
 

@@ -151,6 +151,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("anomaly twin: streamed rolling z-score flags equal batch w09 across a batch split") {
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    // two time-ordered files -> two micro-batches: second-batch frames
+    // reach back into the ≤16-row buffers carried from the first
+    val src = Files.createTempDirectory("graft-anom-src").toString
+    val cut = events.selectExpr("percentile_approx(ts, 0.5) AS m").head().getTimestamp(0)
+    events.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    events.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = EventStreams.anomalyFlags(spark, stream).writeStream
+      .format("memory").queryName("anom")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT event_id, user_id, us, v, dev2, bound FROM anom")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val batch = graft.queries.RelationalQueries
+      .w09Anomaly(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("trailing RANGE twin: equal-timestamp peers all share the full peer frame") {
     // RANGE frames include ALL equal-timestamp peers for every peer row —
     // the first of two same-microsecond events must emit n/sum that
