@@ -1725,9 +1725,12 @@ object SparkEntry {
     * argmax with the (score DESC, cand_id ASC) tie-break, and the pick is
     * joined back to the pool to recover its vector for the next round.
     * MATERIALIZED hints keep DuckDB from re-inlining the multiply-referenced
-    * pool/selection CTEs (exponential otherwise). Integer dots ≤ ~1.8e7 are
-    * double-exact, so `list_dot_product` over DOUBLE-cast lists equals
-    * Spark's long fold bit-for-bit. */
+    * pool/selection CTEs (exponential otherwise), and the top-C window runs
+    * over SCALAR (query, cand, rel) rows — vectors rejoin after the cut, so
+    * no list payload is dragged through a window (the d13-lesson pattern
+    * that keeps this oracle tractable at the 100× replica). Integer dots
+    * ≤ ~1.8e7 are double-exact, so `list_dot_product` over DOUBLE-cast
+    * lists equals Spark's long fold bit-for-bit. */
   private def s13Sql: String = {
     val q = SimilarityQueries.MmrQueries
     val c = SimilarityQueries.MmrCand
@@ -1738,14 +1741,17 @@ object SparkEntry {
               |  FROM embeddings),
               |qs AS MATERIALIZED (SELECT vec_id AS query_id, q AS qv FROM iv WHERE vec_id < $q),
               |rl AS MATERIALIZED (
-              |  SELECT query_id, c.vec_id AS cand_id, c.q AS cv,
+              |  SELECT query_id, c.vec_id AS cand_id,
               |         CAST(list_dot_product(qv::DOUBLE[], c.q::DOUBLE[]) AS BIGINT) AS rel
               |  FROM qs, iv c WHERE c.vec_id <> qs.query_id),
-              |cand AS MATERIALIZED (
-              |  SELECT query_id, cand_id, cv, rel FROM (
+              |ck AS MATERIALIZED (
+              |  SELECT query_id, cand_id, rel FROM (
               |    SELECT *, row_number() OVER (PARTITION BY query_id
               |      ORDER BY rel DESC, cand_id) AS rk FROM rl)
               |  WHERE rk <= $c),
+              |cand AS MATERIALIZED (
+              |  SELECT ck.query_id, ck.cand_id, ck.rel, iv.q AS cv
+              |  FROM ck JOIN iv ON iv.vec_id = ck.cand_id),
               |p1 AS MATERIALIZED (
               |  SELECT query_id, max({'s': rel, 'ni': -cand_id, 'id': cand_id}) AS m
               |  FROM cand GROUP BY query_id),
