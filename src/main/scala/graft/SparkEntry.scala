@@ -139,6 +139,7 @@ object SparkEntry {
     "p04_dataset_card" -> (TextQueries.p04DatasetCard _),
     "s12_triplet_mining" -> (SimilarityQueries.s12TripletMining _),
     "w09_anomaly" -> (RelationalQueries.w09Anomaly _),
+    "d15_containment" -> (TextQueries.d15Containment _),
     "ts07_downsample" -> (TimeSeriesQueries.ts07Downsample _),
     "s13_mmr_rerank" -> (SimilarityQueries.s13MmrRerank _),
   )
@@ -1717,6 +1718,24 @@ object SparkEntry {
          |FROM r WHERE idx = 1 OR idx = n OR (interior AND rn = 1)""".stripMargin
     },
     "s13_mmr_rerank" -> s13Sql,
+    "d15_containment" -> {
+      val t = TextQueries.ContainThreshold
+      s"""WITH pairs AS ($minHashPairsSql),
+         |tk AS (SELECT doc_id, list_distinct($dToks) AS t FROM documents),
+         |pos AS (SELECT doc_id, list_distinct(list_transform(t, tok -> $hashPosSql)) AS ps
+         |        FROM tk WHERE len(t) > 0),
+         |j AS (SELECT p.a, p.b, len(list_intersect(pa.ps, pb.ps)) AS inter,
+         |             len(pa.ps) AS na, len(pb.ps) AS nb
+         |      FROM pairs p JOIN pos pa ON pa.doc_id = p.a JOIN pos pb ON pb.doc_id = p.b),
+         |c AS (SELECT a, b, CAST(inter AS DOUBLE) / na AS c_a_in_b,
+         |             CAST(inter AS DOUBLE) / nb AS c_b_in_a
+         |      FROM j)
+         |SELECT a, b, c_a_in_b, c_b_in_a,
+         |       CASE WHEN c_a_in_b >= $t AND c_b_in_a >= $t THEN 'mutual'
+         |            WHEN c_a_in_b >= $t THEN 'a_in_b'
+         |            ELSE 'b_in_a' END AS relation
+         |FROM c WHERE c_a_in_b >= $t OR c_b_in_a >= $t""".stripMargin
+    },
   )
 
   /** s13 oracle: the greedy MMR loop unrolled into [[SimilarityQueries.MmrK]]

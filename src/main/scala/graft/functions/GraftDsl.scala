@@ -149,6 +149,12 @@ object GraftDsl {
   def bitsetJaccard(a: Column, b: Column): Column =
     call_function("bitset_jaccard", a, b)
 
+  /** Directional Broder containment |a∩b|/|a| of two hashed-bitset
+    * fingerprints (codegen'd) — catches near-superset duplication that
+    * union-normalized Jaccard misses. */
+  def bitsetContain(a: Column, b: Column): Column =
+    call_function("bitset_contain", a, b)
+
   // --- DataFrame-level scale helpers (r5) ---------------------------------
 
   import org.apache.spark.sql.DataFrame

@@ -76,6 +76,67 @@ final case class BitsetJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Directional set containment |A∩B| / |A| over BinaryType bitsets — the
+  * Broder containment coefficient. Jaccard misses near-SUPERSET
+  * duplication (a page quoting another whole document scores low on
+  * union-normalized overlap but ~1.0 on containment of the smaller side),
+  * so the dedup family needs both. Asymmetric by design: `bitset_contain(a,
+  * b)` normalizes by |a|. 0.0 when |a| = 0. Same codegen shape as
+  * [[BitsetJaccard]] — one primitive byte loop inside whole-stage codegen. */
+final case class BitsetContain(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "bitset_contain"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected (binary, binary), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    var inter = 0
+    var card = 0
+    var i = 0
+    while (i < x.length) {
+      val xb = x(i) & 0xFF
+      val yb = if (i < y.length) y(i) & 0xFF else 0
+      inter += java.lang.Integer.bitCount(xb & yb)
+      card += java.lang.Integer.bitCount(xb)
+      i += 1
+    }
+    if (card == 0) 0.0 else inter.toDouble / card
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val inter = ctx.freshName("inter")
+      val card = ctx.freshName("card")
+      val i = ctx.freshName("i")
+      val xb = ctx.freshName("xb")
+      val yb = ctx.freshName("yb")
+      s"""
+         |int $inter = 0;
+         |int $card = 0;
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  int $xb = $a[$i] & 0xFF;
+         |  int $yb = $i < $b.length ? ($b[$i] & 0xFF) : 0;
+         |  $inter += java.lang.Integer.bitCount($xb & $yb);
+         |  $card += java.lang.Integer.bitCount($xb);
+         |}
+         |${ev.value} = $card == 0 ? 0.0 : ((double) $inter) / $card;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sequential dot product over two ARRAY<DOUBLE> columns — codegen'd
   * replacement for `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (s,x) -> s+x)`:
   * higher-order functions evaluate INTERPRETED per row (lambda closures), so
@@ -252,6 +313,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("bitset_jaccard",
       (exprs: Seq[Expression]) => BitsetJaccard(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("bitset_contain",
+      (exprs: Seq[Expression]) => BitsetContain(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("tokens_to_bitset",
       (exprs: Seq[Expression]) => TokensToBitset(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("tokens_to_hashbits",
@@ -282,6 +345,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("bitset_jaccard"),
       new ExpressionInfo(classOf[BitsetJaccard].getName, "bitset_jaccard"),
       (exprs: Seq[Expression]) => BitsetJaccard(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bitset_contain"),
+      new ExpressionInfo(classOf[BitsetContain].getName, "bitset_contain"),
+      (exprs: Seq[Expression]) => BitsetContain(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("tokens_to_bitset"),
       new ExpressionInfo(classOf[TokensToBitset].getName, "tokens_to_bitset"),

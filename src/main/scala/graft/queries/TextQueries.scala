@@ -1341,6 +1341,48 @@ object TextQueries {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** d15 keep threshold on the DIRECTIONAL containment coefficient. */
+  val ContainThreshold = 0.8
+
+  /** d15: containment dedup — Broder's asymmetric coefficient
+    * |A∩B|/|A| over the d03 LSH candidates. Union-normalized Jaccard
+    * (d05/d06) misses near-SUPERSET duplication: a page that embeds a
+    * whole shorter document scores J ≈ |B|/|A| (small) but containment of
+    * the smaller side ≈ 1.0 — the signal behind "quote farm" and
+    * boilerplate-wrapper removal (Broder 1997's resemblance vs
+    * containment pair). Both directions are computed with the codegen'd
+    * [[graft.plans.BitsetContain]] popcount kernel over the same
+    * hashed-bitset fingerprints d06 uses, and a pair is kept when EITHER
+    * direction clears [[ContainThreshold]], labeled `a_in_b` / `b_in_a` /
+    * `mutual`. The division is one double op on integer popcounts, so
+    * the oracle hash-matches bit-for-bit.
+    *
+    * Scale shape: identical to d06 — candidates come from the banded
+    * equi-join (never all pairs), fingerprints attach by two co-keyed
+    * broadcast-or-shuffle hash joins on doc_id, and the kernel runs
+    * inside whole-stage codegen with zero extra shuffles. Empty token
+    * sets are excluded before the join (containment of ∅ is undefined;
+    * the kernel's 0.0 would silently pass nothing anyway). */
+  def d15Containment(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val bits = documents(s, d)
+      .selectExpr("doc_id", s"array_distinct($toksExpr) AS t")
+      .filter(size(col("t")) > 0)
+      .selectExpr("doc_id", s"tokens_to_hashbits(t, $HashBits) AS bits")
+    d03MinHashPairs(s, d)
+      .join(bits.selectExpr("doc_id AS a", "bits AS ab"), "a")
+      .join(bits.selectExpr("doc_id AS b", "bits AS bb"), "b")
+      .selectExpr("a", "b",
+        "bitset_contain(ab, bb) AS c_a_in_b",
+        "bitset_contain(bb, ab) AS c_b_in_a")
+      .filter(col("c_a_in_b") >= ContainThreshold ||
+        col("c_b_in_a") >= ContainThreshold)
+      .selectExpr("a", "b", "c_a_in_b", "c_b_in_a",
+        s"""CASE WHEN c_a_in_b >= $ContainThreshold AND c_b_in_a >= $ContainThreshold THEN 'mutual'
+           |     WHEN c_a_in_b >= $ContainThreshold THEN 'a_in_b'
+           |     ELSE 'b_in_a' END AS relation""".stripMargin)
+  }
+
   /** Batch/stream-shared cleaning signals over any frame with
     * (doc_id, lang, text, …): ONE tokenize projection plus the t02 quality
     * and t03 language-ID expressions, preserving every other input column

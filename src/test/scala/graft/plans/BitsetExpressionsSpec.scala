@@ -34,6 +34,26 @@ class BitsetExpressionsSpec extends SparkSpec {
     assert(rows(1L) == 0.5) // 0x02 vs 0x03: inter 1, union 2
   }
 
+  test("bitset_contain: asymmetric, codegen'd, |∅| → 0.0") {
+    GraftFunctions.register(spark)
+    // A = {0}, B = {0,1}: A fully inside B, B half inside A
+    assert(spark.sql("SELECT bitset_contain(X'01', X'03')").head().getDouble(0) == 1.0)
+    assert(spark.sql("SELECT bitset_contain(X'03', X'01')").head().getDouble(0) == 0.5)
+    // empty left side: containment of nothing is 0.0, not NaN/divide-by-zero
+    assert(spark.sql("SELECT bitset_contain(X'00', X'03')").head().getDouble(0) == 0.0)
+    // unequal lengths: the longer side's tail counts only toward its own |A|
+    assert(spark.sql("SELECT bitset_contain(X'0101', X'01')").head().getDouble(0) == 0.5)
+    // runs inside whole-stage codegen (range source defeats constant folding)
+    val df = spark.range(2)
+      .selectExpr("id", "unhex(lpad(hex(id + 1), 2, '0')) AS a")
+      .selectExpr("id", "bitset_contain(a, X'01') AS c")
+    val p = df.queryExecution.executedPlan.toString
+    val rows = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      "expected codegen'd plan:\n" + p)
+    assert(rows(0L) == 1.0 && rows(1L) == 0.0) // {0}⊆{0}; {1}∩{0}=∅
+  }
+
   test("vec_dot: bit-equal to the HOF fold, codegen'd") {
     GraftFunctions.register(spark)
     // range source so constant folding can't pre-evaluate; irrational-ish
