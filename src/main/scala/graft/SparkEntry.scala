@@ -140,6 +140,8 @@ object SparkEntry {
     "s12_triplet_mining" -> (SimilarityQueries.s12TripletMining _),
     "w09_anomaly" -> (RelationalQueries.w09Anomaly _),
     "d15_containment" -> (TextQueries.d15Containment _),
+    "ts08_ohlc_bars" -> (TimeSeriesQueries.ts08OhlcBars _),
+    "x07_split_leakage" -> (TextQueries.x07SplitLeakage _),
     "ts07_downsample" -> (TimeSeriesQueries.ts07Downsample _),
     "s13_mmr_rerank" -> (SimilarityQueries.s13MmrRerank _),
   )
@@ -846,15 +848,7 @@ object SparkEntry {
     // Jaccard: bit = first-5-hex-digits of md5(token) mod HashBits. The
     // oracle computes the identical function on position SETS (popcount of
     // AND/OR == intersection/union of distinct hashed positions).
-    "d06_bitset_jaccard" ->
-      s"""WITH pairs AS ($minHashPairsSql),
-         |tk AS (SELECT doc_id, list_distinct($dToks) AS t FROM documents),
-         |pos AS (SELECT doc_id, list_distinct(list_transform(t, tok -> $hashPosSql)) AS ps FROM tk),
-         |j AS (SELECT p.a, p.b, len(list_intersect(pa.ps, pb.ps)) AS inter,
-         |             len(pa.ps) AS na, len(pb.ps) AS nb
-         |      FROM pairs p JOIN pos pa ON pa.doc_id = p.a JOIN pos pb ON pb.doc_id = p.b)
-         |SELECT a, b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-         |FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= ${TextQueries.JaccardThreshold}""".stripMargin,
+    "d06_bitset_jaccard" -> d06Sql,
     "s04_ann_ivf" ->
       s"""WITH $dNrmCte,
          |anch AS (SELECT vec_id - ${SimilarityQueries.AnchorFrom} AS anchor_id, v AS av, nrm AS anrm
@@ -1736,6 +1730,26 @@ object SparkEntry {
          |            ELSE 'b_in_a' END AS relation
          |FROM c WHERE c_a_in_b >= $t OR c_b_in_a >= $t""".stripMargin
     },
+    "ts08_ohlc_bars" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT user_id, us // 3600000000 AS hour,
+        |       struct_extract(min({'u': us, 'e': event_id, 'v': v}), 'v') AS open,
+        |       max(v) AS high, min(v) AS low,
+        |       struct_extract(max({'u': us, 'e': event_id, 'v': v}), 'v') AS close,
+        |       count(*) AS n_events, CAST(sum(v) AS BIGINT) AS v_sum
+        |FROM e GROUP BY user_id, us // 3600000000""".stripMargin,
+    "x07_split_leakage" ->
+      s"""WITH dup AS ($d06Sql),
+         |sp AS (SELECT doc_id,
+         |         ${TextQueries.splitCaseSql("md5(CAST(doc_id AS VARCHAR))")} AS split
+         |       FROM documents)
+         |SELECT least(sa.split, sb.split) AS split_lo,
+         |       greatest(sa.split, sb.split) AS split_hi,
+         |       count(*) AS n_pairs,
+         |       least(sa.split, sb.split) != greatest(sa.split, sb.split) AS cross_split
+         |FROM dup JOIN sp sa ON sa.doc_id = dup.a JOIN sp sb ON sb.doc_id = dup.b
+         |GROUP BY 1, 2""".stripMargin,
   )
 
   /** s13 oracle: the greedy MMR loop unrolled into [[SimilarityQueries.MmrK]]
@@ -1816,6 +1830,21 @@ object SparkEntry {
   }
 
   /** Shared oracle fragments (also composed into p01_clean_corpus). */
+  /** d06's verified near-dup pair SQL — also composed into x07's
+    * split-leakage audit. Bit = first-5-hex-digits of md5(token) mod
+    * HashBits; the oracle computes the identical function on position
+    * SETS (popcount of AND/OR == intersection/union of distinct hashed
+    * positions). */
+  private def d06Sql: String =
+    s"""WITH pairs AS ($minHashPairsSql),
+       |tk AS (SELECT doc_id, list_distinct($dToks) AS t FROM documents),
+       |pos AS (SELECT doc_id, list_distinct(list_transform(t, tok -> $hashPosSql)) AS ps FROM tk),
+       |j AS (SELECT p.a, p.b, len(list_intersect(pa.ps, pb.ps)) AS inter,
+       |             len(pa.ps) AS na, len(pb.ps) AS nb
+       |      FROM pairs p JOIN pos pa ON pa.doc_id = p.a JOIN pos pb ON pb.doc_id = p.b)
+       |SELECT a, b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= ${TextQueries.JaccardThreshold}""".stripMargin
+
   private def d08Sql: String =
     s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
        |g AS (SELECT doc_id,

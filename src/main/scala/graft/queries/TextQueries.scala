@@ -1344,6 +1344,40 @@ object TextQueries {
   /** d15 keep threshold on the DIRECTIONAL containment coefficient. */
   val ContainThreshold = 0.8
 
+  /** x07's leakage-UNAWARE hash split: md5 first hex digit → 12/2/2
+    * sixteenths train/val/test. String compares are engine-portable. */
+  private[graft] def splitCaseSql(md5fn: String): String =
+    s"""CASE WHEN substring($md5fn, 1, 1) <= 'b' THEN 'train'
+       |     WHEN substring($md5fn, 1, 1) <= 'd' THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  /** x07: split-leakage audit — how many VERIFIED near-duplicate pairs
+    * (the d06 banded candidates at Jaccard ≥ [[JaccardThreshold]])
+    * straddle a hash-assigned train/val/test split. Splitting by
+    * per-document hash is the common default and it leaks: near-dups of a
+    * test document sit in train, inflating eval (the reason t14 splits by
+    * CLUSTER key instead). This query is the audit that motivates t14 —
+    * the per-(split, split) pair counts with a cross_split flag; run it
+    * before shipping any hash-split release.
+    *
+    * Scale shape: d06's candidate-bounded pair set (never all pairs)
+    * joined twice against the narrow (doc_id, split) projection, then a
+    * 6-row partial-aggregated rollup — the audit costs one pass over the
+    * verified pairs. */
+  def x07SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val splits = documents(s, d)
+      .selectExpr("doc_id",
+        s"${splitCaseSql("md5(CAST(doc_id AS STRING))")} AS split")
+    d06BitsetJaccardExpr(s, d)
+      .join(splits.selectExpr("doc_id AS a", "split AS sa"), "a")
+      .join(splits.selectExpr("doc_id AS b", "split AS sb"), "b")
+      .selectExpr("least(sa, sb) AS split_lo", "greatest(sa, sb) AS split_hi")
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .selectExpr("split_lo", "split_hi", "n_pairs",
+        "split_lo != split_hi AS cross_split")
+  }
+
   /** d15: containment dedup — Broder's asymmetric coefficient
     * |A∩B|/|A| over the d03 LSH candidates. Union-normalized Jaccard
     * (d05/d06) misses near-SUPERSET duplication: a page that embeds a

@@ -341,6 +341,35 @@ object TimeSeriesQueries {
     * task is one window frame (3 rows of lag/lead), not the series — users
     * with millions of events stream through. Output is ~n/8 rows; nothing
     * is collected. */
+  /** ts08: OHLC resample bars — the metric-rollup primitive behind every
+    * monitoring dashboard and financial tick store: per (user, hour),
+    * open/high/low/close plus count and exact sum of the cent-scaled
+    * value. Open/close are argmin/argmax by event time realized as
+    * lexicographic struct min/max over (us, event_id, v) — (us, event_id)
+    * is a unique prefix so the payload never tie-breaks, and the DuckDB
+    * oracle mirrors the same struct min/max discipline. All longs; no
+    * window at all.
+    *
+    * Scale shape: a pure two-phase aggregate — partial min/max/sum/count
+    * per task, ONE exchange carrying ≤ |users × hours| pre-reduced rows,
+    * final merge. The canonical "roll 100 TB of raw ticks into bars"
+    * plan: no window partitions, no sort, constant state per group. */
+  def ts08OhlcBars(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS v")
+      .withColumn("hour", expr("us div 3600000000"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(
+        min(struct(col("us"), col("event_id").as("e"), col("v"))).as("fst"),
+        max(struct(col("us"), col("event_id").as("e"), col("v"))).as("lst"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        count(lit(1)).as("n_events"),
+        sum(col("v")).as("v_sum"))
+      .selectExpr("user_id", "hour", "fst.v AS open", "high", "low",
+        "lst.v AS close", "n_events", "v_sum")
+
   def ts07Downsample(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val u = Window.partitionBy(col("user_id"))

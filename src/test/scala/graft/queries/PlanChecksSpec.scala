@@ -735,6 +735,25 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p7.contains("Join"), "ts07 never joins")
   }
 
+  test("ts08/d15/x07: bars are pure two-phase aggregates; containment and leakage stay candidate-bounded") {
+    // ts08: partial-aggregated rollup, no window, one exchange
+    val p8 = plan(TimeSeriesQueries.ts08OhlcBars(spark, d))
+    assert(p8.contains("partial_"), "ts08 must map-side combine:\n" + p8.take(3000))
+    assert(!p8.contains("Window"), "ts08 is aggregation-only")
+    assert(shuffles(p8) == 1,
+      s"ts08 must shuffle exactly once (${shuffles(p8)}):\n" + p8.take(3000))
+    // d15: pairs come from the banded equi-join — no nested-loop/cartesian
+    val p15 = plan(TextQueries.d15Containment(spark, d))
+    assert(!p15.contains("CartesianProduct") && !p15.contains("BroadcastNestedLoop"),
+      "d15 must never plan an all-pairs join:\n" + p15.take(3000))
+    assert(p15.contains("bitset_contain"), "d15 must use the codegen'd kernel")
+    // x07: same candidate bound, and the report aggregate partial-aggregates
+    val p7 = plan(TextQueries.x07SplitLeakage(spark, d))
+    assert(!p7.contains("CartesianProduct") && !p7.contains("BroadcastNestedLoop"),
+      "x07 must never plan an all-pairs join:\n" + p7.take(3000))
+    assert(p7.contains("partial_"), "x07's rollup must map-side combine")
+  }
+
   test("s13: MMR picks are relevant-first, diverse, and pool-bounded") {
     // the candidate pool is cut by the TopKPerGroup operator (per-partition
     // heaps), not a corpus-wide window rank
