@@ -1730,15 +1730,27 @@ object SparkEntry {
          |            ELSE 'b_in_a' END AS relation
          |FROM c WHERE c_a_in_b >= $t OR c_b_in_a >= $t""".stripMargin
     },
+    // open/close are arg-min/arg-max of v by (us, event_id). The obvious
+    // struct-min/max spelling (min({'u','e','v'})) is quadratic-memory in
+    // DuckDB 1.0's grouped hash aggregate at 10M input rows (OOM-killed at
+    // the 100x replica); row_number windows over scalar payloads are
+    // sort-based and bounded — proven row-identical to the struct form at
+    // sf0.01/sf0.1/sf1 before the swap.
     "ts08_ohlc_bars" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
-        |             CAST(round(value * 100) AS BIGINT) AS v FROM events)
-        |SELECT user_id, us // 3600000000 AS hour,
-        |       struct_extract(min({'u': us, 'e': event_id, 'v': v}), 'v') AS open,
+        |             CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |r AS (SELECT user_id, us // 3600000000 AS hour, us, event_id, v,
+        |        row_number() OVER (PARTITION BY user_id, us // 3600000000
+        |                           ORDER BY us, event_id) AS rn_a,
+        |        row_number() OVER (PARTITION BY user_id, us // 3600000000
+        |                           ORDER BY us DESC, event_id DESC) AS rn_d
+        |      FROM e)
+        |SELECT user_id, hour,
+        |       max(CASE WHEN rn_a = 1 THEN v END) AS open,
         |       max(v) AS high, min(v) AS low,
-        |       struct_extract(max({'u': us, 'e': event_id, 'v': v}), 'v') AS close,
+        |       max(CASE WHEN rn_d = 1 THEN v END) AS close,
         |       count(*) AS n_events, CAST(sum(v) AS BIGINT) AS v_sum
-        |FROM e GROUP BY user_id, us // 3600000000""".stripMargin,
+        |FROM r GROUP BY user_id, hour""".stripMargin,
     "x07_split_leakage" ->
       s"""WITH dup AS ($d06Sql),
          |sp AS (SELECT doc_id,
