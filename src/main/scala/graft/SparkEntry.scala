@@ -139,6 +139,7 @@ object SparkEntry {
     "p04_dataset_card" -> (TextQueries.p04DatasetCard _),
     "s12_triplet_mining" -> (SimilarityQueries.s12TripletMining _),
     "w09_anomaly" -> (RelationalQueries.w09Anomaly _),
+    "w10_sliding_distinct" -> (RelationalQueries.w10SlidingDistinct _),
     "d15_containment" -> (TextQueries.d15Containment _),
     "ts08_ohlc_bars" -> (TimeSeriesQueries.ts08OhlcBars _),
     "x07_split_leakage" -> (TextQueries.x07SplitLeakage _),
@@ -1687,6 +1688,24 @@ object SparkEntry {
          |       $t2 * ($n * s2 - s1 * s1) AS bound
          |FROM w WHERE nw = $n
          |  AND ($n * v - s1) * ($n * v - s1) > $t2 * ($n * s2 - s1 * s1)""".stripMargin
+    },
+    // w10 oracle: the NAIVE window-join spelling (each (user, day) pair
+    // joins every window start it falls in) — deliberately different from
+    // the engine's delta decomposition, so the gate checks the rewrite.
+    "w10_sliding_distinct" -> {
+      val w = RelationalQueries.SlideWinDays
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         |b AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
+         |g AS (SELECT unnest(generate_series(mn, mx)) AS ws FROM b),
+         |u AS (SELECT DISTINCT user_id, day FROM e),
+         |nu AS (SELECT g.ws, count(DISTINCT u.user_id) AS n_users
+         |       FROM g JOIN u ON u.day >= g.ws AND u.day < g.ws + $w GROUP BY g.ws),
+         |ne AS (SELECT g.ws, count(*) AS n_events
+         |       FROM g JOIN e ON e.day >= g.ws AND e.day < g.ws + $w GROUP BY g.ws)
+         |SELECT g.ws AS window_start_day,
+         |       coalesce(nu.n_users, 0) AS n_users,
+         |       coalesce(ne.n_events, 0) AS n_events
+         |FROM g LEFT JOIN nu ON nu.ws = g.ws LEFT JOIN ne ON ne.ws = g.ws""".stripMargin
     },
     "ts07_downsample" -> {
       val w = TimeSeriesQueries.DownsampleBucket

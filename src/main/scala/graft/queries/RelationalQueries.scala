@@ -1130,4 +1130,70 @@ object RelationalQueries {
       .select(col("event_id"), col("user_id"), col("us"), col("v"),
         col("dev2"), col("bound"))
   }
+
+  /** w10 sliding-window length in days (slide = 1 day). */
+  val SlideWinDays = 7
+
+  /** w10: EXACT distinct users per sliding [[SlideWinDays]]-day window
+    * (1-day slide) — the "7-day active users" panel query, and the shape
+    * that usually gets approximated (HLL per window) because the naive
+    * plan re-scans every event [[SlideWinDays]] times and keeps a
+    * per-window distinct set. This is the exact-and-linear decomposition:
+    * a user is distinct-counted in the window starting at ws iff their
+    * FIRST active day ≥ ws falls inside it — so each (user, active-day,
+    * previous-active-day) triple contributes +1 to the contiguous run of
+    * window starts (max(day−W+1, prev+1), … , day] and −1 after it, and
+    * per-window distinct counts become a prefix sum of those deltas over
+    * the calendar spine. All doubles-free: counts and day indexes only.
+    *
+    * Scale shape: events are touched twice, both linearly — one
+    * (user, day) groupBy with map-side combine, one lag window hash-
+    * partitioned by user (per-task state = 1 row). Every relation after
+    * that is CALENDAR-sized: delta groupBys land on ≤ 2 rows per (user,
+    * day) pair but aggregate onto day keys, the spine join broadcasts
+    * day-grid aggregates, and the final running sum orders a relation with
+    * one row per day. The 1-row bounds frame rides a broadcast nested-loop
+    * join (w08's scalar-leg pattern). Compare: windowed COUNT(DISTINCT) at
+    * 100 TB either re-shuffles the corpus per window offset or holds a
+    * distinct set per open window; this holds a LONG per day. */
+  def w10SlidingDistinct(s: SparkSession, d: String): DataFrame = {
+    val W = SlideWinDays
+    val dayUs = 86400000000L
+    // (user, active-day) support: one linear shuffle with map-side combine
+    val pairs = events(s, d)
+      .selectExpr("user_id", s"unix_micros(ts) DIV $dayUs AS day")
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n_ev"))
+    val uw = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val gaps = pairs.withColumn("prev", lag(col("day"), 1).over(uw))
+    val bounds = pairs.agg(min("day").as("mn"), max("day").as("mx"))
+    // user deltas: +1 where the user ENTERS the window's distinct set,
+    // -1 one past their last qualifying start. lo clips to mn because the
+    // spine starts there (a +1 below mn would otherwise never be summed).
+    val userDeltas = gaps.join(broadcast(bounds))
+      .selectExpr(
+        s"greatest(greatest(day - ${W - 1}, coalesce(prev + 1, day - ${W - 1})), mn) AS lo",
+        "day + 1 AS hi1")
+      .selectExpr(s"explode(array(struct(lo AS ws, 1 AS du), struct(hi1 AS ws, -1 AS du))) AS x")
+      .selectExpr("x.ws AS ws", "CAST(x.du AS BIGINT) AS du")
+      .groupBy("ws").agg(sum("du").as("du"))
+    // event-count deltas: the day's event count enters at max(day-W+1, mn)
+    // and leaves at day+1 — same difference array, weighted.
+    val dayCounts = pairs.groupBy("day").agg(sum("n_ev").as("c"))
+    val eventDeltas = dayCounts.join(broadcast(bounds))
+      .selectExpr(s"greatest(day - ${W - 1}, mn) AS lo", "day + 1 AS hi1", "c")
+      .selectExpr("explode(array(struct(lo AS ws, c AS de), struct(hi1 AS ws, -c AS de))) AS x")
+      .selectExpr("x.ws AS ws", "x.de AS de")
+      .groupBy("ws").agg(sum("de").as("de"))
+    val spine = bounds.selectExpr("explode(sequence(mn, mx)) AS ws")
+    val pw = Window.orderBy(col("ws"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(broadcast(userDeltas), Seq("ws"), "left")
+      .join(broadcast(eventDeltas), Seq("ws"), "left")
+      .select(col("ws"), coalesce(col("du"), lit(0L)).as("du"),
+        coalesce(col("de"), lit(0L)).as("de"))
+      .select(col("ws").as("window_start_day"),
+        sum(col("du")).over(pw).as("n_users"),
+        sum(col("de")).over(pw).as("n_events"))
+  }
 }

@@ -754,6 +754,33 @@ class PlanChecksSpec extends SparkSpec {
     assert(p7.contains("partial_"), "x07's rollup must map-side combine")
   }
 
+  test("w10: sliding distinct is two linear passes + calendar-sized tail") {
+    val p = plan(RelationalQueries.w10SlidingDistinct(spark, d))
+    // events are never window-joined: the only joins are broadcasts of
+    // calendar-sized delta aggregates (plus the 1-row bounds leg)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "w10 joins must broadcast calendar-sized sides:\n" + p.take(3000))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "the (user, day) pass must map-side combine:\n" + p.take(3000))
+    // exactly one event-sized window (the per-user lag); the prefix-sum
+    // window runs over the day spine
+    assert(p.contains("lag("), "per-user lag window expected:\n" + p.take(3000))
+    // correctness of the decomposition vs a direct distinct count per
+    // window at sf0.001 (value-level spot check, all windows)
+    val got = RelationalQueries.w10SlidingDistinct(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    val W = RelationalQueries.SlideWinDays
+    val ev = graft.queries.Tables.events(spark, d)
+      .selectExpr("user_id", "unix_micros(ts) DIV 86400000000 AS day").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val days = ev.map(_._2)
+    val naive = (days.min to days.max).map { ws =>
+      val in = ev.filter(e => e._2 >= ws && e._2 < ws + W)
+      (ws, in.map(_._1).distinct.size.toLong, in.size.toLong)
+    }
+    assert(got == naive, s"delta decomposition must equal naive per-window recount")
+  }
+
   test("s13: MMR picks are relevant-first, diverse, and pool-bounded") {
     // the candidate pool is cut by the TopKPerGroup operator (per-partition
     // heaps), not a corpus-wide window rank
