@@ -140,6 +140,7 @@ object SparkEntry {
     "s12_triplet_mining" -> (SimilarityQueries.s12TripletMining _),
     "w09_anomaly" -> (RelationalQueries.w09Anomaly _),
     "w10_sliding_distinct" -> (RelationalQueries.w10SlidingDistinct _),
+    "t16_dsir_weights" -> (TextQueries.t16DsirWeights _),
     "d15_containment" -> (TextQueries.d15Containment _),
     "ts08_ohlc_bars" -> (TimeSeriesQueries.ts08OhlcBars _),
     "x07_split_leakage" -> (TextQueries.x07SplitLeakage _),
@@ -1706,6 +1707,28 @@ object SparkEntry {
          |       coalesce(nu.n_users, 0) AS n_users,
          |       coalesce(ne.n_events, 0) AS n_events
          |FROM g LEFT JOIN nu ON nu.ws = g.ws LEFT JOIN ne ON ne.ws = g.ws""".stripMargin
+    },
+    "t16_dsir_weights" -> {
+      val b = TextQueries.DsirBuckets
+      val tgt = TextQueries.DsirTargetLang
+      val sc = TextQueries.DsirScale
+      s"""WITH tk AS (SELECT doc_id, lang, $dToks AS t FROM documents),
+         |g0 AS (SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |       FROM tk WHERE len(t) >= 2),
+         |g AS (SELECT doc_id, lang, substring(md5(t[i] || ' ' || t[i + 1]), 1, 2) AS b
+         |      FROM g0),
+         |m AS (SELECT b, CAST(count(*) AS BIGINT) AS cs,
+         |        CAST(sum(CASE WHEN lang = '$tgt' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |      FROM g GROUP BY b),
+         |tt AS (SELECT CAST(sum(cs) AS BIGINT) AS s_total,
+         |         CAST(sum(ct) AS BIGINT) AS t_total FROM m),
+         |q AS (SELECT b, CAST(floor(CAST($sc AS DOUBLE) *
+         |        ((CAST(num AS DOUBLE) - CAST(den AS DOUBLE)) /
+         |         (CAST(num AS DOUBLE) + CAST(den AS DOUBLE)))) AS BIGINT) AS qb
+         |      FROM (SELECT b, (ct + 1) * (s_total + $b) AS num,
+         |              (cs + 1) * (t_total + $b) AS den FROM m, tt))
+         |SELECT doc_id, count(*) AS n_grams, CAST(sum(qb) AS BIGINT) AS dsir_score
+         |FROM g JOIN q USING (b) GROUP BY doc_id""".stripMargin
     },
     "ts07_downsample" -> {
       val w = TimeSeriesQueries.DownsampleBucket

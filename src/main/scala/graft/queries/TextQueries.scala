@@ -955,6 +955,61 @@ object TextQueries {
         min(col("cnt")).as("min_count"), max(col("cnt")).as("max_count"))
   }
 
+  val DsirTargetLang = "en"
+  /** t16: hashed-feature space size — buckets are the first two md5 hex
+    * digits of each token bigram, 256 cells (both engines share md5). */
+  val DsirBuckets = 256
+  /** t16: fixed-point scale of the per-bucket score (micro-units). */
+  val DsirScale = 1000000L
+
+  /** t16: DSIR-style data-selection weights (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much its hashed-n-gram profile looks like a
+    * target domain vs the raw corpus, the weighting step of importance
+    * resampling. Features are adjacent-token bigrams hashed to
+    * [[DsirBuckets]] md5 cells; the target/raw bucket models are
+    * add-one-smoothed unigram distributions over those cells, and the
+    * per-bucket evidence is the BOUNDED log-likelihood-ratio surrogate
+    * (λt−λs)/(λt+λs) = tanh(LLR/2)'s first-order form — monotone in the
+    * true per-bucket LLR and saturating at ±1, the same odds-ratio
+    * discipline b01 uses to dodge libm logs entirely. Cross-multiplying
+    * the smoothed ratios keeps everything integral: num = (ct+1)(S+B),
+    * den = (cs+1)(T+B); one correctly-rounded double division + an exact
+    * floor gives a per-bucket integer in micro-units ([[DsirScale]]), and
+    * a document's score is the INTEGER sum of its grams' bucket scores —
+    * order-independent, so Spark and the oracle agree bit-for-bit.
+    * Exactness bound: num/den stay < 2⁵³ while total grams < ~9·10⁷·√1;
+    * beyond that, fit the model on a fixed-size sample (the paper does).
+    *
+    * Scale shape: two linear passes over the gram stream (DSIR is
+    * inherently model-then-score). Pass 1 partial-aggregates onto ≤ 256
+    * bucket rows; the model and its 1-row totals are broadcast, so pass 2
+    * is a map-side BroadcastHashJoin followed by one doc-keyed partial
+    * aggregate. No vocabulary-sized shuffle, no windows, no collect. */
+  def t16DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val b = DsirBuckets
+    val grams = documents(s, d)
+      .selectExpr("doc_id", "lang", s"$toksExpr AS t")
+      .where(size(col("t")) >= 2)
+      .selectExpr("doc_id", "lang",
+        "explode(transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))) AS gram")
+      .selectExpr("doc_id", "lang", "substring(md5(CAST(gram AS BINARY)), 1, 2) AS b")
+    val model = grams.groupBy("b").agg(
+      count(lit(1)).as("cs"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
+    val totals = model.agg(sum("cs").as("s_total"), sum("ct").as("t_total"))
+    val bucketScores = model.join(broadcast(totals))
+      .selectExpr("b",
+        s"(ct + 1) * (s_total + $b) AS num",
+        s"(cs + 1) * (t_total + $b) AS den")
+      .selectExpr("b",
+        s"CAST(floor(CAST($DsirScale AS DOUBLE) * ((CAST(num AS DOUBLE) - CAST(den AS DOUBLE)) / (CAST(num AS DOUBLE) + CAST(den AS DOUBLE)))) AS BIGINT) AS qb")
+    grams
+      .join(broadcast(bucketScores), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("qb").as("dsir_score"))
+  }
+
   def t13RareBigrams(s: SparkSession, d: String): DataFrame = {
     val perDoc = normToks(s, d)
       .filter("size(toks) >= 2")

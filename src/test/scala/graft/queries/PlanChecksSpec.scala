@@ -754,6 +754,27 @@ class PlanChecksSpec extends SparkSpec {
     assert(p7.contains("partial_"), "x07's rollup must map-side combine")
   }
 
+  test("t16: DSIR scoring broadcasts the 256-cell model; target docs score higher") {
+    val df = TextQueries.t16DsirWeights(spark, d)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "gram->bucket-score join must broadcast the model:\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "no corpus-sized shuffle joins:\n" + p.take(3000))
+    assert(!p.contains("Window"), "DSIR is aggregation-only")
+    assert(p.contains("partial_"), "bucket and doc aggregates must map-side combine")
+    // the whole point: documents in the target domain (lang=en) must score
+    // higher on average than the rest of the corpus
+    val scored = df.join(
+      graft.queries.Tables.documents(spark, d).select("doc_id", "lang"), "doc_id")
+      .selectExpr("lang = 'en' AS tgt", "dsir_score").collect()
+    def mean(xs: Seq[Long]) = xs.sum.toDouble / xs.size
+    val en = scored.filter(_.getBoolean(0)).map(_.getLong(1)).toSeq
+    val rest = scored.filterNot(_.getBoolean(0)).map(_.getLong(1)).toSeq
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(mean(en) > mean(rest),
+      s"target-domain mean ${mean(en)} must exceed off-domain mean ${mean(rest)}")
+  }
+
   test("w10: sliding distinct is two linear passes + calendar-sized tail") {
     val p = plan(RelationalQueries.w10SlidingDistinct(spark, d))
     // events are never window-joined: the only joins are broadcasts of
