@@ -141,6 +141,7 @@ object SparkEntry {
     "w09_anomaly" -> (RelationalQueries.w09Anomaly _),
     "w10_sliding_distinct" -> (RelationalQueries.w10SlidingDistinct _),
     "t16_dsir_weights" -> (TextQueries.t16DsirWeights _),
+    "x08_pareto_skyline" -> (TextQueries.x08ParetoSkyline _),
     "d15_containment" -> (TextQueries.d15Containment _),
     "ts08_ohlc_bars" -> (TimeSeriesQueries.ts08OhlcBars _),
     "x07_split_leakage" -> (TextQueries.x07SplitLeakage _),
@@ -1730,6 +1731,27 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_grams, CAST(sum(qb) AS BIGINT) AS dsir_score
          |FROM g JOIN q USING (b) GROUP BY doc_id""".stripMargin
     },
+    // x08 oracle: the literal quadratic dominance anti-join — the engine's
+    // distributed two-pass BNL must return exactly this set.
+    "x08_pareto_skyline" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |g2 AS (SELECT doc_id, array_to_string(toks[pos:pos + 1], ' ') AS gram
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS pos FROM t)),
+         |c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+         |a2 AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS g2_max FROM c2 GROUP BY 1),
+         |m AS (SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(floor(1000000.0 * (CAST(len(list_distinct(toks)) AS DOUBLE) /
+         |                                CAST(len(toks) AS DOUBLE))) AS BIGINT) AS ttr_fp,
+         |        a2.g2_max
+         |      FROM t JOIN a2 ON a2.doc_id = t.doc_id)
+         |SELECT doc_id, n_tokens, ttr_fp, g2_max FROM m a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM m x
+         |  WHERE x.n_tokens >= a.n_tokens AND x.ttr_fp >= a.ttr_fp
+         |    AND x.g2_max <= a.g2_max
+         |    AND (x.n_tokens > a.n_tokens OR x.ttr_fp > a.ttr_fp
+         |         OR x.g2_max < a.g2_max))""".stripMargin,
     "ts07_downsample" -> {
       val w = TimeSeriesQueries.DownsampleBucket
       s"""WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us,

@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   * skew. MinHash banding turns O(n^2) near-dup search into an equi-join on
   * band keys: the canonical 100 TB dedup plan.
   */
+/** x08's dominance-space point: all-integer doc quality metrics (top-level
+  * so the Dataset encoder derives without a session import at use sites). */
+final case class SkyPoint(doc_id: Long, n_tokens: Long, ttr_fp: Long, g2_max: Long)
+
 object TextQueries {
   import Tables._
 
@@ -1431,6 +1435,77 @@ object TextQueries {
       .agg(count(lit(1)).as("n_pairs"))
       .selectExpr("split_lo", "split_hi", "n_pairs",
         "split_lo != split_hi AS cross_split")
+  }
+
+  /** x08 dominance: a ≥ b on every goal (longer, higher type-token ratio,
+    * LESS bigram repetition) and strictly better on at least one. */
+  private def skyDominates(a: SkyPoint, b: SkyPoint): Boolean =
+    a.n_tokens >= b.n_tokens && a.ttr_fp >= b.ttr_fp && a.g2_max <= b.g2_max &&
+      (a.n_tokens > b.n_tokens || a.ttr_fp > b.ttr_fp || a.g2_max < b.g2_max)
+
+  /** One block-nested-loop skyline pass. Points are sorted best-first
+    * (n_tokens DESC, ttr_fp DESC, g2_max ASC), under which a later point
+    * can never dominate an earlier kept one — so the pass is
+    * insertion-only: keep p iff no kept q dominates it. Worst case
+    * O(n·|skyline|) comparisons, O(|skyline|) memory. */
+  private def skylinePass(it: Iterator[SkyPoint]): Iterator[SkyPoint] = {
+    val pts = it.toArray
+    java.util.Arrays.sort(pts, (a: SkyPoint, b: SkyPoint) => {
+      val c1 = java.lang.Long.compare(b.n_tokens, a.n_tokens)
+      if (c1 != 0) c1 else {
+        val c2 = java.lang.Long.compare(b.ttr_fp, a.ttr_fp)
+        if (c2 != 0) c2 else java.lang.Long.compare(a.g2_max, b.g2_max)
+      }
+    })
+    val kept = scala.collection.mutable.ArrayBuffer.empty[SkyPoint]
+    pts.foreach { p => if (!kept.exists(q => skyDominates(q, p))) kept += p }
+    kept.iterator
+  }
+
+  /** x08: PARETO SKYLINE selection (Börzsönyi, Kossmann, Stocker, "The
+    * Skyline Operator", ICDE 2001) — the multi-criteria data-curation cut:
+    * keep every document NOT dominated on all of (token count ↑,
+    * type-token ratio ↑, max-bigram-repetition ↓) at once. Unlike a
+    * weighted score (x04's curriculum) or per-axis quotas (d14), the
+    * skyline needs no weights and returns exactly the trade-off frontier.
+    * All three dims are integers (ttr as exact ⌊10⁶·nd/nt⌋ fixed point),
+    * so dominance is long comparisons and the oracle (the literal
+    * NOT EXISTS dominance anti-join) hash-matches bit-for-bit. The
+    * skyline SET is partition-independent, so the result is deterministic
+    * under any parallelism.
+    *
+    * Scale shape: skyline distributes because it is idempotent and
+    * distributive — skyline(∪ᵢ Pᵢ) = skyline(∪ᵢ skyline(Pᵢ)). Metrics are
+    * one linear tokenize + the t08-shaped per-doc bigram aggregate (all
+    * partial-agged); each task then runs an insertion-only BNL pass over
+    * ITS partition (sorted best-first, memory = its local frontier) and
+    * only local frontiers — vanishingly small vs n for correlated
+    * quality dims — cross the single repartition(1) exchange for the
+    * final pass. The quadratic NOT EXISTS never touches the cluster;
+    * mapPartitions is used exactly where the brief reserves it: genuine
+    * per-partition imperative logic with no relational equivalent. */
+  def x08ParetoSkyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = documents(s, d).selectExpr("doc_id", s"$toksExpr AS toks")
+    val g2max = tok
+      .selectExpr("doc_id",
+        "explode(sequence(1, greatest(size(toks) - 1, 1))) AS pos", "toks")
+      .selectExpr("doc_id", "array_join(slice(toks, pos, 2), ' ') AS gram")
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("g2_max"))
+    val metrics = tok
+      .selectExpr("doc_id",
+        "CAST(size(toks) AS BIGINT) AS nt",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS nd")
+      .join(g2max, "doc_id")
+      .selectExpr("doc_id", "nt AS n_tokens",
+        "CAST(floor(1000000.0D * (CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE))) AS BIGINT) AS ttr_fp",
+        "g2_max")
+    metrics.as[SkyPoint]
+      .mapPartitions(skylinePass)
+      .repartition(1)
+      .mapPartitions(skylinePass)
+      .toDF()
   }
 
   /** d15: containment dedup — Broder's asymmetric coefficient

@@ -775,6 +775,40 @@ class PlanChecksSpec extends SparkSpec {
       s"target-domain mean ${mean(en)} must exceed off-domain mean ${mean(rest)}")
   }
 
+  test("x08: skyline is exactly the non-dominated set, merged from local frontiers") {
+    val sky = TextQueries.x08ParetoSkyline(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // recompute the metric space naively from the t08-shaped SQL the
+    // oracle uses, then check both skyline directions
+    val m = graft.queries.Tables.documents(spark, d)
+      .selectExpr("doc_id", "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ') AS toks")
+      .selectExpr("doc_id",
+        "CAST(size(toks) AS BIGINT) AS nt",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS nd",
+        "explode(sequence(1, greatest(size(toks) - 1, 1))) AS pos", "toks")
+      .selectExpr("doc_id", "nt", "nd", "array_join(slice(toks, pos, 2), ' ') AS gram")
+      .groupBy("doc_id", "nt", "nd", "gram").count()
+      .groupBy("doc_id", "nt", "nd").agg(org.apache.spark.sql.functions.max("count").as("g2"))
+      .selectExpr("doc_id", "nt",
+        "CAST(floor(1000000.0D * (CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE))) AS BIGINT) AS ttr",
+        "g2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def dom(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)) =
+      a._2 >= b._2 && a._3 >= b._3 && a._4 <= b._4 &&
+        (a._2 > b._2 || a._3 > b._3 || a._4 < b._4)
+    val skySet = sky.map(_._1).toSet
+    assert(sky.nonEmpty && sky.length < m.length, "frontier must be a strict subset")
+    sky.foreach(p => assert(!m.exists(q => dom(q, p)), s"kept point $p is dominated"))
+    m.filterNot(p => skySet(p._1))
+      .foreach(p => assert(m.exists(q => dom(q, p)), s"dropped point $p is non-dominated"))
+    // plan: the quadratic test never reaches the cluster - no joins beyond
+    // the metric build, one repartition(1) exchange for the merge pass
+    val p = plan(TextQueries.x08ParetoSkyline(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "no all-pairs dominance join:\n" + p.take(3000))
+    assert(p.contains("partial_"), "metric aggregates must map-side combine")
+  }
+
   test("w10: sliding distinct is two linear passes + calendar-sized tail") {
     val p = plan(RelationalQueries.w10SlidingDistinct(spark, d))
     // events are never window-joined: the only joins are broadcasts of
