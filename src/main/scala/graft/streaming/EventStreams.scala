@@ -449,6 +449,67 @@ object EventStreams {
       }
   }
 
+  final case class SlideState(days: List[Long]) // user's active days, ascending
+  final case class SlideDelta(ws: Long, du: Long, de: Long)
+
+  /** Streaming twin of the batch w10 SLIDING-DISTINCT decomposition: emits
+    * the same ±1 difference-array rows the batch query prefix-sums — the
+    * stream you would feed a serving store that keeps one atomic counter
+    * per window start. `du` deltas maintain the distinct-user counts, `de`
+    * the raw event counts: n_users(ws) = Σ_{t ≤ ws} du(t) over everything
+    * emitted so far, and the invariant holds after EVERY micro-batch, not
+    * just at the end — each insertion of a new (user, day) retracts and
+    * re-emits exactly the intervals whose bounds it changes (its own entry
+    * run, and the next active day's lower bound, whose previous-day
+    * changes from p to d). Out-of-order days are therefore exact, not
+    * approximated. Deltas are unclipped (no global min-day in a stream);
+    * the batch comparison clips at summation time.
+    *
+    * State per user is the ACTIVE-DAY list — bounded by the calendar
+    * horizon (days, not events: a million events on one day is one state
+    * entry), the streaming analogue of the batch claim that everything
+    * after the two linear passes is calendar-sized. */
+  def slidingDistinctDeltas(spark: SparkSession, events: DataFrame,
+                            winDays: Int = graft.queries.RelationalQueries.SlideWinDays)
+      : Dataset[SlideDelta] = {
+    import spark.implicits._
+    val W = winDays.toLong
+    val floor = Long.MinValue / 4 // "no previous day" sentinel, below any lo
+    events.selectExpr("user_id", "unix_micros(ts) DIV 86400000000 AS day")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long)], state: GroupState[SlideState]) =>
+          var days = state.getOption.map(_.days.toVector).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[SlideDelta]
+          rows.map(_._2).toVector.sorted.foreach { d =>
+            out += SlideDelta(d - W + 1, 0L, 1L) // raw count enters …
+            out += SlideDelta(d + 1, 0L, -1L)    // … and leaves, stateless
+            if (!days.contains(d)) {
+              val idx = days.indexWhere(_ > d)
+              val p = if (idx == 0) floor
+                      else if (idx == -1) days.lastOption.getOrElse(floor)
+                      else days(idx - 1)
+              val lo = math.max(d - W + 1, p + 1)
+              out += SlideDelta(lo, 1L, 0L)
+              out += SlideDelta(d + 1, -1L, 0L)
+              if (idx != -1) { // next active day's prev changes p -> d
+                val nx = days(idx)
+                val oldLo = math.max(nx - W + 1, p + 1)
+                val newLo = math.max(nx - W + 1, d + 1)
+                if (newLo > oldLo) {
+                  out += SlideDelta(oldLo, -1L, 0L)
+                  out += SlideDelta(newLo, 1L, 0L)
+                }
+              }
+              days = if (idx == -1) days :+ d else days.patch(idx, Seq(d), 0)
+            }
+          }
+          state.update(SlideState(days.toList))
+          out.result().iterator
+      }
+  }
+
   final case class QuotaState(items: List[(Long, Long)]) // (n_distinct desc, doc_id asc)
   final case class QuotaUpdate(source: String, doc_ids: Seq[Long], n_distincts: Seq[Long])
 

@@ -178,6 +178,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("sliding-distinct twin: accumulated deltas equal batch w10 across an OUT-OF-ORDER split") {
+    import spark.implicits._
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    // split by event_id PARITY, not time: the second batch inserts days
+    // BETWEEN days already in state, forcing the neighbor-retraction path
+    val src = Files.createTempDirectory("graft-slide-src").toString
+    events.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+    events.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = EventStreams.slidingDistinctDeltas(spark, stream).writeStream
+      .format("memory").queryName("slide")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val deltas = spark.sql("SELECT ws, du, de FROM slide")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = graft.queries.RelationalQueries
+      .w10SlidingDistinct(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    // prefix-sum the delta stream on the batch spine (clip at summation)
+    val got = batch.map(_._1).map { ws =>
+      (ws,
+        deltas.filter(_._1 <= ws).map(_._2).sum,
+        deltas.filter(_._1 <= ws).map(_._3).sum)
+    }
+    assert(got == batch && batch.nonEmpty,
+      s"accumulated deltas must replay the batch windows")
+  }
+
   test("trailing RANGE twin: equal-timestamp peers all share the full peer frame") {
     // RANGE frames include ALL equal-timestamp peers for every peer row —
     // the first of two same-microsecond events must emit n/sum that
