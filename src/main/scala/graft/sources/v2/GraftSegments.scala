@@ -180,13 +180,34 @@ final class SegmentsTable(conf: GraftSegments.SourceConf) extends Table
 
 final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
 
   private var required: StructType = GraftSegments.fullSchema
   private var pruning: Array[Filter] = Array.empty
   private var pushedAgg: Option[SegmentsAggScan.AggSpec] = None
   private var limitOpt: Option[Int] = None
   private var topNReversed: Boolean = false
+  private var offsetOpt: Option[Int] = None
+
+  /** OFFSET pushdown (r7): `LIMIT l OFFSET o` pages through the tiered log
+    * without refetching earlier pages — segments whose manifest
+    * `RecordStats` counts fall entirely below the offset are never
+    * planned, and the in-segment remainder rides the first planned
+    * partition as a row skip. Unlike limit/topN, Spark has no partial
+    * mode for offset: accepting means the scan must skip EXACTLY o rows,
+    * so acceptance is gated on (a) the same append-ordered single-
+    * partition `prefix` contract topN uses (the skip must be a
+    * deterministic key-ordered prefix), (b) ascending order (a DESC topN
+    * already reversed the walk), and (c) a validating driver walk: every
+    * manifest in the skip range must carry stats — one stats-less segment
+    * and we refuse, leaving Spark's own Offset operator in place. */
+  override def pushOffset(offset: Int): Boolean = {
+    val ok = conf.prefix.nonEmpty && !topNReversed &&
+      SegmentsScan.offsetCoveredByStats(conf, pruning, offset)
+    if (ok) offsetOpt = Some(offset)
+    ok
+  }
 
   /** LIMIT pushdown (r7): `LIMIT n` plans only enough segments to cover n
     * rows — manifest `RecordStats` counts are walked in sorted-key order
@@ -223,7 +244,11 @@ final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
       (orders(0).expression() match {
         case nr: NamedReference => nr.fieldNames.toSeq == Seq("kafka", "offset")
         case _                  => false
-      })
+      }) &&
+      // an accepted OFFSET is an ascending-prefix promise — refuse a DESC
+      // topN after it rather than skip from the wrong end
+      !(offsetOpt.isDefined &&
+        orders(0).direction() == SortDirection.DESCENDING)
     if (sortable) {
       limitOpt = Some(limit)
       topNReversed = orders(0).direction() == SortDirection.DESCENDING
@@ -272,11 +297,11 @@ final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
 
   override def build(): Scan = pushedAgg match {
     case Some(spec) => new SegmentsAggScan(conf, pruning, spec)
-    case None => new SegmentsScan(conf, required, pruning, limitOpt, topNReversed)
+    case None => new SegmentsScan(conf, required, pruning, limitOpt, topNReversed, offsetOpt)
   }
 }
 
-final case class SegmentPartition(segKey: String) extends InputPartition
+final case class SegmentPartition(segKey: String, skipRows: Long = 0L) extends InputPartition
 
 object SegmentsScan {
   /** Test observability: partition count of the most recent planning pass
@@ -303,12 +328,39 @@ object SegmentsScan {
       .sorted
       .toArray
   }
+
+  /** Per-key manifest `RecordStats` count, if the manifest parses and
+    * carries stats (reference-written manifests may not). */
+  private[v2] def statsCount(conf: GraftSegments.SourceConf, key: String): Option[Long] = {
+    val manifestSuffix = "." + graft.sources.ObjectKey.Suffix.Manifest.value
+    try graft.core.SegmentManifest.fromJson(new String(
+      conf.storage.fetchBytes(s"$key$manifestSuffix"), "UTF-8")).recordStats.map(_.count)
+    catch { case _: Exception => None }
+  }
+
+  /** pushOffset's validating walk: true iff sorted-key manifests carry
+    * stats all the way past `offset` rows (so an exact skip is plannable).
+    * Small manifest GETs only, and only up to the skip boundary. */
+  private[v2] def offsetCoveredByStats(conf: GraftSegments.SourceConf,
+                                       filters: Array[Filter], offset: Int): Boolean = {
+    conf.ensureBackend()
+    val it = listSegments(conf, filters).iterator
+    var covered = 0L
+    while (it.hasNext && covered < offset) {
+      statsCount(conf, it.next()) match {
+        case Some(c) => covered += c
+        case None    => return false
+      }
+    }
+    covered >= offset || !it.hasNext // an offset past the store is fine: skip = everything
+  }
 }
 
 final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
                          pruning: Array[Filter],
                          limitOpt: Option[Int] = None,
-                         limitFromEnd: Boolean = false) extends Scan with Batch
+                         limitFromEnd: Boolean = false,
+                         offsetOpt: Option[Int] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -367,27 +419,55 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
     * Spark's own limit still applies on top). */
   override def planInputPartitions(): Array[InputPartition] = {
     val keys = SegmentsScan.listSegments(conf, pruning ++ runtimeFilters)
+    conf.ensureBackend()
+    // Pushed OFFSET (r7): drop whole segments below the skip boundary,
+    // carry the remainder into the first planned partition as a row skip.
+    // pushOffset's validating walk already proved stats cover the range;
+    // the skip is exact or the query would not have dropped its Offset.
+    val offset = offsetOpt.map(_.toLong).getOrElse(0L)
+    var skipped = 0L
+    var firstSkip = 0L
+    val afterOffset =
+      if (offset == 0L) keys
+      else {
+        val it = keys.iterator
+        val kept = Array.newBuilder[String]
+        var boundary = false
+        while (it.hasNext) {
+          val k = it.next()
+          if (boundary) kept += k
+          else {
+            val c = SegmentsScan.statsCount(conf, k).getOrElse(
+              throw new IllegalStateException(
+                s"offset pushdown planned over stats-less manifest $k"))
+            if (skipped + c <= offset) skipped += c
+            else { boundary = true; firstSkip = offset - skipped; kept += k }
+          }
+        }
+        kept.result()
+      }
     val chosen = limitOpt match {
       case Some(n) =>
-        val storage = { conf.ensureBackend(); conf.storage }
-        val manifestSuffix = "." + graft.sources.ObjectKey.Suffix.Manifest.value
         val picked = Array.newBuilder[String]
+        // a pushed limit may or may not already include the offset rows
+        // (Spark combines them plan-shape-dependently) — covering
+        // offset + n from the boundary over-plans at worst, never under
         var covered = 0L
+        val target = n.toLong + offset
         var satisfied = false
         // TopN DESC walks from the high-offset end of the sorted keys
-        val it = (if (limitFromEnd) keys.reverseIterator else keys.iterator)
+        val it = (if (limitFromEnd) afterOffset.reverseIterator else afterOffset.iterator)
         while (it.hasNext && !satisfied) {
           val k = it.next(); picked += k
-          val count: Option[Long] =
-            try graft.core.SegmentManifest.fromJson(new String(
-              storage.fetchBytes(s"$k$manifestSuffix"), "UTF-8")).recordStats.map(_.count)
-            catch { case _: Exception => None }
-          count.foreach { c => covered += c; satisfied = covered >= n }
+          SegmentsScan.statsCount(conf, k)
+            .foreach { c => covered += c; satisfied = covered >= target }
         }
         picked.result()
-      case None => keys
+      case None => afterOffset
     }
-    val parts = chosen.map(SegmentPartition(_): InputPartition)
+    val parts = chosen.zipWithIndex.map { case (k, i) =>
+      SegmentPartition(k, if (i == 0 && !limitFromEnd) firstSkip else 0L): InputPartition
+    }
     SegmentsScan.lastPlannedPartitions = parts.length
     parts
   }
@@ -423,7 +503,8 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
     val pr = if (pruning.isEmpty) "" else pruning.mkString(" prunedBy=[", ", ", "]")
     val lm = limitOpt.map(n =>
       if (limitFromEnd) s" topN=$n(from-end)" else s" limit=$n").getOrElse("")
-    s"graft-segments root=${conf.root} prefix='${conf.prefix}'$pr$lm"
+    val off = offsetOpt.map(o => s" offset=$o").getOrElse("")
+    s"graft-segments root=${conf.root} prefix='${conf.prefix}'$pr$lm$off"
   }
 }
 
@@ -552,13 +633,19 @@ final class SegmentsMicroBatchStream(scan: SegmentsScan)
 
 final class SegmentsReaderFactory(conf: GraftSegments.SourceConf, required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new SegmentsReader(conf, required, partition.asInstanceOf[SegmentPartition].segKey)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SegmentPartition]
+    new SegmentsReader(conf, required, p.segKey, p.skipRows)
+  }
 }
 
 /** Executor-side: detransform one segment, parse the Kafka wire, emit only
-  * the required (possibly nested-pruned) fields. */
-final class SegmentsReader(conf: GraftSegments.SourceConf, required: StructType, segKey: String)
+  * the required (possibly nested-pruned) fields. `skipRows` > 0 carries a
+  * pushed OFFSET's in-segment remainder: the wire is parsed (records are
+  * length-prefixed, there is no index into the middle of a batch) but the
+  * first `skipRows` rows are dropped before any Catalyst conversion. */
+final class SegmentsReader(conf: GraftSegments.SourceConf, required: StructType, segKey: String,
+                           skipRows: Long = 0L)
     extends PartitionReader[InternalRow] {
 
   private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
@@ -574,7 +661,9 @@ final class SegmentsReader(conf: GraftSegments.SourceConf, required: StructType,
       else
         SegmentFetchJob.fetchRange(conf.jobConfig, segKey, BytesRange(0L, Long.MaxValue - 1L))
     KafkaWireCodec.parseSegment(bytes).iterator.flatMap { b =>
-      b.records.iterator.map { r =>
+      b.records.iterator.map(r => (b, r))
+    }.drop(if (skipRows > Int.MaxValue) Int.MaxValue else skipRows.toInt)
+      .map { case (b, r) =>
         val full = RowSchema.recordRow(b, r, 0)
         val vals = required.fields.map { f =>
           f.name match {
@@ -594,7 +683,6 @@ final class SegmentsReader(conf: GraftSegments.SourceConf, required: StructType,
         }
         toCatalyst(Row.fromSeq(vals.toSeq)).asInstanceOf[InternalRow]
       }
-    }
   }
 
   private var current: InternalRow = _

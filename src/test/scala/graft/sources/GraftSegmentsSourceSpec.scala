@@ -129,6 +129,38 @@ class GraftSegmentsSourceSpec extends SparkSpec {
       "unscoped topN must keep the full listing")
   }
 
+  test("offset pushdown: OFFSET skips whole segments + an exact in-segment remainder (r7)") {
+    val (store, cfg, keys) = setup()
+    val pfx = keys.head.take(3)
+    // page 12..16: segment 0 (10 rows) is never planned; the skip's
+    // remainder (2 rows) rides segment 1's reader
+    graft.sources.v2.SegmentsScan.lastPlannedPartitions = -1
+    val page = reader(store, cfg).option("prefix", pfx).load()
+      .orderBy(col("kafka.offset")).offset(12).limit(5)
+      .select("kafka.offset").collect().map(_.getLong(0))
+    assert(page.toSeq == Seq(12L, 13L, 14L, 15L, 16L))
+    assert(graft.sources.v2.SegmentsScan.lastPlannedPartitions < 3,
+      s"offset 12 must drop segment 0 from the plan, planned ${graft.sources.v2.SegmentsScan.lastPlannedPartitions}")
+    // offset alone, unordered: exactly 5 rows survive and only the last
+    // segment is planned (25 skipped = 2 whole segments + 5 rows)
+    graft.sources.v2.SegmentsScan.lastPlannedPartitions = -1
+    val tail = reader(store, cfg).option("prefix", pfx).load().offset(25)
+    assert(tail.count() == 5)
+    assert(graft.sources.v2.SegmentsScan.lastPlannedPartitions == 1,
+      s"offset 25 must plan only the last segment, planned ${graft.sources.v2.SegmentsScan.lastPlannedPartitions}")
+    // offset past the store: empty result, nothing planned
+    assert(reader(store, cfg).option("prefix", pfx).load().offset(30).count() == 0)
+    // WITHOUT the prefix scope the append-order contract does not hold:
+    // pushOffset refuses, Spark's own Offset applies, answer stays exact
+    graft.sources.v2.SegmentsScan.lastPlannedPartitions = -1
+    val unscoped = reader(store, cfg).load()
+      .orderBy(col("kafka.offset")).offset(12).limit(5)
+      .select("kafka.offset").collect().map(_.getLong(0))
+    assert(unscoped.toSeq == Seq(12L, 13L, 14L, 15L, 16L))
+    assert(graft.sources.v2.SegmentsScan.lastPlannedPartitions == 3,
+      "unscoped offset must keep the full listing")
+  }
+
   test("runtime filtering: a broadcast join on segment_key prunes partitions at RUN time (r6)") {
     import spark.implicits._
     val (store, cfg, keys) = setup()
