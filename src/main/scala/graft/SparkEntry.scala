@@ -142,6 +142,7 @@ object SparkEntry {
     "w10_sliding_distinct" -> (RelationalQueries.w10SlidingDistinct _),
     "t16_dsir_weights" -> (TextQueries.t16DsirWeights _),
     "x08_pareto_skyline" -> (TextQueries.x08ParetoSkyline _),
+    "g03_kcore" -> (TextQueries.g03KCore _),
     "d15_containment" -> (TextQueries.d15Containment _),
     "ts08_ohlc_bars" -> (TimeSeriesQueries.ts08OhlcBars _),
     "x07_split_leakage" -> (TextQueries.x07SplitLeakage _),
@@ -1758,6 +1759,30 @@ object SparkEntry {
          |                 OR x.g2_max < a.g2_max)))
          |SELECT m.doc_id, m.n_tokens, m.ttr_fp, m.g2_max
          |FROM m JOIN sky USING (n_tokens, ttr_fp, g2_max)""".stripMargin,
+    // g03 oracle: the peeling recurrence unrolled CoreMaxRounds times
+    // (aggregation inside recursive CTEs is not expressible; the engine
+    // REQUIRES its fixpoint lands within the same bound, so a_R is the
+    // core). MATERIALIZED pins every multiply-referenced CTE — the s11
+    // exponential-inlining lesson.
+    "g03_kcore" -> {
+      val k = TextQueries.CoreK
+      val rounds = (1 to TextQueries.CoreMaxRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT e.x AS doc_id, count(*) AS dg FROM e
+           |  JOIN a${i - 1} ax ON ax.doc_id = e.x
+           |  JOIN a${i - 1} ay ON ay.doc_id = e.y GROUP BY e.x),
+           |a$i AS MATERIALIZED (SELECT doc_id FROM d$i WHERE dg >= $k)""".stripMargin
+      }.mkString(",\n")
+      val last = s"a${TextQueries.CoreMaxRounds}"
+      s"""WITH sig AS MATERIALIZED ($minHashSigSql),
+         |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b FROM sig a JOIN sig b
+         |     ON a.band0 = b.band0 AND a.band1 = b.band1 AND a.doc_id < b.doc_id),
+         |e AS MATERIALIZED (SELECT a AS x, b AS y FROM p UNION ALL SELECT b, a FROM p),
+         |a0 AS MATERIALIZED (SELECT DISTINCT x AS doc_id FROM e),
+         |$rounds
+         |SELECT e.x AS doc_id, CAST(count(*) AS BIGINT) AS core_degree FROM e
+         |  JOIN $last ax ON ax.doc_id = e.x
+         |  JOIN $last ay ON ay.doc_id = e.y GROUP BY e.x""".stripMargin
+    },
     "ts07_downsample" -> {
       val w = TimeSeriesQueries.DownsampleBucket
       s"""WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us,

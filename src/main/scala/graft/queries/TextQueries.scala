@@ -558,6 +558,66 @@ object TextQueries {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** g03: the k of the k-core cut — 2 keeps exactly the nodes on
+    * CYCLES of the template graph (families, not pendant chains); the
+    * full-signature graph is too sparse for a 3-core below sf1. */
+  val CoreK = 2
+  /** g03: the oracle unrolls this many peeling rounds — the engine
+    * iterates to the exact fixpoint and REQUIRES it lands within this
+    * bound, so both sides provably compute the same set. */
+  val CoreMaxRounds = 10
+
+  /** g03: K-CORE DECOMPOSITION over the g02 template-family graph — the
+    * maximal subgraph where every node keeps ≥ [[CoreK]] neighbors
+    * (Seidman 1983, "Network structure and minimum degree"): the third
+    * classic graph cut after components (d07) and triangles (g02). On a
+    * dedup graph the k-core isolates the DENSE template families (mirror
+    * farms, boilerplate clusters — candidates for aggressive removal)
+    * from incidental near-dup chains that components lump together and
+    * per-edge scores cannot separate. Output: core members with their
+    * in-core degree. Exact, integer-only; the fixpoint set is unique
+    * (peeling order never matters), so the result is deterministic under
+    * any partitioning.
+    *
+    * Scale shape: edges are g02's FULL-SIGNATURE band join (est. J ≈ 1 —
+    * measured near-linear in docs at the 10× replica, the whole reason
+    * g02 introduced it). Each peeling round is one degree aggregate over
+    * alive-filtered edges (two semi-join-shaped broadcast-or-shuffle hash
+    * joins + a partial-agged groupBy) and rounds are bounded by the
+    * graph's degeneracy ordering depth — [[CoreMaxRounds]] enforced, in
+    * the d07 spirit of guarded iteration. Driver sees only per-round
+    * COUNTS; alive sets live in `localCheckpoint`ed executors. */
+  def g03KCore(s: SparkSession, d: String): DataFrame = {
+    val sig = d02MinHashSig(s, d).select(col("doc_id"), col("band0"), col("band1"))
+      .localCheckpoint(true)
+    val pairs = sig.toDF("a", "band0", "band1")
+      .join(sig.toDF("b", "band0", "band1"), Seq("band0", "band1"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val edges = pairs.selectExpr("a AS x", "b AS y")
+      .union(pairs.selectExpr("b AS x", "a AS y")).localCheckpoint(true)
+    def coreDegrees(alive: DataFrame): DataFrame = edges
+      .join(alive.selectExpr("doc_id AS x"), "x")
+      .join(alive.selectExpr("doc_id AS y"), "y")
+      .groupBy(col("x").as("doc_id")).agg(count(lit(1)).as("core_degree"))
+    var alive = edges.select(col("x").as("doc_id")).distinct().localCheckpoint(true)
+    var n = alive.count()
+    var rounds = 0
+    var converged = n == 0L
+    while (!converged) {
+      rounds += 1
+      require(rounds <= CoreMaxRounds,
+        s"k-core peeling exceeded $CoreMaxRounds rounds — raise CoreMaxRounds " +
+          "and the oracle's unroll depth together")
+      val next = coreDegrees(alive).filter(col("core_degree") >= CoreK)
+        .select("doc_id").localCheckpoint(true)
+      val m = next.count()
+      converged = m == n // next ⊆ alive, so count equality is set equality
+      alive = next; n = m
+    }
+    coreDegrees(alive)
+  }
+
   /** Minimum block count for d05's exact all-pairs join. */
   val JaccardBlocks = 8
 

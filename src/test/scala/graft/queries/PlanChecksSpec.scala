@@ -809,6 +809,34 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("partial_"), "metric aggregates must map-side combine")
   }
 
+  test("g03: k-core equals iterate-to-fixpoint peeling on the same edges") {
+    // value-level: recompute the 2-core naively (driver-side peeling over
+    // the collected full-signature edge set) and compare exactly.
+    // sf0.01 — sf0.001's template graph has no cycles (g02's degenerate
+    // scale) and an empty core checks nothing.
+    val dd = "/root/testdata/sf0.01"
+    val got = TextQueries.g03KCore(spark, dd)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sig = TextQueries.d02MinHashSig(spark, dd)
+      .select("doc_id", "band0", "band1").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+    val pairs = for {
+      (a, sa) <- sig; (b, sb) <- sig if a < b && sa == sb
+    } yield (a, b)
+    var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val alive = deg.filter(_._2 >= TextQueries.CoreK).keySet
+      val next = edges.filter(e => alive(e._1) && alive(e._2))
+      changed = next != edges
+      edges = next
+    }
+    val naive = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    assert(got == naive && got.nonEmpty, s"core mismatch: got ${got.size}, naive ${naive.size}")
+    got.values.foreach(d => assert(d >= TextQueries.CoreK))
+  }
+
   test("w10: sliding distinct is two linear passes + calendar-sized tail") {
     val p = plan(RelationalQueries.w10SlidingDistinct(spark, d))
     // events are never window-joined: the only joins are broadcasts of
