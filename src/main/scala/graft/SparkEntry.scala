@@ -143,6 +143,7 @@ object SparkEntry {
     "t16_dsir_weights" -> (TextQueries.t16DsirWeights _),
     "x08_pareto_skyline" -> (TextQueries.x08ParetoSkyline _),
     "g03_kcore" -> (TextQueries.g03KCore _),
+    "ts09_ewma_smooth" -> (TimeSeriesQueries.ts09EwmaSmooth _),
     "d15_containment" -> (TextQueries.d15Containment _),
     "ts08_ohlc_bars" -> (TimeSeriesQueries.ts08OhlcBars _),
     "x07_split_leakage" -> (TextQueries.x07SplitLeakage _),
@@ -1782,6 +1783,27 @@ object SparkEntry {
          |SELECT e.x AS doc_id, CAST(count(*) AS BIGINT) AS core_degree FROM e
          |  JOIN $last ax ON ax.doc_id = e.x
          |  JOIN $last ay ON ay.doc_id = e.y GROUP BY e.x""".stripMargin
+    },
+    // ts09 oracle: the identical 16-lag chain — integer numerator and
+    // renormalizing denominator, one double division at the end.
+    "ts09_ewma_smooth" -> {
+      val dpt = TimeSeriesQueries.EwmaDepth
+      val lags = (1 until dpt).map(k => s"lag(v, $k) OVER win AS l$k").mkString(", ")
+      val num = (s"v * ${1L << (dpt - 1)}" +:
+        (1 until dpt).map(k => s"coalesce(l$k * ${1L << (dpt - 1 - k)}, 0)")).mkString(" + ")
+      val den = (s"${1L << (dpt - 1)}" +:
+        (1 until dpt).map(k =>
+          s"CASE WHEN l$k IS NULL THEN 0 ELSE ${1L << (dpt - 1 - k)} END")).mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, ts,
+         |             CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |l AS (SELECT event_id, user_id, us, v, $lags
+         |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |f AS (SELECT event_id, user_id, us, v,
+         |        CAST($num AS BIGINT) AS ewma_num,
+         |        CAST($den AS BIGINT) AS ewma_den FROM l)
+         |SELECT event_id, user_id, us, v, ewma_num, ewma_den,
+         |       CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) AS ewma_cents
+         |FROM f""".stripMargin
     },
     "ts07_downsample" -> {
       val w = TimeSeriesQueries.DownsampleBucket

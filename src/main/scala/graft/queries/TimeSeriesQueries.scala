@@ -370,6 +370,48 @@ object TimeSeriesQueries {
       .selectExpr("user_id", "hour", "fst.v AS open", "high", "low",
         "lst.v AS close", "n_events", "v_sum")
 
+  /** ts09 EWMA depth: the trailing frame length; α = ½ per step. */
+  val EwmaDepth = 16
+
+  /** ts09: EWMA METRIC SMOOTHING — the exponentially-weighted moving
+    * average every metrics stack layers under its raw series (α-decay
+    * favors recent points; the w03/w09 trailing windows weight uniformly).
+    * α = ½ makes every weight an exact power of two, so the smoothed value
+    * is computed as an INTEGER fraction: num = Σₖ v₍ₜ₋ₖ₎·2^(15−k) over the
+    * present lags (cent-scaled longs — order-free integer addition, no
+    * float accumulation anywhere), den = Σₖ 2^(15−k) over the same lags,
+    * and `ewma_cents` is the ONE correctly-rounded double division
+    * num/den — bit-identical across engines and partitionings, the b01
+    * no-transcendentals discipline applied to exponential decay. Partial
+    * heads (fewer than [[EwmaDepth]] events yet) renormalize over the
+    * present weights, which is exactly the standard "adjusted" EWMA.
+    *
+    * Scale shape: ONE window exchange hash-partitioned by user_id; the
+    * [[EwmaDepth]] lag columns share a single frame buffer (≤ 16 rows of
+    * state per open frame), and every expression after the lags is
+    * codegen'd long arithmetic. Same cost envelope as w09 — scan the
+    * metric stream once. */
+  def ts09EwmaSmooth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("ts"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    val withLags = (1 until EwmaDepth).foldLeft(base) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("v"), k).over(w))
+    }
+    val num = (s"v * ${1L << (EwmaDepth - 1)}" +:
+      (1 until EwmaDepth).map(k =>
+        s"coalesce(l$k * ${1L << (EwmaDepth - 1 - k)}, 0L)")).mkString(" + ")
+    val den = (s"${1L << (EwmaDepth - 1)}L" +:
+      (1 until EwmaDepth).map(k =>
+        s"IF(l$k IS NULL, 0L, ${1L << (EwmaDepth - 1 - k)}L)")).mkString(" + ")
+    withLags
+      .withColumn("ewma_num", expr(num))
+      .withColumn("ewma_den", expr(den))
+      .selectExpr("event_id", "user_id", "us", "v", "ewma_num", "ewma_den",
+        "CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) AS ewma_cents")
+  }
+
   def ts07Downsample(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val u = Window.partitionBy(col("user_id"))

@@ -809,6 +809,23 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("partial_"), "metric aggregates must map-side combine")
   }
 
+  test("ts09: EWMA is one window exchange; weights renormalize exactly") {
+    val df = TimeSeriesQueries.ts09EwmaSmooth(spark, d)
+    val p = plan(df)
+    assert(shuffles(p) == 1, s"one user_id window exchange expected (${shuffles(p)}):\n" + p.take(3000))
+    assert(!p.contains("Join"), "EWMA must not join")
+    // exactness: first event of each user smooths to itself; den is the
+    // full geometric mass once 16 lags are present
+    val rows = df.collect()
+    val full = (0 until TimeSeriesQueries.EwmaDepth).map(k => 1L << (15 - k)).sum
+    rows.foreach { r =>
+      val (v, num, den, e) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(den <= full && den >= (1L << 15))
+      if (den == (1L << 15)) { assert(num == v * (1L << 15)); assert(e == v.toDouble) }
+      assert(e == num.toDouble / den.toDouble)
+    }
+  }
+
   test("g03: k-core equals iterate-to-fixpoint peeling on the same edges") {
     // value-level: recompute the 2-core naively (driver-side peeling over
     // the collected full-signature edge set) and compare exactly.
