@@ -510,6 +510,52 @@ object EventStreams {
       }
   }
 
+  final case class BarState(fu: Long, fe: Long, fv: Long, lu: Long, le: Long, lv: Long,
+                            high: Long, low: Long, n: Long, vSum: Long)
+  final case class BarUpdate(user_id: Long, hour: Long, open: Long, high: Long, low: Long,
+                             close: Long, n_events: Long, v_sum: Long)
+
+  /** Streaming twin of the batch ts08 OHLC RESAMPLE: one bar per
+    * (user, hour) maintained online — the serving shape of a metrics
+    * rollup (each micro-batch re-emits every bar it touched; the LATEST
+    * emission per key is the current bar). State per open bar is ten
+    * longs: first/last (us, event_id, v) triples plus high/low/count/sum,
+    * so open/close stay EXACT under any arrival order — a late event
+    * replaces the stored first/last only if its (us, event_id) key sorts
+    * outside them, the same arg-min/arg-max the batch struct aggregates
+    * compute. After any prefix of the stream the latest bars equal batch
+    * ts08 over the same events (pinned across an out-of-order split). */
+  def ohlcBars(spark: SparkSession, events: DataFrame): Dataset[BarUpdate] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS v")
+      .selectExpr("user_id", "us div 3600000000 AS hour", "us", "event_id", "v")
+      .as[(Long, Long, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), rows: Iterator[(Long, Long, Long, Long, Long)],
+         state: GroupState[BarState]) =>
+          var st = state.getOption.orNull
+          rows.foreach { case (_, _, us, eid, v) =>
+            st =
+              if (st == null) BarState(us, eid, v, us, eid, v, v, v, 1L, v)
+              else {
+                val first =
+                  if (us < st.fu || (us == st.fu && eid < st.fe)) (us, eid, v)
+                  else (st.fu, st.fe, st.fv)
+                val last =
+                  if (us > st.lu || (us == st.lu && eid > st.le)) (us, eid, v)
+                  else (st.lu, st.le, st.lv)
+                BarState(first._1, first._2, first._3, last._1, last._2, last._3,
+                  math.max(st.high, v), math.min(st.low, v), st.n + 1L, st.vSum + v)
+              }
+          }
+          state.update(st)
+          Iterator.single(BarUpdate(key._1, key._2, st.fv, st.high, st.low,
+            st.lv, st.n, st.vSum))
+      }
+  }
+
   final case class QuotaState(items: List[(Long, Long)]) // (n_distinct desc, doc_id asc)
   final case class QuotaUpdate(source: String, doc_ids: Seq[Long], n_distincts: Seq[Long])
 

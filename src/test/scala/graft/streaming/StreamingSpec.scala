@@ -210,6 +210,36 @@ class StreamingSpec extends SparkSpec {
       s"accumulated deltas must replay the batch windows")
   }
 
+  test("OHLC twin: latest streamed bars equal batch ts08 across an out-of-order split") {
+    import spark.implicits._
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    // parity split: the second batch lands events BEFORE stored firsts and
+    // AFTER stored lasts inside already-open bars
+    val src = Files.createTempDirectory("graft-ohlc-src").toString
+    events.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+    events.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = EventStreams.ohlcBars(spark, stream).writeStream
+      .format("memory").queryName("ohlc")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // memory sink preserves batch order: last emission per key wins
+    val streamed = spark.sql("SELECT * FROM ohlc").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .foldLeft(Map.empty[(Long, Long), (Long, Long, Long, Long, Long, Long)])(_ + _)
+    val batch = graft.queries.TimeSeriesQueries
+      .ts08OhlcBars(spark, "/root/testdata/sf0.001").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("trailing RANGE twin: equal-timestamp peers all share the full peer frame") {
     // RANGE frames include ALL equal-timestamp peers for every peer row —
     // the first of two same-microsecond events must emit n/sum that
