@@ -144,6 +144,7 @@ object SparkEntry {
     "x08_pareto_skyline" -> (TextQueries.x08ParetoSkyline _),
     "g03_kcore" -> (TextQueries.g03KCore _),
     "ts09_ewma_smooth" -> (TimeSeriesQueries.ts09EwmaSmooth _),
+    "x09_eval_apportion" -> (TextQueries.x09EvalApportion _),
     "d15_containment" -> (TextQueries.d15Containment _),
     "ts08_ohlc_bars" -> (TimeSeriesQueries.ts08OhlcBars _),
     "x07_split_leakage" -> (TextQueries.x07SplitLeakage _),
@@ -1804,6 +1805,31 @@ object SparkEntry {
          |SELECT event_id, user_id, us, v, ewma_num, ewma_den,
          |       CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) AS ewma_cents
          |FROM f""".stripMargin
+    },
+    // x09 oracle: Hamilton's method spelled directly — integer floor
+    // quotas + largest remainders take the leftover seats; md5-rank prefix
+    // per stratum.
+    "x09_eval_apportion" -> {
+      val dn = TextQueries.EvalDenom
+      s"""WITH st AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+         |            FROM documents GROUP BY 1, 2),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |         CAST(sum(n) // $dn AS BIGINT) AS b FROM st),
+         |q0 AS (SELECT source, lang, n, (b * n) // nn AS base, (b * n) % nn AS rem
+         |       FROM st, tt),
+         |xt AS (SELECT CAST((SELECT b FROM tt) - sum(base) AS BIGINT) AS extra FROM q0),
+         |r AS (SELECT source, lang, base,
+         |        row_number() OVER (ORDER BY rem DESC, source, lang) AS rr FROM q0),
+         |q AS (SELECT source, lang,
+         |        CAST(base + CASE WHEN rr <= (SELECT extra FROM xt) THEN 1 ELSE 0 END
+         |             AS BIGINT) AS quota FROM r),
+         |h AS (SELECT doc_id, source, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+         |      FROM documents),
+         |rk AS (SELECT doc_id, source, lang,
+         |         CAST(row_number() OVER (PARTITION BY source, lang ORDER BY h, doc_id)
+         |              AS BIGINT) AS rk FROM h)
+         |SELECT rk.doc_id, rk.source, rk.lang, rk.rk, q.quota
+         |FROM rk JOIN q USING (source, lang) WHERE rk.rk <= q.quota""".stripMargin
     },
     "ts07_downsample" -> {
       val w = TimeSeriesQueries.DownsampleBucket

@@ -2047,6 +2047,60 @@ object TextQueries {
       .select("doc_id", "source", "rnk", "quota")
   }
 
+  /** x09: the eval budget denominator — budget = ⌊N / EvalDenom⌋ docs. */
+  val EvalDenom = 20L
+
+  /** x09: EVAL-SPLIT APPORTIONMENT by the LARGEST-REMAINDER method
+    * (Hamilton's apportionment): size a held-out split to exactly
+    * ⌊N/[[EvalDenom]]⌋ documents distributed across (source, language)
+    * strata in proportion to their mass — the representative-eval-set
+    * construction. Naive per-stratum rounding misses the total (floor
+    * undershoots, round oscillates); Hamilton gives every stratum its
+    * integer floor quota and hands the remaining seats to the largest
+    * fractional remainders (ties broken on stratum key), hitting the
+    * budget EXACTLY. All integer arithmetic — base = (B·n_s) div N,
+    * remainder = (B·n_s) mod N — so both engines agree bit-for-bit
+    * (bound: B·n_s < 2⁶³, i.e. exact past 10⁹ docs; beyond that quotas
+    * come from a DECIMAL pass). Within a stratum the members are the
+    * md5-rank prefix, the deterministic-sampling order t06/x05 use.
+    *
+    * Scale shape: the stratum histogram is one partial-agged aggregate
+    * collapsing to |sources×langs| driver rows (the x05 pattern — the
+    * apportionment itself is metadata-sized); selection rides
+    * TopKPerGroup per-partition heaps at k = max quota, so the shuffle
+    * carries ≤ k rows per (partition, stratum) and the rank window runs
+    * over survivors only — no corpus-sized window partition. */
+  def x09EvalApportion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("lang"))
+    val strata = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .sortBy(_._1)
+    val n = strata.map(_._2).sum
+    val budget = n / EvalDenom
+    val based = strata.map { case (k, ns) =>
+      (k, (budget * ns) / n, (budget * ns) % n)
+    }
+    val extra = (budget - based.map(_._2).sum).toInt
+    val bumped = based.sortBy { case ((src, lg), _, rem) => (-rem, src, lg) }
+      .zipWithIndex
+      .map { case ((k, base, _), i) => (k, base + (if (i < extra) 1L else 0L)) }
+    val kMax = bumped.map(_._2).max
+    val quotaExpr = bumped.map { case ((src, lg), q) =>
+      s"WHEN source = '$src' AND lang = '$lg' THEN CAST($q AS BIGINT)"
+    }.mkString("CASE ", " ", " ELSE CAST(0 AS BIGINT) END")
+    val scored = docs.selectExpr("doc_id", "source", "lang",
+      "md5(CAST(CAST(doc_id AS STRING) AS BINARY)) AS h")
+    val top = graft.plans.TopKPerGroup(scored, Seq("source", "lang"),
+      Seq("h" -> false, "doc_id" -> false), kMax.toInt)
+    top.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"), col("lang")).orderBy(col("h"), col("doc_id")))
+      .cast("long"))
+      .withColumn("quota", expr(quotaExpr))
+      .filter(col("rk") <= col("quota"))
+      .select("doc_id", "source", "lang", "rk", "quota")
+  }
+
   /** p04: DATASET CARD — the per-(source, language) corpus report every
     * curated-release ships (docs, token volume, per-doc length extremes,
     * quality-gate survivors at p01's thresholds, vocabulary size): the

@@ -826,6 +826,31 @@ class PlanChecksSpec extends SparkSpec {
     }
   }
 
+  test("x09: Hamilton apportionment hits the eval budget exactly, stratum by stratum") {
+    val sel = TextQueries.x09EvalApportion(spark, d).collect()
+    val docs = graft.queries.Tables.documents(spark, d)
+      .groupBy("source", "lang").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val n = docs.values.sum
+    val budget = n / TextQueries.EvalDenom
+    assert(sel.length.toLong == budget, s"selected ${sel.length}, budget $budget")
+    // per-stratum: got == quota, quota within 1 of the exact proportion,
+    // and never more than the stratum holds
+    val byStratum = sel.groupBy(r => (r.getString(1), r.getString(2)))
+    byStratum.foreach { case (k, rows) =>
+      val quota = rows.head.getLong(4)
+      assert(rows.length.toLong == quota)
+      assert(quota <= docs(k))
+      val exact = budget.toDouble * docs(k) / n
+      assert(quota >= math.floor(exact) && quota <= math.ceil(exact),
+        s"stratum $k quota $quota outside [floor, ceil] of $exact")
+    }
+    // the selection plan rides TopKPerGroup, not a corpus-wide window
+    val p = plan(TextQueries.x09EvalApportion(spark, d))
+    assert(p.contains("GraftTopK"),
+      "selection must use the top-k operator:\n" + p.take(3000))
+  }
+
   test("g03: k-core equals iterate-to-fixpoint peeling on the same edges") {
     // value-level: recompute the 2-core naively (driver-side peeling over
     // the collected full-signature edge set) and compare exactly.
