@@ -145,6 +145,7 @@ object SparkEntry {
     "g03_kcore" -> (TextQueries.g03KCore _),
     "ts09_ewma_smooth" -> (TimeSeriesQueries.ts09EwmaSmooth _),
     "x09_eval_apportion" -> (TextQueries.x09EvalApportion _),
+    "m09_voice_activity" -> (MultimodalQueries.m09VoiceActivity _),
     "d15_containment" -> (TextQueries.d15Containment _),
     "ts08_ohlc_bars" -> (TimeSeriesQueries.ts08OhlcBars _),
     "x07_split_leakage" -> (TextQueries.x07SplitLeakage _),
@@ -1830,6 +1831,36 @@ object SparkEntry {
          |              AS BIGINT) AS rk FROM h)
          |SELECT rk.doc_id, rk.source, rk.lang, rk.rk, q.quota
          |FROM rk JOIN q USING (source, lang) WHERE rk.rk <= q.quota""".stripMargin
+    },
+    // m09 oracle: every sample re-derived from the closed form (the m05
+    // frame CTE), identical integer threshold, identical islands identity.
+    "m09_voice_activity" -> {
+      import MultimodalQueries.{M03Samples => N, M09VadThreshold => Thr}
+      s"""WITH smp AS (SELECT doc_id, unnest(generate_series(0, ${N - 1})) AS t FROM documents),
+         |v AS (SELECT doc_id, t, t // 512 AS frame_idx,
+         |        ((doc_id*31 + t*17) % 4001) - 2000 AS s FROM smp),
+         |f AS (SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |        CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s * s) AS BIGINT) AS e
+         |      FROM v GROUP BY 1, 2),
+         |a AS (SELECT doc_id, frame_idx, e >= n * $Thr AS active FROM f),
+         |i AS (SELECT doc_id, frame_idx,
+         |        frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS isl
+         |      FROM a WHERE active),
+         |sg AS (SELECT doc_id, isl, COUNT(*) AS seg_len FROM i GROUP BY 1, 2),
+         |segs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         |           CAST(MAX(seg_len) AS BIGINT) AS longest_segment FROM sg GROUP BY 1),
+         |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_active,
+         |          CAST(MIN(frame_idx) AS BIGINT) AS first_active,
+         |          CAST(MAX(frame_idx) AS BIGINT) AS last_active FROM i GROUP BY 1),
+         |nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames FROM a GROUP BY 1)
+         |SELECT nf.doc_id, nf.n_frames,
+         |       coalesce(per.n_active, 0) AS n_active,
+         |       coalesce(segs.n_segments, 0) AS n_segments,
+         |       coalesce(segs.longest_segment, 0) AS longest_segment,
+         |       coalesce(per.first_active, -1) AS first_active,
+         |       coalesce(per.last_active, -1) AS last_active
+         |FROM nf LEFT JOIN per ON per.doc_id = nf.doc_id
+         |LEFT JOIN segs ON segs.doc_id = nf.doc_id""".stripMargin
     },
     "ts07_downsample" -> {
       val w = TimeSeriesQueries.DownsampleBucket

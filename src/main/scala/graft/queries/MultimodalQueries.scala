@@ -190,4 +190,58 @@ object MultimodalQueries {
       Tables.documents(s, d).selectExpr("doc_id")
         .repartition(s.sparkContext.defaultParallelism), "doc_id",
       w = M03Width, h = M03Height)
+
+  /** m09: mean-square VAD threshold — active ⇔ frame energy ≥ Thr·n.
+    * Samples are ~uniform(−2000, 2000) (mean square ≈ 1.33·10⁶), so the
+    * threshold sits AT the bulk and splits frames ~44/56 — segmentation
+    * has real structure instead of all-active audio. */
+  val M09VadThreshold = 1330000L
+
+  /** m09: VOICE-ACTIVITY DETECTION — the speech-data curation primitive
+    * (keep utterances, cut silence/noise; decides what fraction of an
+    * audio corpus is trainable): frames from the REAL WAV round-trip
+    * ([[Multimodal.audioFrameFeatures]], the m05 kernel) are flagged
+    * active by the integer mean-square rule energy ≥ [[M09VadThreshold]]·n
+    * (no division), and maximal active RUNS become segments via the
+    * gaps-and-islands identity (frame_idx − row_number over active frames
+    * is constant within a run). Per document: frames, active count,
+    * segment count, longest segment, first/last active frame (−1 when
+    * silent). The oracle re-derives every sample from the closed form and
+    * applies the identical rule — agreement proves codec round-trip,
+    * framing, thresholding and segmentation together.
+    *
+    * Scale shape: decode is the m05 mapPartitions kernel (per-task SPI,
+    * id-column repartition for split parallelism, zero data shuffle); the
+    * islands windows partition by doc_id over ≤ 8 frame rows each, then
+    * one partial-agged groupBy lands the per-doc report. */
+  def m09VoiceActivity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val frames = Multimodal.audioFrameFeatures(
+      Tables.documents(s, d).selectExpr("doc_id")
+        .repartition(s.sparkContext.defaultParallelism), "doc_id",
+      nSamples = M03Samples)
+    val act = frames
+      .withColumn("active", col("energy") >= col("n_samples") * lit(M09VadThreshold))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val isl = act.filter(col("active"))
+      .withColumn("isl", col("frame_idx") - row_number().over(w))
+    val segs = isl.groupBy("doc_id", "isl").agg(count(lit(1)).as("seg_len"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_segments"),
+        max("seg_len").as("longest_segment"))
+    val per = isl.groupBy("doc_id").agg(
+      count(lit(1)).as("n_active"),
+      min("frame_idx").as("first_active"),
+      max("frame_idx").as("last_active"))
+    act.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      .join(per, Seq("doc_id"), "left")
+      .join(segs, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_frames",
+        "coalesce(n_active, CAST(0 AS BIGINT)) AS n_active",
+        "coalesce(n_segments, CAST(0 AS BIGINT)) AS n_segments",
+        "coalesce(longest_segment, CAST(0 AS BIGINT)) AS longest_segment",
+        "coalesce(first_active, CAST(-1 AS BIGINT)) AS first_active",
+        "coalesce(last_active, CAST(-1 AS BIGINT)) AS last_active")
+  }
 }
