@@ -146,6 +146,7 @@ object SparkEntry {
     "ts09_ewma_smooth" -> (TimeSeriesQueries.ts09EwmaSmooth _),
     "x09_eval_apportion" -> (TextQueries.x09EvalApportion _),
     "m09_voice_activity" -> (MultimodalQueries.m09VoiceActivity _),
+    "w11_attribution" -> (RelationalQueries.w11Attribution _),
     "d15_containment" -> (TextQueries.d15Containment _),
     "ts08_ohlc_bars" -> (TimeSeriesQueries.ts08OhlcBars _),
     "x07_split_leakage" -> (TextQueries.x07SplitLeakage _),
@@ -1861,6 +1862,30 @@ object SparkEntry {
          |       coalesce(per.last_active, -1) AS last_active
          |FROM nf LEFT JOIN per ON per.doc_id = nf.doc_id
          |LEFT JOIN segs ON segs.doc_id = nf.doc_id""".stripMargin
+    },
+    // w11 oracle: the identical carry-forward windows (IGNORE NULLS over a
+    // strictly-preceding frame) and the identical lookback rule.
+    "w11_attribution" -> {
+      val lb = RelationalQueries.AttribLookbackUs
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+         |             CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |c AS (SELECT event_id, user_id, us, event_type, v,
+         |        last_value(CASE WHEN event_type IN ('click', 'view') THEN us END
+         |                   IGNORE NULLS) OVER win AS t_us,
+         |        last_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END
+         |                   IGNORE NULLS) OVER win AS t_id,
+         |        last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+         |                   IGNORE NULLS) OVER win AS t_type
+         |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT event_id AS purchase_id, user_id, us, v AS credit_cents,
+         |       CASE WHEN t_us IS NOT NULL AND us - t_us <= $lb
+         |            THEN t_id ELSE -1 END AS touch_id,
+         |       CASE WHEN t_us IS NOT NULL AND us - t_us <= $lb
+         |            THEN t_type ELSE 'direct' END AS touch_type,
+         |       CASE WHEN t_us IS NOT NULL AND us - t_us <= $lb
+         |            THEN us - t_us ELSE -1 END AS gap_us
+         |FROM c WHERE event_type = 'purchase'""".stripMargin
     },
     "ts07_downsample" -> {
       val w = TimeSeriesQueries.DownsampleBucket

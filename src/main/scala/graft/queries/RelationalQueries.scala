@@ -1131,6 +1131,47 @@ object RelationalQueries {
         col("dev2"), col("bound"))
   }
 
+  /** w11 attribution lookback: a touch older than this is not credited. */
+  val AttribLookbackUs = 86400000000L // 24h
+
+  /** w11: LAST-TOUCH ATTRIBUTION — every `purchase` is credited to the
+    * user's most recent PRECEDING touchpoint (`click`/`view`) within a
+    * 24h lookback, else marked `direct`: the standard conversion-credit
+    * model, and the event-stream shape of "label each outcome with the
+    * action that caused it". Carried-forward state is ONE
+    * `last(..., ignoreNulls)` per touch column over a strictly-preceding
+    * ROWS frame — the (ts, event_id) total order makes the answer
+    * deterministic, and because the touch columns are null on exactly the
+    * same (non-touch) rows, the three carried values always come from the
+    * same touch row. Credit is the purchase's cent-scaled value; gaps are
+    * integer microseconds.
+    *
+    * Scale shape: ONE window exchange hash-partitioned by user_id (the
+    * w09/ts09 envelope); the frame is carry-forward so each task holds
+    * one pending touch triple per open partition, and the purchase filter
+    * prunes the output before anything else runs. No joins — the naive
+    * formulation is a per-purchase as-of self-join, which the single
+    * carry-forward pass replaces. */
+  def w11Attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .withColumn("t_us",
+        last(when(col("event_type").isin("click", "view"), col("us")), ignoreNulls = true).over(w))
+      .withColumn("t_id",
+        last(when(col("event_type").isin("click", "view"), col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("t_type",
+        last(when(col("event_type").isin("click", "view"), col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .selectExpr("event_id AS purchase_id", "user_id", "us", "v AS credit_cents",
+        s"IF(t_us IS NOT NULL AND us - t_us <= $AttribLookbackUs, t_id, CAST(-1 AS BIGINT)) AS touch_id",
+        s"IF(t_us IS NOT NULL AND us - t_us <= $AttribLookbackUs, t_type, 'direct') AS touch_type",
+        s"IF(t_us IS NOT NULL AND us - t_us <= $AttribLookbackUs, us - t_us, CAST(-1 AS BIGINT)) AS gap_us")
+  }
+
   /** w10 sliding-window length in days (slide = 1 day). */
   val SlideWinDays = 7
 

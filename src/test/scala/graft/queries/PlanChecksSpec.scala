@@ -826,6 +826,25 @@ class PlanChecksSpec extends SparkSpec {
     }
   }
 
+  test("w11: attribution is one carry-forward window pass, never an as-of self-join") {
+    val df = RelationalQueries.w11Attribution(spark, d)
+    val p = plan(df)
+    assert(shuffles(p) == 1, s"one user_id window exchange expected (${shuffles(p)}):\n" + p.take(3000))
+    assert(!p.contains("Join"), "carry-forward must replace the as-of self-join")
+    // semantics: every credited touch strictly precedes its purchase
+    // within the lookback; 'direct' rows carry the sentinel triple
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tid, ttype, gap) = (r.getLong(4), r.getString(5), r.getLong(6))
+      if (ttype == "direct") assert(tid == -1L && gap == -1L)
+      else {
+        assert(Set("click", "view")(ttype))
+        assert(gap >= 0L && gap <= RelationalQueries.AttribLookbackUs)
+      }
+    }
+  }
+
   test("x09: Hamilton apportionment hits the eval budget exactly, stratum by stratum") {
     val sel = TextQueries.x09EvalApportion(spark, d).collect()
     val docs = graft.queries.Tables.documents(spark, d)
