@@ -510,6 +510,50 @@ object EventStreams {
       }
   }
 
+  final case class TouchState(us: Long, id: Long, typ: String)
+  final case class AttributionUpdate(purchase_id: Long, user_id: Long, us: Long,
+                                     credit_cents: Long, touch_id: Long,
+                                     touch_type: String, gap_us: Long)
+
+  /** Streaming twin of the batch w11 LAST-TOUCH ATTRIBUTION: purchases
+    * are credited as they arrive from ONE pending-touch triple per user —
+    * the carry-forward window state made explicit, and the minimal
+    * possible streaming state (three fields per user, regardless of
+    * volume). Matches batch w11 under the same ordering contract the
+    * other twins document (watermarked source delivers a user's events in
+    * (us, event_id) order across batches; within a batch the twin sorts).
+    * Ties at the same microsecond resolve identically to the batch
+    * (ts, event_id) total order because the sort key is the same. */
+  def attribution(spark: SparkSession, events: DataFrame,
+                  lookbackUs: Long = graft.queries.RelationalQueries.AttribLookbackUs)
+      : Dataset[AttributionUpdate] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "event_id", "unix_micros(ts) AS us", "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS v")
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Long)],
+         state: GroupState[TouchState]) =>
+          var pending = state.getOption.orNull
+          val out = Vector.newBuilder[AttributionUpdate]
+          rows.toVector.sortBy(r => (r._3, r._2)).foreach { case (_, id, us, typ, v) =>
+            typ match {
+              case "click" | "view" => pending = TouchState(us, id, typ)
+              case "purchase" =>
+                val hit = pending != null && us - pending.us <= lookbackUs
+                out += AttributionUpdate(id, user, us, v,
+                  if (hit) pending.id else -1L,
+                  if (hit) pending.typ else "direct",
+                  if (hit) us - pending.us else -1L)
+              case _ => ()
+            }
+          }
+          if (pending != null) state.update(pending)
+          out.result().iterator
+      }
+  }
+
   final case class BarState(fu: Long, fe: Long, fv: Long, lu: Long, le: Long, lv: Long,
                             high: Long, low: Long, n: Long, vSum: Long)
   final case class BarUpdate(user_id: Long, hour: Long, open: Long, high: Long, low: Long,

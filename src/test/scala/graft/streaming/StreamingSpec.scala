@@ -210,6 +210,35 @@ class StreamingSpec extends SparkSpec {
       s"accumulated deltas must replay the batch windows")
   }
 
+  test("attribution twin: streamed credits equal batch w11 across a time split") {
+    import spark.implicits._
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    // time-ordered split (the twin's documented ordering contract):
+    // second-batch purchases reach back into pending touches carried
+    // from the first batch
+    val src = Files.createTempDirectory("graft-attr-src").toString
+    val cut = events.selectExpr("percentile_approx(ts, 0.5) AS m").head().getTimestamp(0)
+    events.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    events.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = EventStreams.attribution(spark, stream).writeStream
+      .format("memory").queryName("attr")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6))).toSet
+    val batch = graft.queries.RelationalQueries
+      .w11Attribution(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("OHLC twin: latest streamed bars equal batch ts08 across an out-of-order split") {
     import spark.implicits._
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
