@@ -1050,29 +1050,39 @@ object TextQueries {
     * bucket rows; the model and its 1-row totals are broadcast, so pass 2
     * is a map-side BroadcastHashJoin followed by one doc-keyed partial
     * aggregate. No vocabulary-sized shuffle, no windows, no collect. */
-  def t16DsirWeights(s: SparkSession, d: String): DataFrame = {
-    val b = DsirBuckets
-    val grams = documents(s, d)
+  /** t16's gram stream: (doc_id, lang, bucket) — one row per adjacent-token
+    * bigram, bucketed by the first two md5 hex digits. */
+  private def dsirGrams(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .selectExpr("doc_id", "lang", s"$toksExpr AS t")
       .where(size(col("t")) >= 2)
       .selectExpr("doc_id", "lang",
         "explode(transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))) AS gram")
       .selectExpr("doc_id", "lang", "substring(md5(CAST(gram AS BINARY)), 1, 2) AS b")
+
+  /** t16's fitted model: ≤ [[DsirBuckets]] rows of (bucket, fixed-point
+    * score) — the broadcastable artifact an online scorer loads
+    * ([[graft.streaming.EventStreams.dsirServe]] is that scorer). */
+  def dsirBucketScores(s: SparkSession, d: String): DataFrame = {
+    val b = DsirBuckets
+    val grams = dsirGrams(s, d)
     val model = grams.groupBy("b").agg(
       count(lit(1)).as("cs"),
       sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
     val totals = model.agg(sum("cs").as("s_total"), sum("ct").as("t_total"))
-    val bucketScores = model.join(broadcast(totals))
+    model.join(broadcast(totals))
       .selectExpr("b",
         s"(ct + 1) * (s_total + $b) AS num",
         s"(cs + 1) * (t_total + $b) AS den")
       .selectExpr("b",
         s"CAST(floor(CAST($DsirScale AS DOUBLE) * ((CAST(num AS DOUBLE) - CAST(den AS DOUBLE)) / (CAST(num AS DOUBLE) + CAST(den AS DOUBLE)))) AS BIGINT) AS qb")
-    grams
-      .join(broadcast(bucketScores), "b")
+  }
+
+  def t16DsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirGrams(s, d)
+      .join(broadcast(dsirBucketScores(s, d)), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), sum("qb").as("dsir_score"))
-  }
 
   def t13RareBigrams(s: SparkSession, d: String): DataFrame = {
     val perDoc = normToks(s, d)

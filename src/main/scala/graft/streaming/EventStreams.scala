@@ -510,6 +510,82 @@ object EventStreams {
       }
   }
 
+  /** Online DSIR scoring — the serving half of the t16 split: the model
+    * (≤ 256 (bucket, score) rows from
+    * [[graft.queries.TextQueries.dsirBucketScores]], fit OFFLINE on the
+    * reference corpus) is inlined as a literal map, and each arriving
+    * document is scored STATELESSLY in one row-local fold — the same
+    * tokenize/md5/bucket Catalyst expressions as the batch query, so
+    * scores are bit-identical to batch t16 for any document whose buckets
+    * the model observed (unseen buckets score 0, the smoothed-unseen
+    * convention). This is how importance resampling deploys: fit once,
+    * weight the firehose. */
+  def dsirServe(docs: DataFrame, model: Map[String, Long]): DataFrame = {
+    val entries = model.toSeq.sortBy(_._1)
+      .map { case (b, q) => s"'$b', ${q}L" }.mkString("map(", ", ", ")")
+    docs
+      .selectExpr("*",
+        "transform(sequence(0, size(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')) - 2), " +
+          "i -> concat(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')[i], ' ', " +
+          "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')[i + 1])) AS _grams")
+      .where("size(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')) >= 2")
+      .selectExpr("*",
+        "CAST(size(_grams) AS BIGINT) AS n_grams",
+        s"aggregate(_grams, CAST(0 AS BIGINT), (acc, g) -> acc + " +
+          s"coalesce(try_element_at($entries, substring(md5(CAST(g AS BINARY)), 1, 2)), 0L)) AS dsir_score")
+      .drop("_grams")
+  }
+
+  final case class FrontierState(pts: List[(Long, Long, Long, Long)], seq: Long)
+  final case class FrontierUpdate(seq: Long, doc_id: Long, n_tokens: Long,
+                                  ttr_fp: Long, g2_max: Long)
+
+  /** Streaming SKYLINE FRONTIER — batch x08 maintained online: per-doc
+    * metrics are computed ROW-LOCALLY (higher-order-function folds — no
+    * per-doc groupBy, so the stage is stateless and append-safe), then a
+    * single state group holds the current Pareto frontier and each
+    * micro-batch folds its points in (drop if dominated, evict what the
+    * newcomer dominates) and re-emits the full frontier tagged with a
+    * batch sequence number. The frontier is GLOBAL and tiny (97 points at
+    * sf0.1), which is exactly why one state group is the right shape —
+    * the corpus-sized work all happened statelessly upstream. After any
+    * prefix the latest emission equals batch x08 over the same docs. */
+  def skylineFrontier(spark: SparkSession, docs: DataFrame): Dataset[FrontierUpdate] = {
+    import spark.implicits._
+    val runExpr =
+      """aggregate(array_sort(_bg),
+        |  struct(CAST('' AS STRING) AS p, CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS m),
+        |  (a, g) -> struct(g AS p,
+        |                   IF(g = a.p, a.r + 1L, 1L) AS r,
+        |                   greatest(a.m, IF(g = a.p, a.r + 1L, 1L)) AS m),
+        |  a -> a.m)""".stripMargin
+    val metrics = docs
+      .selectExpr("doc_id", "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ') AS _t")
+      .selectExpr("doc_id",
+        "CAST(size(_t) AS BIGINT) AS nt",
+        "CAST(size(array_distinct(_t)) AS BIGINT) AS nd",
+        "transform(sequence(1, greatest(size(_t) - 1, 1)), i -> array_join(slice(_t, i, 2), ' ')) AS _bg")
+      .selectExpr("doc_id", "nt AS n_tokens",
+        "CAST(floor(1000000.0D * (CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE))) AS BIGINT) AS ttr_fp",
+        s"$runExpr AS g2_max")
+      .as[(Long, Long, Long, Long)]
+    def dom(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): Boolean =
+      a._2 >= b._2 && a._3 >= b._3 && a._4 <= b._4 &&
+        (a._2 > b._2 || a._3 > b._3 || a._4 < b._4)
+    metrics
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[FrontierState]) =>
+          var front = state.getOption.map(_.pts).getOrElse(Nil)
+          val seq = state.getOption.map(_.seq).getOrElse(0L) + 1L
+          rows.foreach { p =>
+            if (!front.exists(q => dom(q, p))) front = p :: front.filterNot(q => dom(p, q))
+          }
+          state.update(FrontierState(front, seq))
+          front.iterator.map(p => FrontierUpdate(seq, p._1, p._2, p._3, p._4))
+      }
+  }
+
   final case class TouchState(us: Long, id: Long, typ: String)
   final case class AttributionUpdate(purchase_id: Long, user_id: Long, us: Long,
                                      credit_cents: Long, touch_id: Long,

@@ -210,6 +210,57 @@ class StreamingSpec extends SparkSpec {
       s"accumulated deltas must replay the batch windows")
   }
 
+  test("DSIR serving twin: stream scored with the frozen model equals batch t16") {
+    import spark.implicits._
+    val dd = "/root/testdata/sf0.001"
+    val model = graft.queries.TextQueries.dsirBucketScores(spark, dd)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.queries.Tables.documents(spark, dd)
+    val src = Files.createTempDirectory("graft-dsir-src").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = EventStreams.dsirServe(stream, model)
+      .select("doc_id", "n_grams", "dsir_score").writeStream
+      .format("memory").queryName("dsir")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM dsir").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.queries.TextQueries.t16DsirWeights(spark, dd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("skyline twin: the latest streamed frontier equals batch x08") {
+    import spark.implicits._
+    val dd = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, dd)
+    val src = Files.createTempDirectory("graft-sky-src").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = EventStreams.skylineFrontier(spark, stream).writeStream
+      .format("memory").queryName("sky")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val all = spark.sql("SELECT * FROM sky").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val lastSeq = all.map(_._1).max
+    val streamed = all.filter(_._1 == lastSeq).map(_._2).toSet
+    val batch = graft.queries.TextQueries.x08ParetoSkyline(spark, dd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("attribution twin: streamed credits equal batch w11 across a time split") {
     import spark.implicits._
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
