@@ -221,22 +221,25 @@ object MultimodalQueries {
       Tables.documents(s, d).selectExpr("doc_id")
         .repartition(s.sparkContext.defaultParallelism), "doc_id",
       nSamples = M03Samples)
+    // the codec pass is the whole cost: pin its (small, frame-level)
+    // output once so the report's two aggregate branches never re-decode
     val act = frames
       .withColumn("active", col("energy") >= col("n_samples") * lit(M09VadThreshold))
+      .localCheckpoint(true)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    val isl = act.filter(col("active"))
+    val perDoc = act.filter(col("active"))
       .withColumn("isl", col("frame_idx") - row_number().over(w))
-    val segs = isl.groupBy("doc_id", "isl").agg(count(lit(1)).as("seg_len"))
+      .groupBy("doc_id", "isl").agg(
+        count(lit(1)).as("seg_len"),
+        min("frame_idx").as("f0"), max("frame_idx").as("f1"))
       .groupBy("doc_id").agg(
+        sum("seg_len").as("n_active"),
         count(lit(1)).as("n_segments"),
-        max("seg_len").as("longest_segment"))
-    val per = isl.groupBy("doc_id").agg(
-      count(lit(1)).as("n_active"),
-      min("frame_idx").as("first_active"),
-      max("frame_idx").as("last_active"))
+        max("seg_len").as("longest_segment"),
+        min("f0").as("first_active"),
+        max("f1").as("last_active"))
     act.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
-      .join(per, Seq("doc_id"), "left")
-      .join(segs, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .selectExpr("doc_id", "n_frames",
         "coalesce(n_active, CAST(0 AS BIGINT)) AS n_active",
         "coalesce(n_segments, CAST(0 AS BIGINT)) AS n_segments",

@@ -2031,8 +2031,32 @@ object TextQueries {
     * [[graft.plans.TopKPerGroup]] per-partition heaps at k = max quota —
     * the shuffle carries ≤ k rows per (partition, source), never the
     * corpus — and the rank window runs over survivors only. */
-  def x05MixtureSample(s: SparkSession, d: String): DataFrame = {
+  /** Shared exact-quota member selection (x05 / x09): md5-rank prefix per
+    * group, with TopKPerGroup per-partition heaps bounding the shuffle to
+    * k = max quota rows per (partition, group) and the rank window running
+    * over survivors only — no stratum-sized window partition. The quota
+    * table is metadata-sized and driver-built (strata counts, not data). */
+  private def quotaSelect(docs: DataFrame, groupCols: Seq[String],
+                          quotas: Seq[(Seq[String], Long)],
+                          rankName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val kMax = quotas.map(_._2).max
+    val quotaExpr = quotas.map { case (vals, q) =>
+      val cond = groupCols.zip(vals).map { case (c, v) => s"$c = '$v'" }.mkString(" AND ")
+      s"WHEN $cond THEN CAST($q AS BIGINT)"
+    }.mkString("CASE ", " ", " ELSE CAST(0 AS BIGINT) END")
+    val scored = docs.selectExpr(
+      Seq("doc_id") ++ groupCols :+ "md5(CAST(CAST(doc_id AS STRING) AS BINARY)) AS h": _*)
+    val top = graft.plans.TopKPerGroup(scored, groupCols,
+      Seq("h" -> false, "doc_id" -> false), kMax.toInt)
+    top.withColumn(rankName, row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .withColumn("quota", expr(quotaExpr))
+      .filter(col(rankName) <= col("quota"))
+      .select((Seq("doc_id") ++ groupCols ++ Seq(rankName, "quota")).map(col): _*)
+  }
+
+  def x05MixtureSample(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("source"))
     val hist = docs.groupBy("source").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
@@ -2040,21 +2064,9 @@ object TextQueries {
     val ws = hist.map { case (src, n) => (src, math.sqrt(n.toDouble).toLong) }
     val wsum = ws.map(_._2).sum
     val quotas = ws.map { case (src, w) =>
-      (src, ((target * w + wsum - 1) / wsum).toInt)
+      (Seq(src), (target * w + wsum - 1) / wsum)
     }
-    val kMax = quotas.map(_._2).max
-    val quotaExpr = quotas.map { case (src, q) =>
-      s"WHEN source = '$src' THEN CAST($q AS BIGINT)"
-    }.mkString("CASE ", " ", " ELSE CAST(0 AS BIGINT) END")
-    val scored = docs.selectExpr("doc_id", "source",
-      "md5(CAST(CAST(doc_id AS STRING) AS BINARY)) AS h")
-    val top = graft.plans.TopKPerGroup(scored, Seq("source"),
-      Seq("h" -> false, "doc_id" -> false), kMax)
-    top.withColumn("rnk", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))).cast("long"))
-      .withColumn("quota", expr(quotaExpr))
-      .filter(col("rnk") <= col("quota"))
-      .select("doc_id", "source", "rnk", "quota")
+    quotaSelect(docs, Seq("source"), quotas, "rnk")
   }
 
   /** x09: the eval budget denominator — budget = ⌊N / EvalDenom⌋ docs. */
@@ -2081,13 +2093,15 @@ object TextQueries {
     * carries ≤ k rows per (partition, stratum) and the rank window runs
     * over survivors only — no corpus-sized window partition. */
   def x09EvalApportion(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d).select(col("doc_id"), col("source"), col("lang"))
     val strata = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
       .sortBy(_._1)
     val n = strata.map(_._2).sum
-    val budget = n / EvalDenom
+    val budget = if (n == 0L) 0L else n / EvalDenom
+    if (budget == 0L) // corpus smaller than the denominator: empty split
+      return docs.limit(0).selectExpr("doc_id", "source", "lang",
+        "CAST(0 AS BIGINT) AS rk", "CAST(0 AS BIGINT) AS quota")
     val based = strata.map { case (k, ns) =>
       (k, (budget * ns) / n, (budget * ns) % n)
     }
@@ -2095,20 +2109,8 @@ object TextQueries {
     val bumped = based.sortBy { case ((src, lg), _, rem) => (-rem, src, lg) }
       .zipWithIndex
       .map { case ((k, base, _), i) => (k, base + (if (i < extra) 1L else 0L)) }
-    val kMax = bumped.map(_._2).max
-    val quotaExpr = bumped.map { case ((src, lg), q) =>
-      s"WHEN source = '$src' AND lang = '$lg' THEN CAST($q AS BIGINT)"
-    }.mkString("CASE ", " ", " ELSE CAST(0 AS BIGINT) END")
-    val scored = docs.selectExpr("doc_id", "source", "lang",
-      "md5(CAST(CAST(doc_id AS STRING) AS BINARY)) AS h")
-    val top = graft.plans.TopKPerGroup(scored, Seq("source", "lang"),
-      Seq("h" -> false, "doc_id" -> false), kMax.toInt)
-    top.withColumn("rk", row_number().over(
-        Window.partitionBy(col("source"), col("lang")).orderBy(col("h"), col("doc_id")))
-      .cast("long"))
-      .withColumn("quota", expr(quotaExpr))
-      .filter(col("rk") <= col("quota"))
-      .select("doc_id", "source", "lang", "rk", "quota")
+    quotaSelect(docs, Seq("source", "lang"),
+      bumped.toSeq.map { case ((src, lg), q) => (Seq(src, lg), q) }, "rk")
   }
 
   /** p04: DATASET CARD — the per-(source, language) corpus report every

@@ -202,9 +202,11 @@ final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
     * already reversed the walk), and (c) a validating driver walk: every
     * manifest in the skip range must carry stats — one stats-less segment
     * and we refuse, leaving Spark's own Offset operator in place. */
+  private val statsMemo = scala.collection.mutable.HashMap.empty[String, Long]
+
   override def pushOffset(offset: Int): Boolean = {
     val ok = conf.prefix.nonEmpty && !topNReversed &&
-      SegmentsScan.offsetCoveredByStats(conf, pruning, offset)
+      SegmentsScan.offsetCoveredByStats(conf, pruning, offset, statsMemo)
     if (ok) offsetOpt = Some(offset)
     ok
   }
@@ -297,7 +299,8 @@ final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
 
   override def build(): Scan = pushedAgg match {
     case Some(spec) => new SegmentsAggScan(conf, pruning, spec)
-    case None => new SegmentsScan(conf, required, pruning, limitOpt, topNReversed, offsetOpt)
+    case None => new SegmentsScan(conf, required, pruning, limitOpt, topNReversed,
+      offsetOpt, statsMemo.toMap)
   }
 }
 
@@ -338,17 +341,32 @@ object SegmentsScan {
     catch { case _: Exception => None }
   }
 
+  /** The prunable-filter predicate over one segment key — shared by the
+    * listing and by the offset path's post-boundary runtime pruning. */
+  private[v2] def runtimeKeepFn(filters: Array[Filter]): String => Boolean =
+    key => filters.forall {
+      case EqualTo("segment_key", v: String)  => key == v
+      case In("segment_key", vs)              => vs.exists(_ == key)
+      case StringStartsWith("segment_key", p) => key.startsWith(p)
+      case _                                  => true
+    }
+
   /** pushOffset's validating walk: true iff sorted-key manifests carry
     * stats all the way past `offset` rows (so an exact skip is plannable).
-    * Small manifest GETs only, and only up to the skip boundary. */
+    * Small manifest GETs only, and only up to the skip boundary; counts
+    * gathered here land in `memo` so planInputPartitions' boundary walk
+    * re-reads nothing (halves driver planning I/O on large skips). */
   private[v2] def offsetCoveredByStats(conf: GraftSegments.SourceConf,
-                                       filters: Array[Filter], offset: Int): Boolean = {
+                                       filters: Array[Filter], offset: Int,
+                                       memo: scala.collection.mutable.Map[String, Long])
+      : Boolean = {
     conf.ensureBackend()
     val it = listSegments(conf, filters).iterator
     var covered = 0L
     while (it.hasNext && covered < offset) {
-      statsCount(conf, it.next()) match {
-        case Some(c) => covered += c
+      val k = it.next()
+      statsCount(conf, k) match {
+        case Some(c) => memo.put(k, c); covered += c
         case None    => return false
       }
     }
@@ -360,7 +378,8 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
                          pruning: Array[Filter],
                          limitOpt: Option[Int] = None,
                          limitFromEnd: Boolean = false,
-                         offsetOpt: Option[Int] = None) extends Scan with Batch
+                         offsetOpt: Option[Int] = None,
+                         statsMemo: Map[String, Long] = Map.empty) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -417,35 +436,50 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
     * limit (small manifest GETs only; a stats-less manifest contributes an
     * unknown count, so the walk keeps going — correct, just less pruned;
     * Spark's own limit still applies on top). */
+  /** Manifest record count, served from pushOffset's validation memo when
+    * that walk already fetched it. */
+  private def segStats(k: String): Option[Long] =
+    statsMemo.get(k).orElse(SegmentsScan.statsCount(conf, k))
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val keys = SegmentsScan.listSegments(conf, pruning ++ runtimeFilters)
     conf.ensureBackend()
     // Pushed OFFSET (r7): drop whole segments below the skip boundary,
     // carry the remainder into the first planned partition as a row skip.
-    // pushOffset's validating walk already proved stats cover the range;
-    // the skip is exact or the query would not have dropped its Offset.
+    // The boundary is computed over the STATIC listing — the same one
+    // pushOffset's validating walk proved stats-covered — because the
+    // offset's row semantics must not move when a join later injects a
+    // runtime segment_key filter. Runtime filters are applied AFTER the
+    // boundary, to the kept segments only: they approximate the join's
+    // own row filter, which sits ABOVE the offset, so dropping post-skip
+    // segments the join cannot match is safe while re-deriving the skip
+    // over a runtime-shrunk list would drop the wrong rows.
     val offset = offsetOpt.map(_.toLong).getOrElse(0L)
     var skipped = 0L
     var firstSkip = 0L
-    val afterOffset =
-      if (offset == 0L) keys
+    val keys =
+      if (offset == 0L) SegmentsScan.listSegments(conf, pruning ++ runtimeFilters)
       else {
-        val it = keys.iterator
-        val kept = Array.newBuilder[String]
+        val statics = SegmentsScan.listSegments(conf, pruning)
+        val it = statics.iterator
+        val kept = Array.newBuilder[(String, Long)] // (key, rows to skip in it)
         var boundary = false
         while (it.hasNext) {
           val k = it.next()
-          if (boundary) kept += k
+          if (boundary) kept += ((k, 0L))
           else {
-            val c = SegmentsScan.statsCount(conf, k).getOrElse(
+            val c = segStats(k).getOrElse(
               throw new IllegalStateException(
                 s"offset pushdown planned over stats-less manifest $k"))
             if (skipped + c <= offset) skipped += c
-            else { boundary = true; firstSkip = offset - skipped; kept += k }
+            else { boundary = true; kept += ((k, offset - skipped)) }
           }
         }
-        kept.result()
+        val rtKeep = SegmentsScan.runtimeKeepFn(runtimeFilters)
+        val surviving = kept.result().filter { case (k, _) => rtKeep(k) }
+        firstSkip = surviving.headOption.map(_._2).getOrElse(0L)
+        surviving.map(_._1)
       }
+    val afterOffset = keys
     val chosen = limitOpt match {
       case Some(n) =>
         val picked = Array.newBuilder[String]
@@ -459,7 +493,7 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
         val it = (if (limitFromEnd) afterOffset.reverseIterator else afterOffset.iterator)
         while (it.hasNext && !satisfied) {
           val k = it.next(); picked += k
-          SegmentsScan.statsCount(conf, k)
+          segStats(k)
             .foreach { c => covered += c; satisfied = covered >= target }
         }
         picked.result()
@@ -660,10 +694,18 @@ final class SegmentsReader(conf: GraftSegments.SourceConf, required: StructType,
           .segmentBytes(segKey)
       else
         SegmentFetchJob.fetchRange(conf.jobConfig, segKey, BytesRange(0L, Long.MaxValue - 1L))
+    var toSkip = skipRows
     KafkaWireCodec.parseSegment(bytes).iterator.flatMap { b =>
-      b.records.iterator.map(r => (b, r))
-    }.drop(if (skipRows > Int.MaxValue) Int.MaxValue else skipRows.toInt)
-      .map { case (b, r) =>
+      // batch-level skip of a pushed OFFSET's remainder: drop whole-batch
+      // prefixes cheaply, zero overhead on the skip-free (common) path
+      val rs =
+        if (toSkip <= 0L) b.records.iterator
+        else {
+          val d = math.min(toSkip, b.records.size.toLong).toInt
+          toSkip -= d
+          b.records.iterator.drop(d)
+        }
+      rs.map { r =>
         val full = RowSchema.recordRow(b, r, 0)
         val vals = required.fields.map { f =>
           f.name match {
@@ -683,6 +725,7 @@ final class SegmentsReader(conf: GraftSegments.SourceConf, required: StructType,
         }
         toCatalyst(Row.fromSeq(vals.toSeq)).asInstanceOf[InternalRow]
       }
+    }
   }
 
   private var current: InternalRow = _

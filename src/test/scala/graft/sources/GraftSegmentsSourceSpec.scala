@@ -161,6 +161,30 @@ class GraftSegmentsSourceSpec extends SparkSpec {
       "unscoped offset must keep the full listing")
   }
 
+  test("offset pushdown composes with runtime filtering: the skip boundary never moves (r7)") {
+    import spark.implicits._
+    val (store, cfg, keys) = setup()
+    val pfx = keys.head.take(3)
+    // dim keeps segments 2 and 3 only, discovered at RUNTIME (filtered
+    // build side). OFFSET 12 semantics: skip scan rows 0..11 (all of S1 +
+    // two of S2) FIRST, then the join filters — so rows 12..29 survive.
+    // Re-deriving the skip over the runtime-shrunk list would wrongly
+    // skip 12 rows of S2+S3 and return 22..29.
+    val dimDir = Files.createTempDirectory("dsv2-dim-off").toString
+    keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("segment_key", "pick")
+      .write.mode("overwrite").parquet(dimDir)
+    val wanted = spark.read.parquet(dimDir).where(col("pick") >= 1L).select("segment_key")
+    val df = reader(store, cfg).option("prefix", pfx).load().offset(12)
+      .join(org.apache.spark.sql.functions.broadcast(wanted), "segment_key")
+    val got = df.select(col("kafka.offset")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (12L until 30L),
+      s"offset boundary must be computed over the STATIC listing; got ${got.toSeq}")
+    // the scenario is only meaningful if the offset actually reached the
+    // scan while the join's runtime filter was also active
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("offset=12"), "offset must be pushed under the join:\n" + plan.take(2000))
+  }
+
   test("runtime filtering: a broadcast join on segment_key prunes partitions at RUN time (r6)") {
     import spark.implicits._
     val (store, cfg, keys) = setup()
