@@ -1509,7 +1509,7 @@ object TextQueries {
 
   /** x08 dominance: a ≥ b on every goal (longer, higher type-token ratio,
     * LESS bigram repetition) and strictly better on at least one. */
-  private def skyDominates(a: SkyPoint, b: SkyPoint): Boolean =
+  private[queries] def skyDominates(a: SkyPoint, b: SkyPoint): Boolean =
     a.n_tokens >= b.n_tokens && a.ttr_fp >= b.ttr_fp && a.g2_max <= b.g2_max &&
       (a.n_tokens > b.n_tokens || a.ttr_fp > b.ttr_fp || a.g2_max < b.g2_max)
 
@@ -1518,7 +1518,7 @@ object TextQueries {
     * can never dominate an earlier kept one — so the pass is
     * insertion-only: keep p iff no kept q dominates it. Worst case
     * O(n·|skyline|) comparisons, O(|skyline|) memory. */
-  private def skylinePass(it: Iterator[SkyPoint]): Iterator[SkyPoint] = {
+  private[queries] def skylinePass(it: Iterator[SkyPoint]): Iterator[SkyPoint] = {
     val pts = it.toArray
     java.util.Arrays.sort(pts, (a: SkyPoint, b: SkyPoint) => {
       val c1 = java.lang.Long.compare(b.n_tokens, a.n_tokens)
@@ -2092,25 +2092,37 @@ object TextQueries {
     * TopKPerGroup per-partition heaps at k = max quota, so the shuffle
     * carries ≤ k rows per (partition, stratum) and the rank window runs
     * over survivors only — no corpus-sized window partition. */
+  /** Hamilton's largest-remainder apportionment (pure): distribute
+    * `budget` integer seats over strata proportionally to their masses —
+    * every stratum gets its floor quota and the leftover seats go to the
+    * largest fractional remainders, ties broken on the stratum key.
+    * Laws (property-tested in DecompositionLawsSpec): Σ quotas = budget
+    * exactly, and each quota ∈ {⌊share⌋, ⌈share⌉} of the exact
+    * proportional share. Bound: budget·mass < 2⁶³. */
+  private[queries] def hamiltonApportion(
+      strata: Seq[((String, String), Long)], budget: Long): Seq[((String, String), Long)] = {
+    val n = strata.map(_._2).sum
+    val based = strata.map { case (k, ns) =>
+      (k, (budget * ns) / n, (budget * ns) % n)
+    }
+    val extra = (budget - based.map(_._2).sum).toInt
+    based.sortBy { case ((src, lg), _, rem) => (-rem, src, lg) }
+      .zipWithIndex
+      .map { case ((k, base, _), i) => (k, base + (if (i < extra) 1L else 0L)) }
+  }
+
   def x09EvalApportion(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("source"), col("lang"))
     val strata = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
-      .sortBy(_._1)
+      .sortBy(_._1).toSeq
     val n = strata.map(_._2).sum
     val budget = if (n == 0L) 0L else n / EvalDenom
     if (budget == 0L) // corpus smaller than the denominator: empty split
       return docs.limit(0).selectExpr("doc_id", "source", "lang",
         "CAST(0 AS BIGINT) AS rk", "CAST(0 AS BIGINT) AS quota")
-    val based = strata.map { case (k, ns) =>
-      (k, (budget * ns) / n, (budget * ns) % n)
-    }
-    val extra = (budget - based.map(_._2).sum).toInt
-    val bumped = based.sortBy { case ((src, lg), _, rem) => (-rem, src, lg) }
-      .zipWithIndex
-      .map { case ((k, base, _), i) => (k, base + (if (i < extra) 1L else 0L)) }
     quotaSelect(docs, Seq("source", "lang"),
-      bumped.toSeq.map { case ((src, lg), q) => (Seq(src, lg), q) }, "rk")
+      hamiltonApportion(strata, budget).map { case ((src, lg), q) => (Seq(src, lg), q) }, "rk")
   }
 
   /** p04: DATASET CARD — the per-(source, language) corpus report every
