@@ -50,6 +50,7 @@ object SparkEntry {
     "q13_chunks_for_range" -> (SegmentQueries.q13ChunksForRange _),
     "r01_format_route" -> (SegmentQueries.r01FormatRoute _),
     "r02_iceberg_stats" -> (SegmentQueries.r02IcebergStats _),
+    "r03_time_range_scan" -> (SegmentQueries.r03TimeRangeScan _),
     "t01_token_stats" -> (TextQueries.t01TokenStats _),
     "t02_quality" -> (TextQueries.t02Quality _),
     "t03_langid" -> (TextQueries.t03LangId _),
@@ -594,6 +595,12 @@ object SparkEntry {
       s"""SELECT doc_id % ${SegmentQueries.R02Buckets} AS bucket,
          |       COUNT(*) AS n_rows, MIN(doc_id) AS min_off, MAX(doc_id) AS max_off
          |FROM documents GROUP BY 1""".stripMargin,
+    "r03_time_range_scan" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(1700000000000 + doc_id AS BIGINT) AS ts,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id >= 100 AND doc_id <= 1100""".stripMargin,
     "q18_exact_quantiles" ->
       """WITH r AS (SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,

@@ -139,4 +139,56 @@ object SegmentQueries {
     import s.implicits._
     stats.toDF("bucket", "n_rows", "min_off", "max_off")
   }
+
+  /** Records per tiered segment in [[r03TimeRangeScan]]'s store — a fixed
+    * width, so the segment count grows with the corpus (the 100 TB shape)
+    * while the time-range read plans O(range/width) of them. */
+  val R03SegmentRows = 8192L
+
+  /** r03: the TIME-RANGE SCAN over tiered segments, end-to-end through the
+    * `graft-segments` DSv2 source (r8, VERDICT r7 task 1). Documents become
+    * Kafka records (offset = doc_id, timestamp = epoch + doc_id), ride the
+    * DSv2 WRITE path into a fresh tiered store ([[R03SegmentRows]]-record
+    * segments, manifest `RecordStats` computed by the upload job), and the
+    * OUTPUT is `spark.read.format("graft-segments")` filtered to a
+    * timestamp range — the "what happened since yesterday" ops query. The
+    * scan prunes segments by manifest stats bounds
+    * ([[graft.sources.v2.SegmentsScan.statsPrune]]): at 100 TB the range
+    * plans only the segments whose interval intersects, fetching none of
+    * the rest (partition-count assertions live in GraftSegmentsSourceSpec;
+    * this row makes the pruned read oracle-visible — DuckDB recomputes the
+    * same rows straight from `documents`). */
+  def r03TimeRangeScan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val T0 = 1700000000000L
+    val rows = documents(s, d).selectExpr(
+      s"concat('docs-', lpad(CAST((doc_id div $R03SegmentRows) * $R03SegmentRows AS STRING), 20, '0')) AS segment_key",
+      s"""named_struct(
+         |  'partition', 0,
+         |  'offset', doc_id,
+         |  'timestamp', $T0 + doc_id,
+         |  'batch_byte_offset', 0,
+         |  'batch_base_offset', doc_id,
+         |  'batch_partition_leader_epoch', 0,
+         |  'batch_magic', 2,
+         |  'batch_timestamp_type', 0,
+         |  'batch_compression_type', 0,
+         |  'batch_max_timestamp', $T0 + doc_id,
+         |  'batch_producer_id', CAST(-1 AS BIGINT),
+         |  'batch_producer_epoch', -1,
+         |  'batch_base_sequence', -1) AS kafka""".stripMargin,
+      "CAST(array() AS ARRAY<STRUCT<key: STRING, value: BINARY>>) AS headers",
+      "CAST(CONCAT('k', doc_id) AS BINARY) AS key_raw",
+      "CAST(text AS BINARY) AS value_raw")
+    val store = java.nio.file.Files.createTempDirectory("graft-r03").toString
+    rows.repartition(col("segment_key"))
+      .write.format("graft-segments").option("root", store).mode("append").save()
+    s.read.format("graft-segments").option("root", store).load()
+      .filter(col("kafka.timestamp") >= T0 + 100L && col("kafka.timestamp") <= T0 + 1100L)
+      .select(
+        col("kafka.offset").as("doc_id"),
+        col("kafka.timestamp").as("ts"),
+        org.apache.spark.sql.functions.length(col("value_raw").cast("string"))
+          .cast("long").as("n_chars"))
+  }
 }

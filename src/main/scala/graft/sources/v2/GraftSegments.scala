@@ -10,7 +10,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringStartsWith}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.Row
@@ -96,11 +97,24 @@ object GraftSegments {
                                 * drains as bounded, checkpointable batches
                                 * instead of one giant catch-up batch. */
                               maxSegmentsPerTrigger: Int = 0,
-                              maxBytesPerTrigger: Long = 0L) {
+                              maxBytesPerTrigger: Long = 0L,
+                              /** Write-path AES-GCM, mirroring the reference's
+                                * `encryption.enabled`: None (default) =
+                                * derived from whether RSA keys were supplied;
+                                * Some(true) without keys fails HERE (driver,
+                                * planning time) instead of as a per-task
+                                * crypto error on executors. */
+                              encryptionOpt: Option[Boolean] = None) {
     require(maxSegmentsPerTrigger >= 0,
       s"stream.maxSegmentsPerTrigger must be >= 0, got $maxSegmentsPerTrigger")
     require(maxBytesPerTrigger >= 0,
       s"stream.maxBytesPerTrigger must be >= 0, got $maxBytesPerTrigger")
+    require(!(encryptionOpt.contains(true) && rsaPublicKeyB64.isEmpty),
+      "graft-segments: option encryption=true requires rsaPublicKeyB64 " +
+        "(and rsaPrivateKeyB64 for reads) — no key material was supplied")
+    /** Effective write-path encryption: explicit option wins; otherwise on
+      * iff key material is present. */
+    def encryption: Boolean = encryptionOpt.getOrElse(rsaPublicKeyB64.nonEmpty)
     /** Register the configured [[StorageBackends.Provider]] (idempotent) —
       * runs on DRIVER AND EXECUTORS before any storage resolution, so a
       * schemed root works wherever the partition lands; mirrors the
@@ -116,6 +130,7 @@ object GraftSegments {
       val dec = java.util.Base64.getDecoder
       SegmentJobConfig(
         storageRoot = root,
+        encryption = encryption,
         rsaPublicKey = if (rsaPublicKeyB64.isEmpty) Array.emptyByteArray else dec.decode(rsaPublicKeyB64),
         rsaPrivateKey = if (rsaPrivateKeyB64.isEmpty) Array.emptyByteArray else dec.decode(rsaPrivateKeyB64))
     }
@@ -131,7 +146,8 @@ object GraftSegments {
         Option(o.get("read.prefetch.bytes")).map(_.toLong).getOrElse(0L),
         Option(o.get("read.cache.bytes")).map(_.toLong).getOrElse(256L << 20),
         Option(o.get("stream.maxSegmentsPerTrigger")).map(_.toInt).getOrElse(0),
-        Option(o.get("stream.maxBytesPerTrigger")).map(_.toLong).getOrElse(0L))
+        Option(o.get("stream.maxBytesPerTrigger")).map(_.toLong).getOrElse(0L),
+        Option(o.get("encryption")).map(_.toBoolean))
     }
   }
 }
@@ -258,15 +274,20 @@ final class SegmentsScanBuilder(conf: GraftSegments.SourceConf)
     } else false
   }
 
-  /** Keep the segment_key filters we can prune WITH; return everything as
-    * residual — segment-level pruning is coarse by design. */
+  /** Keep the filters we can prune WITH; return everything as residual —
+    * segment-level pruning is coarse by design. Two prunable families:
+    * `segment_key` shapes (string listing, zero extra I/O) and — since r8 —
+    * offset/timestamp RANGE shapes (`kafka.offset` / `kafka.timestamp`
+    * compared to a literal), pruned against each manifest's exact
+    * [[graft.core.RecordStats]] bounds: the mirror of the reference's
+    * offset/timestamp-indexed fetch (`RemoteStorageManager.java:137-152`).
+    * "What happened since yesterday" over a 100 TB store then plans only
+    * the segments whose stats interval intersects the predicate;
+    * stats-less segments (reference-written manifests) are ALWAYS planned
+    * and the residual filter re-evaluates rows exactly. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pruning = filters.filter {
-      case EqualTo("segment_key", _: String) => true
-      case In("segment_key", _)              => true
-      case StringStartsWith("segment_key", _) => true
-      case _                                  => false
-    }
+    pruning = filters.filter(f =>
+      SegmentsScan.isKeyPrunable(f) || SegmentsScan.isStatsPrunable(f))
     filters
   }
   override def pushedFilters(): Array[Filter] = pruning
@@ -332,13 +353,90 @@ object SegmentsScan {
       .toArray
   }
 
-  /** Per-key manifest `RecordStats` count, if the manifest parses and
-    * carries stats (reference-written manifests may not). */
-  private[v2] def statsCount(conf: GraftSegments.SourceConf, key: String): Option[Long] = {
+  /** Per-key manifest `RecordStats`, if the manifest parses and carries
+    * stats (reference-written manifests may not). */
+  private[v2] def statsOf(conf: GraftSegments.SourceConf,
+                          key: String): Option[graft.core.RecordStats] = {
     val manifestSuffix = "." + graft.sources.ObjectKey.Suffix.Manifest.value
     try graft.core.SegmentManifest.fromJson(new String(
-      conf.storage.fetchBytes(s"$key$manifestSuffix"), "UTF-8")).recordStats.map(_.count)
+      conf.storage.fetchBytes(s"$key$manifestSuffix"), "UTF-8")).recordStats
     catch { case _: Exception => None }
+  }
+
+  private[v2] def statsCount(conf: GraftSegments.SourceConf, key: String): Option[Long] =
+    statsOf(conf, key).map(_.count)
+
+  private[v2] def isKeyPrunable(f: Filter): Boolean = f match {
+    case EqualTo("segment_key", _: String)  => true
+    case In("segment_key", _)               => true
+    case StringStartsWith("segment_key", _) => true
+    case _                                  => false
+  }
+
+  /** The offset/timestamp shapes the manifest `RecordStats` interval can
+    * prune on: comparisons of `kafka.offset` / `kafka.timestamp` (the
+    * dotted nested-field names V2 filter translation produces) against an
+    * integral literal. */
+  private[v2] def isStatsPrunable(f: Filter): Boolean = {
+    def ok(attr: String, v: Any): Boolean =
+      (attr == "kafka.offset" || attr == "kafka.timestamp") &&
+        (v match { case _: java.lang.Long | _: java.lang.Integer |
+                        _: java.lang.Short | _: java.lang.Byte => true; case _ => false })
+    f match {
+      case GreaterThan(a, v)        => ok(a, v)
+      case GreaterThanOrEqual(a, v) => ok(a, v)
+      case LessThan(a, v)           => ok(a, v)
+      case LessThanOrEqual(a, v)    => ok(a, v)
+      case EqualTo(a, v)            => ok(a, v)
+      case In(a, vs)                => vs.nonEmpty && vs.forall(v => ok(a, v))
+      case _                        => false
+    }
+  }
+
+  /** Can a segment with these (exact) stats contain a row satisfying every
+    * stats-prunable filter? `None` (stats-less manifest) → always planned;
+    * an empty segment can satisfy nothing. Conservative by construction:
+    * the residual filter above the scan re-evaluates rows exactly, so a
+    * `true` that turns out rowless only costs one fetch, never wrongness. */
+  private[v2] def statsKeep(filters: Array[Filter],
+                            stats: Option[graft.core.RecordStats]): Boolean =
+    stats match {
+      case None => true
+      case Some(s) =>
+        if (s.count == 0L) filters.isEmpty
+        else {
+          def bounds(attr: String): (Long, Long) = attr match {
+            case "kafka.offset" => (s.minOffset, s.maxOffset)
+            case _              => (s.minTimestamp, s.maxTimestamp)
+          }
+          def lv(v: Any): Long = v.asInstanceOf[Number].longValue
+          filters.forall {
+            case GreaterThan(a, v)        => bounds(a)._2 > lv(v)
+            case GreaterThanOrEqual(a, v) => bounds(a)._2 >= lv(v)
+            case LessThan(a, v)           => bounds(a)._1 < lv(v)
+            case LessThanOrEqual(a, v)    => bounds(a)._1 <= lv(v)
+            case EqualTo(a, v) =>
+              val (lo, hi) = bounds(a); val x = lv(v); lo <= x && x <= hi
+            case In(a, vs) =>
+              val (lo, hi) = bounds(a); vs.exists(v => { val x = lv(v); lo <= x && x <= hi })
+            case _ => true
+          }
+        }
+    }
+
+  /** Segment skipping on manifest stats: drop keys whose `RecordStats`
+    * interval provably misses every stats-prunable filter. One small
+    * manifest GET per surviving key-listed segment (memoized per scan),
+    * driver-side, no log byte — at 100 TB a time-range query's planning
+    * I/O is manifests only, and its execution fetches just the matching
+    * segments. */
+  private[v2] def statsPrune(conf: GraftSegments.SourceConf, keys: Array[String],
+                             filters: Array[Filter],
+                             memo: scala.collection.concurrent.Map[String, Option[graft.core.RecordStats]])
+      : Array[String] = {
+    val statsFilters = filters.filter(isStatsPrunable)
+    if (statsFilters.isEmpty) keys
+    else keys.filter(k => statsKeep(statsFilters, memo.getOrElseUpdate(k, statsOf(conf, k))))
   }
 
   /** The prunable-filter predicate over one segment key — shared by the
@@ -441,6 +539,12 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
   private def segStats(k: String): Option[Long] =
     statsMemo.get(k).orElse(SegmentsScan.statsCount(conf, k))
 
+  /** Per-scan memo for the stats-pruning manifest reads (segment skipping
+    * on offset/timestamp range filters): one GET per key per scan, shared
+    * by re-plans (AQE) and the streaming listing. */
+  private val pruneMemo =
+    new scala.collection.concurrent.TrieMap[String, Option[graft.core.RecordStats]]
+
   override def planInputPartitions(): Array[InputPartition] = {
     conf.ensureBackend()
     // Pushed OFFSET (r7): drop whole segments below the skip boundary,
@@ -457,7 +561,9 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
     var skipped = 0L
     var firstSkip = 0L
     val keys =
-      if (offset == 0L) SegmentsScan.listSegments(conf, pruning ++ runtimeFilters)
+      if (offset == 0L)
+        SegmentsScan.statsPrune(conf,
+          SegmentsScan.listSegments(conf, pruning ++ runtimeFilters), pruning, pruneMemo)
       else {
         val statics = SegmentsScan.listSegments(conf, pruning)
         val it = statics.iterator
@@ -525,9 +631,13 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
     new SegmentsMicroBatchStream(this)
 
   // the stream's own listing: never limit-truncated (a pushed batch LIMIT
-  // must not shorten a micro-batch offset range)
+  // must not shorten a micro-batch offset range). Stats pruning applies —
+  // manifests are immutable once written, so the pruned listing is as
+  // deterministic as the raw one and a timestamp-bounded replay skips
+  // non-matching segments entirely.
   private[v2] def segmentKeys(): Array[String] =
-    SegmentsScan.listSegments(conf, pruning ++ runtimeFilters)
+    SegmentsScan.statsPrune(conf,
+      SegmentsScan.listSegments(conf, pruning ++ runtimeFilters), pruning, pruneMemo)
 
   private[v2] def readerFactory(): PartitionReaderFactory = createReaderFactory()
 
@@ -573,6 +683,10 @@ object SegmentCountOffset {
         s"invalid graft-segments stream offset '$json': expected a JSON object " +
           """{"n":N,"last":"key"} or a legacy non-negative integer""")
   }
+}
+
+object SegmentsMicroBatchStream {
+  private[v2] val log = org.slf4j.LoggerFactory.getLogger(classOf[SegmentsMicroBatchStream])
 }
 
 final class SegmentsMicroBatchStream(scan: SegmentsScan)
@@ -628,10 +742,26 @@ final class SegmentsMicroBatchStream(scan: SegmentsScan)
     while (end < keys.length && !stop) {
       if (maxSeg.exists(m => end - a >= m)) stop = true
       else {
-        val sz = maxBytes.fold(0L)(_ =>
-          try storage.size(keys(end) + logSuffix) catch { case _: Exception => 0L })
-        if (maxBytes.exists(m => end > a && bytes + sz > m)) stop = true
-        else { bytes += sz; end += 1 }
+        // a size() failure must NOT count as 0 bytes: under a persistently
+        // failing metadata endpoint that silently degrades the byte cap to
+        // unlimited. Conservative instead: stop admitting for this trigger
+        // (progress guarantee intact — the first segment past `start` is
+        // always admitted, sized or not).
+        val sz = maxBytes.fold(Some(0L): Option[Long])(_ =>
+          try Some(storage.size(keys(end) + logSuffix)) catch { case _: Exception => None })
+        sz match {
+          case None =>
+            SegmentsMicroBatchStream.log.warn(
+              s"graft-segments: size(${keys(end)}$logSuffix) failed; admitting " +
+                (if (end == a) "it alone (progress guarantee) and " else "") +
+                "no further segments this trigger (stream.maxBytesPerTrigger " +
+                "cannot be enforced without metadata)")
+            if (end == a) end += 1
+            stop = true
+          case Some(v) =>
+            if (maxBytes.exists(m => end > a && bytes + v > m)) stop = true
+            else { bytes += v; end += 1 }
+        }
       }
     }
     SegmentCountOffset(end.toLong, if (end == 0) "" else keys(end - 1))

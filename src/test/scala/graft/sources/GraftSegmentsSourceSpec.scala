@@ -98,6 +98,63 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     assert(filtered.length == 3)
   }
 
+  test("stats pruning: offset/timestamp range filters skip segments by manifest RecordStats (r8)") {
+    val (store, cfg, keys) = setup()
+    import graft.sources.v2.SegmentsScan
+    // offsets 0..29 across 3 segments; timestamps 1700000000000 + offset
+    val T0 = 1700000000000L
+
+    // "what happened since T": only the last segment's stats interval
+    // intersects — 1 planned partition, exact rows
+    SegmentsScan.lastPlannedPartitions = -1
+    val since = reader(store, cfg).load()
+      .where(col("kafka.timestamp") >= T0 + 20)
+      .select("kafka.offset").collect().map(_.getLong(0)).sorted
+    assert(since.toSeq == (20L until 30L))
+    assert(SegmentsScan.lastPlannedPartitions == 1,
+      s"timestamp >= T+20 must plan 1 of 3 segments, planned ${SegmentsScan.lastPlannedPartitions}")
+
+    // a closed interval straddling two segments plans exactly those two
+    SegmentsScan.lastPlannedPartitions = -1
+    val mid = reader(store, cfg).load()
+      .where(col("kafka.timestamp") >= T0 + 5 && col("kafka.timestamp") <= T0 + 12)
+      .select("kafka.offset").collect().map(_.getLong(0)).sorted
+    assert(mid.toSeq == (5L to 12L))
+    assert(SegmentsScan.lastPlannedPartitions == 2,
+      s"mid-range must plan 2 of 3 segments, planned ${SegmentsScan.lastPlannedPartitions}")
+
+    // offset ranges prune identically (the high-watermark tail query)
+    SegmentsScan.lastPlannedPartitions = -1
+    val tail = reader(store, cfg).load()
+      .where(col("kafka.offset") > 19L)
+      .select("kafka.offset").collect().map(_.getLong(0)).sorted
+    assert(tail.toSeq == (20L until 30L))
+    assert(SegmentsScan.lastPlannedPartitions == 1)
+
+    // offset point lookup plans one segment
+    SegmentsScan.lastPlannedPartitions = -1
+    assert(reader(store, cfg).load().where(col("kafka.offset") === 15L).count() == 1)
+    assert(SegmentsScan.lastPlannedPartitions == 1)
+
+    // stats-less manifests are ALWAYS planned (reference-written segments):
+    // strip recordStats from segment 0's manifest; the same query now plans
+    // it too, and the residual filter keeps the answer byte-identical
+    val mSuffix = "." + ObjectKey.Suffix.Manifest.value
+    val mPath = java.nio.file.Paths.get(store, keys.head + mSuffix)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readAllBytes(mPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("recordStats")
+    Files.write(mPath, mapper.writeValueAsBytes(node))
+    SegmentsScan.lastPlannedPartitions = -1
+    val since2 = reader(store, cfg).load()
+      .where(col("kafka.timestamp") >= T0 + 20)
+      .select("kafka.offset").collect().map(_.getLong(0)).sorted
+    assert(since2.toSeq == (20L until 30L))
+    assert(SegmentsScan.lastPlannedPartitions == 2,
+      s"stats-less segment must be planned conservatively, planned ${SegmentsScan.lastPlannedPartitions}")
+  }
+
   test("topN pushdown: tail-the-log plans from the END of the store; gated on prefix (r7)") {
     val (store, cfg, keys) = setup()
     val pfx = keys.head.take(3) // shared sanitized prefix of all three keys
