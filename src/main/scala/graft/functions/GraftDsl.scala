@@ -197,6 +197,12 @@ object GraftDsl {
     s.conf.set(graft.plans.RangeBinJoin.SubdivisionsKey, k.toString)
     s.conf.set(graft.plans.BandAggPushdown.RowsPerWindowKey, rpw.toString)
     s.conf.set(graft.plans.BandTuning.MaxRowsPerWindowKey, maxWin.toString)
+    // record WHAT was measured (r8): the rules trust these session-global
+    // values only for a band on the same (axis, width) — a later query on
+    // a different axis in the same session falls back to lazy sampling
+    // instead of inheriting a stale density into the AVG 2⁵³ guard
+    s.conf.set(graft.plans.BandTuning.TuneAxisKey,
+      graft.plans.BandTuning.axisFingerprint(axisCol.toString, windowWidth))
     k
   }
 

@@ -279,11 +279,16 @@ object BandAggPushdown extends Rule[LogicalPlan] with PredicateHelper {
       p.find(_.expressions.exists(!_.deterministic)).isEmpty
     if (!planDeterministic(xSide) || !planDeterministic(ySide)) return None
 
-    // measured density: explicit tuneRangeBins confs win; unset, sample
-    // lazily at planning time (BandTuning, r7) so the naive formulation
-    // gets the same crossover + k without a pre-flight call
-    val confRpw = conf.getConfString(RowsPerWindowKey, "")
-    val confMaxWin = conf.getConfString(BandTuning.MaxRowsPerWindowKey, "")
+    // measured density: explicit tuneRangeBins confs win — but ONLY for
+    // the (axis, width) they were measured on (r8 fingerprint gate: a
+    // stale maxRowsPerWindow from a sparser axis must not feed the AVG
+    // guard below); unset or mismatched, sample lazily at planning time
+    // (BandTuning, r7) so the naive formulation gets the same crossover +
+    // k without a pre-flight call
+    val trustConfs = BandTuning.confsApplyTo(conf, band.x, band.width)
+    val confRpw = if (trustConfs) conf.getConfString(RowsPerWindowKey, "") else ""
+    val confMaxWin =
+      if (trustConfs) conf.getConfString(BandTuning.MaxRowsPerWindowKey, "") else ""
     lazy val sampledDensity = BandTuning.density(xSide, band.x, band.width)
     val rpw: Option[Double] =
       if (confRpw.nonEmpty) Some(confRpw.toDouble)

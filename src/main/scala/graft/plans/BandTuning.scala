@@ -52,11 +52,56 @@ object BandTuning {
     * [[BandAggPushdown]]'s AVG 2⁵³ exactness guard. */
   val MaxRowsPerWindowKey = "spark.graft.rangebin.maxRowsPerWindow"
 
+  /** Fingerprint of the (axis, width) the explicit `tuneRangeBins` confs
+    * were measured on (r8, advisor): the session confs are global, so a
+    * tune on a sparse axis must not leak into a later band query on a
+    * denser axis in the same session — the AVG 2⁵³ guard would read the
+    * stale small `maxRowsPerWindow` and wrongly admit a lossy
+    * decomposition. Rules trust the value confs only when this
+    * fingerprint matches the band at hand ([[confsApplyTo]]); manually
+    * set confs (no fingerprint) keep the pre-r8 always-trusted contract. */
+  val TuneAxisKey = "spark.graft.rangebin.tuneAxis"
+
+  /** Canonical `<axisName>/w=<width>` fingerprint. Named axes (the
+    * tuneRangeBins contract takes a column) fingerprint by
+    * case-insensitive name; a non-named band-x expression at rule time
+    * then never matches — conservative: the rule falls back to lazy
+    * sampling rather than trusting confs measured elsewhere. */
+  def axisFingerprint(e: Expression, w: Long): String =
+    axisFingerprint(e match {
+      case n: NamedExpression => n.name
+      case other => scala.util.Try(other.sql).getOrElse(other.toString)
+    }, w)
+
+  /** Name-form fingerprint — the DSL side hands the user-facing column
+    * string (a simple `col("us")` renders as its name; anything more
+    * complex never matches a rule-side attribute, which is the safe
+    * direction). */
+  def axisFingerprint(name: String, w: Long): String =
+    s"${name.toLowerCase(java.util.Locale.ROOT)}/w=$w"
+
+  /** Do the session's explicit tuning confs apply to this band? True when
+    * no fingerprint is recorded (manual conf set) or it matches. */
+  def confsApplyTo(conf: org.apache.spark.sql.internal.SQLConf,
+                   x: Expression, w: Long): Boolean = {
+    val fp = conf.getConfString(TuneAxisKey, "")
+    fp.isEmpty || fp == axisFingerprint(x, w)
+  }
+
   /** One axis sample: size-biased mean + sound max window population. */
   final case class Density(rowsPerWindow: Double, maxWindowRows: Double)
 
-  private val densityCache = new ConcurrentHashMap[String, Option[Density]]()
-  private val maxAbsCache = new ConcurrentHashMap[String, Option[Double]]()
+  /** Structural cache key (r8, advisor): the CANONICALIZED plan and
+    * expression objects themselves, compared by Catalyst's case-class
+    * structural equality (the `sameResult` contract) — not their hash
+    * values, whose collision would silently return another axis's
+    * measured density into a correctness-relevant path (the AVG 2⁵³
+    * guard). */
+  private final case class Key(sessionId: Int, plan: LogicalPlan,
+                               e: Expression, tag: String)
+
+  private val densityCache = new ConcurrentHashMap[Key, Option[Density]]()
+  private val maxAbsCache = new ConcurrentHashMap[Key, Option[Double]]()
 
   private val inSample = new ThreadLocal[java.lang.Boolean] {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
@@ -66,24 +111,32 @@ object BandTuning {
   def clearCache(): Unit = { densityCache.clear(); maxAbsCache.clear() }
 
   private def cacheKey(s: SparkSession, plan: LogicalPlan, e: Expression,
-                       tag: String): String =
-    s"${System.identityHashCode(s)}/${plan.canonicalized.hashCode()}/${e.semanticHash()}/$tag"
+                       tag: String): Key =
+    Key(System.identityHashCode(s), plan.canonicalized, e.canonicalized, tag)
 
   /** Run `body` once per cache key with the re-entrancy latch held;
-    * None when sampling is disabled, re-entrant, or fails. */
-  private def sampled[A](cache: ConcurrentHashMap[String, Option[A]],
+    * None when sampling is disabled, re-entrant, or fails. The sampling
+    * job runs OUTSIDE any map lock (r8, advisor: a blocking Spark job
+    * inside `computeIfAbsent` stalls unrelated planner threads whose keys
+    * hash to the same bin): racing planners may rarely sample the same
+    * axis twice; first write wins and both see one consistent value. */
+  private def sampled[A](cache: ConcurrentHashMap[Key, Option[A]],
                          plan: LogicalPlan, e: Expression, tag: String)
                         (body: SparkSession => Option[A]): Option[A] = {
     if (inSample.get()) return None
     val s = SparkSession.getActiveSession.getOrElse(return None)
     if (!java.lang.Boolean.parseBoolean(
         s.conf.get(AutoSampleKey, "true"))) return None
-    cache.computeIfAbsent(cacheKey(s, plan, e, tag), _ => {
-      inSample.set(java.lang.Boolean.TRUE)
+    val key = cacheKey(s, plan, e, tag)
+    val cached = cache.get(key)
+    if (cached != null) return cached
+    inSample.set(java.lang.Boolean.TRUE)
+    val v =
       try body(s)
       catch { case NonFatal(_) => None }
       finally inSample.set(java.lang.Boolean.FALSE)
-    })
+    val prev = cache.putIfAbsent(key, v)
+    if (prev != null) prev else v
   }
 
   private def agg(fn: AggregateFunction, name: String): NamedExpression =

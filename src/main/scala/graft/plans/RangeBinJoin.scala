@@ -107,10 +107,16 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
     val (xSide, ySide) = if (xOnLeft) (j.left, j.right) else (j.right, j.left)
 
     // bin width b = ceil(w/k). Explicit conf (tuneRangeBins pre-flight)
-    // wins; unset, LAZILY sample the axis density at planning time
-    // (BandTuning, r7) so the naive formulation gets measured sub-binning
-    // too; no session and sampling off → k=1, the classic two-bin plan
-    val k = conf.getConfString(SubdivisionsKey, "") match {
+    // wins when its axis fingerprint matches this band (r8 gate — a k
+    // tuned for another axis/width is noise here); unset or mismatched,
+    // LAZILY sample the axis density at planning time (BandTuning, r7) so
+    // the naive formulation gets measured sub-binning too; no session and
+    // sampling off → k=1, the classic two-bin plan
+    val confK =
+      if (BandTuning.confsApplyTo(conf, band.x, band.width))
+        conf.getConfString(SubdivisionsKey, "")
+      else ""
+    val k = confK match {
       case "" => BandTuning.density(xSide, band.x, band.width)
         .map(d => chooseSubdivisions(d.rowsPerWindow)).getOrElse(1)
       case s => math.max(1, s.toInt)

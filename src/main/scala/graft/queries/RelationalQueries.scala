@@ -375,14 +375,11 @@ object RelationalQueries {
     val winUs = 3600L * 1000000
     val acts = events(s, d)
       .select(unix_micros(col("ts")).as("us"), col("event_id").as("act_id"))
-    // Stats-driven bin width (r4 verdict task 3): ONE count/min/max
-    // aggregate estimates rows-per-window; RangeBinJoin then subdivides
-    // its bins so each holds ~TargetRowsPerBin candidates regardless of
-    // axis density. At sf0.1 this stays k=1 (the classic two-bin plan);
-    // at the 10× replica density crosses the target and k rises, holding
-    // the candidate slop flat instead of doubling with density.
-    graft.functions.GraftDsl.tuneRangeBins(acts, col("us"), winUs)
-    // pin the r6 cost crossover to its default: BandAggPushdown decomposes
+    // NO pre-flight (r8, VERDICT r7 task 4): this is the PRODUCTION path —
+    // BandTuning samples the axis density lazily at planning time
+    // (proven plan-identical to the tuneRangeBins pre-flight in
+    // PlanChecksSpec), so the bench measures what a user actually gets.
+    // Pin the r6 cost crossover to its default: BandAggPushdown decomposes
     // only when the measured density clears it (i04 forces 0 in the same
     // session, so the knob is set explicitly here, not inherited)
     s.conf.set(graft.plans.BandAggPushdown.MinRowsPerWindowKey,
@@ -445,7 +442,11 @@ object RelationalQueries {
     val winUs = 3600L * 1000000
     val acts = events(s, d).select(unix_micros(col("ts")).as("us"),
       expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
-    graft.functions.GraftDsl.tuneRangeBins(acts, col("us"), winUs)
+    // decomposition forced, but density/max-window come from the LAZY
+    // planning-time sampler (r8 — no tuneRangeBins pre-flight): the AVG
+    // 2⁵³ exactness guard runs on a fresh sample of THIS axis, never on
+    // session confs tuned elsewhere (the r8 fingerprint gate enforces the
+    // same for any confs that do linger)
     s.conf.set(graft.plans.BandAggPushdown.MinRowsPerWindowKey, "0")
     val errors = events(s, d).filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("err_us"))

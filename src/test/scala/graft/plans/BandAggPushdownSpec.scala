@@ -39,6 +39,7 @@ class BandAggPushdownSpec extends SparkSpec {
     spark.conf.unset(BandAggPushdown.RowsPerWindowKey)
     spark.conf.unset(BandTuning.MaxRowsPerWindowKey)
     spark.conf.unset(RangeBinJoin.SubdivisionsKey)
+    spark.conf.unset(BandTuning.TuneAxisKey)
   }
 
   private def probe = (0L until 150L).map(i => (i, i * 7 % 97)).toDF("pid", "px")
@@ -124,6 +125,34 @@ class BandAggPushdownSpec extends SparkSpec {
       assert(!p.contains("graft_full_bin"), p.take(2000))
       assert(p.contains("graft_bin"), "RangeBinJoin must still linearize:\n" + p.take(2000))
     } finally spark.conf.unset(BandAggPushdown.RowsPerWindowKey)
+  }
+
+  test("fingerprint gate: tuning confs from ANOTHER axis are ignored, matching ones trusted (r8)") {
+    GraftFunctions.register(spark)
+    spark.conf.set(BandAggPushdown.MinRowsPerWindowKey,
+      BandAggPushdown.DefaultMinRowsPerWindow.toString)
+    // confs claim a dense axis (would decompose) but were "measured" on a
+    // different (axis, width): the rule must fall back to lazy sampling,
+    // and this axis's TRUE density (≈10 rows/window) is below the
+    // crossover → enumeration plan, stale conf NOT trusted
+    spark.conf.set(BandAggPushdown.RowsPerWindowKey, "1000000.0")
+    spark.conf.set(BandTuning.MaxRowsPerWindowKey, "1000000.0")
+    spark.conf.set(BandTuning.TuneAxisKey, BandTuning.axisFingerprint("other_axis", 999L))
+    try {
+      BandTuning.clearCache()
+      def q = physical(probe.join(build, $"bx" >= $"px" - 10L && $"bx" < $"px")
+        .groupBy($"pid").agg(count($"bid").as("n")))
+      assert(!q.contains("graft_full_bin"),
+        "mismatched fingerprint must NOT trust the stale dense-axis conf:\n" + q.take(2000))
+      // same confs re-stamped for THIS band's (axis, width): trusted again
+      spark.conf.set(BandTuning.TuneAxisKey, BandTuning.axisFingerprint("bx", 10L))
+      assert(q.contains("graft_full_bin"),
+        "matching fingerprint must trust the explicit conf:\n" + q.take(2000))
+    } finally {
+      spark.conf.unset(BandAggPushdown.RowsPerWindowKey)
+      spark.conf.unset(BandTuning.MaxRowsPerWindowKey)
+      spark.conf.unset(BandTuning.TuneAxisKey)
+    }
   }
 
   test("property: random widths/bounds styles — decomposition ≡ nested-loop for count+sum+min+max") {
