@@ -208,7 +208,7 @@ object Bench {
   /** The JMH grid at 10 MiB content: chunk {100 KiB, 1 MiB, 5 MiB} ×
     * comp {off,on} × enc {off,on}; single-thread MB/s (the reference bench
     * is single-pipeline too). */
-  private def transformMatrix(): (Seq[(String, Double)], Seq[(String, Double)]) = {
+  private[graft] def transformMatrix(): (Seq[(String, Double)], Seq[(String, Double)]) = {
     import graft.core.transform._
     val content = new Array[Byte](10 * 1024 * 1024)
     // half-compressible content (mirrors real segment entropy better than pure random)

@@ -71,8 +71,12 @@ object TransformPipeline {
       val index = FixedSizeChunkIndex(effectiveChunkSize, original.length, effectiveChunkSize, finalSize)
       TransformedSegment(Transforms.chunkedBytes(original, effectiveChunkSize).toVector, index)
     } else {
-      val originals = Transforms.chunkedBytes(original, effectiveChunkSize).toVector
-      val transformed = originals.map(transformChunk(_, spec))
+      // stream chunk → transform chunk-by-chunk: materializing all original
+      // chunk copies first would hold a second full content in memory (r8 —
+      // the 1 GiB × 100 KiB point was GC-bound); each copy is now dead as
+      // soon as its transformed chunk exists
+      val transformed = Transforms.chunkedBytes(original, effectiveChunkSize)
+        .map(transformChunk(_, spec)).toVector
       val index: ChunkIndex =
         if (!spec.compression) {
           // Encryption only: constant overhead -> fixed-size index.

@@ -63,7 +63,7 @@ object TextQueries {
   /** One normalization + tokenization pass shared by the text signals —
     * p01 materializes this once and derives quality, language and minhash
     * from it instead of re-tokenizing the corpus per signal. */
-  private def normToks(s: SparkSession, d: String): DataFrame =
+  private[queries] def normToks(s: SparkSession, d: String): DataFrame =
     normToksFrom(documents(s, d))
 
   private def normToksFrom(docs: DataFrame): DataFrame =
@@ -735,9 +735,20 @@ object TextQueries {
     clusterLabels(s, d03MinHashPairs(s, d).localCheckpoint(true),
       documents(s, d).select(col("doc_id")), maxDriverEdges)
 
+  /** Session override for the d07-family driver/distributed crossover —
+    * lets a gate run force the [[graft.operators.ConnectedComponents]]
+    * path at any scale (r8, VERDICT r7 task 5: the distributed operator
+    * must be exercised and label-equivalence-checked at replica scale,
+    * not only at toy sizes). Unset → the caller's threshold. */
+  val CcMaxDriverEdgesKey = "spark.graft.cc.maxDriverEdges"
+
   private[queries] def clusterLabels(
       s: SparkSession, pairs: DataFrame, docIds: DataFrame, maxDriverEdges: Long): DataFrame = {
     import s.implicits._
+    val effMaxDriverEdges = s.conf.get(CcMaxDriverEdgesKey, "") match {
+      case "" => maxDriverEdges
+      case v  => v.toLong
+    }
     // The candidate EDGE set after LSH banding is orders of magnitude
     // smaller than the corpus (only near-dup pairs survive), so connected
     // components reduce to union-find over the collected edges — one linear
@@ -748,7 +759,7 @@ object TextQueries {
     // through the distributed large-star/small-star operator
     // ([[graft.operators.ConnectedComponents]], label-equivalent by spec) —
     // the corpus itself is never shuffled either way.
-    if (pairs.count() > maxDriverEdges) {
+    if (pairs.count() > effMaxDriverEdges) {
       val labels = graft.operators.ConnectedComponents.labels(pairs.toDF("x", "y"))
       return docIds
         .join(labels, col("doc_id") === col("node"), "left")
@@ -1642,6 +1653,54 @@ object TextQueries {
           |     WHEN fr_hits >= es_hits THEN 'fr'
           |     ELSE 'es' END AS pred_lang""".stripMargin)
       .drop("toks", "n_distinct", "en_hits", "de_hits", "fr_hits", "es_hits")
+
+  /** Batch/stream-shared PER-DOC funnel signals (r8, the p03 streaming
+    * twin's stateless leg): for any frame with (doc_id, lang, source,
+    * text, …) emit one narrow row per doc —
+    * (doc_id, source, pass_lang, pass_quality, band0, band1) — using the
+    * EXACT batch kernels: [[cleanSignals]]' quality/language expressions
+    * with the p01/p03 thresholds, and the d02 MinHash shingle kernel +
+    * band hashing (same salted digest pair, same 8×32-bit mins, same
+    * md5-of-hex-concat band values), so the streaming funnel's dedup
+    * components are built from the SAME LSH buckets the batch d03 pair
+    * join keys on. Stateless and narrow — all state lives downstream. */
+  private[graft] def funnelSignals(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    cleanSignals(docs)
+      .selectExpr("doc_id", "source", s"$normExpr AS norm",
+        "pred_lang = lang AS pass_lang",
+        s"n_tokens >= $CleanMinTokens AND ttr >= $CleanMinTtr AS pass_quality")
+      .as[(Long, String, String, Boolean, Boolean)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val mdBand = java.security.MessageDigest.getInstance("MD5")
+        def bandHex(hexConcat: String): String = {
+          mdBand.reset()
+          mdBand.update(hexConcat.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          hex32(mdBand.digest())
+        }
+        rows.map { case (id, src, norm, pl, pq) =>
+          val mins = Array.fill(MinHashK)(-1)
+          foreachShingleDigestPair(md, norm) { (dgA, dgB) =>
+            var k = 0
+            while (k < 4) {
+              def be32(dg: Array[Byte]): Int =
+                ((dg(4 * k) & 0xff) << 24) | ((dg(4 * k + 1) & 0xff) << 16) |
+                  ((dg(4 * k + 2) & 0xff) << 8) | (dg(4 * k + 3) & 0xff)
+              val vA = be32(dgA)
+              if (java.lang.Integer.compareUnsigned(vA, mins(k)) < 0) mins(k) = vA
+              val vB = be32(dgB)
+              if (java.lang.Integer.compareUnsigned(vB, mins(k + 4)) < 0) mins(k + 4) = vB
+              k += 1
+            }
+          }
+          val hex = mins.map(m => f"$m%08x")
+          (id, src, pl, pq,
+            bandHex(hex.take(4).mkString), bandHex(hex.drop(4).mkString))
+        }
+      }
+      .toDF("doc_id", "source", "pass_lang", "pass_quality", "band0", "band1")
+  }
 
   /** Query terms for b01 — a fixed, broadcast-sized keyword set (real
     * deployments parameterize this; the plan shape is identical). */

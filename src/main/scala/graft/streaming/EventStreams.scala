@@ -704,6 +704,100 @@ object EventStreams {
       }
   }
 
+  final case class CurationDoc(doc_id: Long, source: String, pass_lang: Boolean,
+                             pass_quality: Boolean, band0: String, band1: String)
+  final case class CurationState(raw: Long, lang: Long,
+                               s3: Map[Long, String],
+                               parent: Map[Long, Long],
+                               bucket: Map[String, Long])
+  final case class CurationUpdate(stage: Long, stage_name: String, n_docs: Long)
+
+  /** Streaming CURATION-FUNNEL twin of batch p03 (r8, VERDICT r7 task 6):
+    * the per-stage survivor counters — raw → lang → quality → dedup →
+    * quota — maintained by ONE incremental stateful operator. Documents
+    * arrive, the stateless [[graft.queries.TextQueries.funnelSignals]]
+    * projection computes the EXACT batch signals per doc (t02/t03
+    * pass bits and the two d02 LSH band hashes), and a single keyed state
+    * folds them:
+    *
+    *  - raw / lang / quality are plain counters;
+    *  - dedup is an incremental min-id UNION-FIND over the LSH buckets
+    *    (first doc in a band bucket anchors it; later arrivals union with
+    *    the anchor — bucket co-membership generates exactly the d03 pair
+    *    cliques, so components equal the batch d07 clusters after any
+    *    prefix). A later doc can MERGE two clusters and retroactively
+    *    demote an earlier keeper — the count is recomputed from state per
+    *    trigger, so every emission is exact for the rows seen so far, not
+    *    merely monotone;
+    *  - quota needs no ordering at all for a COUNT:
+    *    Σ_source min(k, |dedup∩quality survivors of source|).
+    *
+    * Emits the full five-row funnel per trigger; the LATEST emission set
+    * equals batch p03 over the same rows under any micro-batch slicing
+    * (pinned in StreamingSpec). State is per-doc for the dedup leg
+    * (bucket map + forest) — inherent to exact cross-corpus dedup, as
+    * [[cleanGate]] documents; a 100 TB deployment runs this twin on the
+    * post-gate stream (orders of magnitude smaller) or snapshots the
+    * bucket map to a compacted store, while the counter legs stay O(1). */
+  def curationFunnel(spark: SparkSession, docs: DataFrame): Dataset[CurationUpdate] = {
+    import spark.implicits._
+    val k = graft.queries.TextQueries.SourceQuota
+    graft.queries.TextQueries.funnelSignals(spark, docs).as[CurationDoc]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[CurationDoc], state: GroupState[CurationState]) =>
+          val st = state.getOption.getOrElse(
+            CurationState(0L, 0L, Map.empty, Map.empty, Map.empty))
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long] ++= st.parent
+          val bucket = scala.collection.mutable.HashMap.empty[String, Long] ++= st.bucket
+          val s3 = scala.collection.mutable.HashMap.empty[Long, String] ++= st.s3
+          var raw = st.raw
+          var lang = st.lang
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          def union(a: Long, b: Long): Unit = {
+            val (ra, rb) = (find(a), find(b))
+            // min-id root keeps "keeper = component minimum" exact
+            if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          }
+          rows.foreach { d =>
+            raw += 1
+            if (d.pass_lang) {
+              lang += 1
+              if (d.pass_quality) s3(d.doc_id) = d.source
+            }
+            Seq(d.band0, d.band1).foreach { b =>
+              bucket.get(b) match {
+                case None         => bucket(b) = d.doc_id
+                case Some(anchor) => union(d.doc_id, anchor)
+              }
+            }
+          }
+          // exact counts over everything seen so far (cheap: state-local)
+          var s4 = 0L
+          val bySource = scala.collection.mutable.HashMap.empty[String, Long]
+          s3.foreach { case (id, src) =>
+            if (find(id) == id) {
+              s4 += 1
+              bySource(src) = bySource.getOrElse(src, 0L) + 1L
+            }
+          }
+          val quota = bySource.valuesIterator.map(math.min(_, k.toLong)).sum
+          state.update(CurationState(raw, lang, s3.toMap, parent.toMap, bucket.toMap))
+          Iterator(
+            CurationUpdate(1L, "raw", raw),
+            CurationUpdate(2L, "lang", lang),
+            CurationUpdate(3L, "quality", s3.size.toLong),
+            CurationUpdate(4L, "dedup", s4),
+            CurationUpdate(5L, "quota", quota))
+      }
+  }
+
   final case class TripletState(albl: Long, posId: Long, posCos: Double,
                                 negId: Long, negCos: Double,
                                 hasPos: Boolean, hasNeg: Boolean)

@@ -986,6 +986,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation funnel: latest five-stage counts equal batch p03 across splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.Tables.documents(spark, d)
+      .selectExpr("doc_id", "lang", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // three uneven splits, shuffled WITHIN each: the union-find must merge
+    // clusters across micro-batch boundaries and demote earlier keepers
+    val sorted = rows.sortBy(_._1)
+    val splits = Seq(sorted.take(rows.length / 3),
+      sorted.slice(rows.length / 3, rows.length / 2),
+      sorted.drop(rows.length / 2))
+
+    val input = MemoryStream[(Long, String, String, String)]
+    val docs = input.toDF().toDF("doc_id", "lang", "source", "text")
+    val q = EventStreams.curationFunnel(spark, docs)
+      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
+    splits.foreach { part =>
+      input.addData(part.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val emitted = spark.sql("SELECT * FROM funnel").collect()
+    assert(emitted.length == 5 * splits.size, "five rows per trigger")
+    val latest = emitted.zipWithIndex.groupBy(_._1.getLong(0))
+      .map { case (stage, rs) => stage -> rs.maxBy(_._2)._1.getLong(2) }
+    val batch = graft.queries.TextQueries.p03CurationFunnel(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(latest == batch,
+      s"funnel diverged: stream=$latest batch=$batch")
+    // the intermediate (first-trigger) emission is exact for its prefix:
+    // raw equals the prefix size, and counts are internally monotone
+    // down-funnel within every trigger
+    val first = emitted.take(5).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(first(1L) == (rows.length / 3).toLong)
+    (1L to 4L).foreach(i => assert(first(i) >= first(i + 1), s"stage $i < ${i + 1}"))
+  }
+
   test("streaming scrub: per-arrival verdicts equal the batch ScrubJob on the same store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.{ScrubJob, SegmentJobConfig, SegmentUploadJob}
