@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Per-query strict-oracle sweep with isolation (r8).
+
+Usage: oracle_sweep.py <sfDir> <verifyOutDir> <outJson> [timeoutSec] [name...]
+
+Runs scripts/oracle_check_strict.py once PER QUERY in a subprocess with a
+wall-clock timeout, so a single intractable DuckDB oracle (hours of CPU or
+a disk-filling spill) cannot sink the whole sweep. Records per-query
+status: PASS / FAIL / TIMEOUT / MISSING, plus the strict script's first
+diff lines for failures. Cleans DuckDB temp-spill dirs between queries.
+"""
+import sys, os, json, glob, subprocess, time, shutil
+
+def main():
+    sf_dir, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
+    timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 600
+    only = sys.argv[5:]
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    names = only if only else sorted(
+        n for n in oracle if glob.glob(os.path.join(out_dir, n, "*.parquet")))
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "oracle_check_strict.py")
+    results = {}
+    t_all = time.time()
+    for i, name in enumerate(names):
+        for d in glob.glob("/root/repo/.tmp/duckdb_temp_storage-*"):
+            shutil.rmtree(d, ignore_errors=True)
+        t0 = time.time()
+        try:
+            p = subprocess.run(
+                [sys.executable, script, sf_dir, out_dir, name],
+                capture_output=True, text=True, timeout=timeout)
+            sec = round(time.time() - t0, 1)
+            out = p.stdout
+            if f"PASS {name}" in out:
+                rows = int(out.split("(")[1].split(" rows")[0])
+                results[name] = {"status": "PASS", "rows": rows, "sec": sec}
+            elif f"MISSING {name}" in out:
+                results[name] = {"status": "MISSING", "sec": sec}
+            else:
+                detail = "\n".join(out.strip().splitlines()[:8])
+                results[name] = {"status": "FAIL", "sec": sec, "detail": detail}
+        except subprocess.TimeoutExpired:
+            results[name] = {"status": "TIMEOUT", "sec": timeout}
+        st = results[name]["status"]
+        print(f"[{i+1}/{len(names)}] {st:8s} {name} ({results[name]['sec']}s)",
+              flush=True)
+    summary = {
+        "sf_dir": sf_dir, "timeout_sec": timeout,
+        "total_sec": round(time.time() - t_all, 1),
+        "n_pass": sum(1 for r in results.values() if r["status"] == "PASS"),
+        "n_fail": sum(1 for r in results.values() if r["status"] == "FAIL"),
+        "n_timeout": sum(1 for r in results.values() if r["status"] == "TIMEOUT"),
+        "results": results,
+    }
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"== sweep: {summary['n_pass']} pass, {summary['n_fail']} fail, "
+          f"{summary['n_timeout']} timeout ==")
+
+if __name__ == "__main__":
+    main()

@@ -28,8 +28,14 @@ object ScaleProbe {
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      pass() // warmup
-      val best = math.min(pass(), pass())
+      // SPARK_GRAFT_PROBE_PASSES=1 → one timed pass, no per-query warmup:
+      // the full-coverage 100× BENCH leg (every query measured once) would
+      // otherwise triple its multi-hour wall time for precision the
+      // ratio-statistics don't need (r8, VERDICT r7 task 2)
+      val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "3").toInt
+      val best =
+        if (passes <= 1) pass()
+        else { pass(); (2 to passes).map(_ => pass()).min }
       System.err.println(f"[probe] $name $best%.2f s")
       name -> best
     }
