@@ -53,6 +53,30 @@ object Bench {
     //    the monotonic signature of load ramping up DURING the run.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadBefore = osBean.getSystemLoadAverage
+    // Absolute-throughput canary (r9, VERDICT r8 "What's wrong" #1): spread
+    // and worsening only catch load that CHANGES during the run — steady
+    // background load inflates all three passes uniformly, keeps max/min
+    // near 1.0, and sailed past the r8 gate while every number was 2-20×
+    // off. The 10 MiB chunk-only transform point (pure single-thread memory
+    // streaming; its code path is stable across rounds) is measured first
+    // and compared against the best value this machine ever recorded
+    // (BENCH_CANARY.json, committed next to the artifacts and raised
+    // whenever beaten): landing below 60% of the stored best declares the
+    // whole run contended no matter how self-consistent the passes look.
+    val canaryPath = java.nio.file.Paths.get("BENCH_CANARY.json")
+    val canaryBestStored: Double =
+      try {
+        val s = java.nio.file.Files.readString(canaryPath)
+        """"best_mbps"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(s)
+          .map(_.group(1).toDouble).getOrElse(0.0)
+      } catch { case _: Throwable => 0.0 }
+    val canaryNow = canaryMbps()
+    val canaryContended = canaryTrips(canaryNow, canaryBestStored)
+    if (canaryNow > canaryBestStored) {
+      try java.nio.file.Files.writeString(canaryPath,
+        s"""{"best_mbps":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(canaryNow))},"point":"chunk100_comp0_enc0_10mib"}\n""")
+      catch { case e: Throwable => System.err.println(s"[bench] canary write failed: ${e.getMessage}") }
+    }
     val wallT0 = System.nanoTime()
     val runs: Seq[(String, Vector[Option[Double]])] = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
@@ -79,8 +103,9 @@ object Bench {
       val inc = eligible.count(rs => rs.sliding(2).forall { case Seq(a, b) => b > a })
       if (eligible.isEmpty) 0.0 else inc.toDouble / eligible.size
     }
-    val contended = medianSpread > 2.0 || worsening > 0.4 ||
-      math.max(loadBefore, loadAfter) > 1.5 * osBean.getAvailableProcessors
+    val contended = contendedVerdict(medianSpread, worsening,
+      math.max(loadBefore, loadAfter), osBean.getAvailableProcessors,
+      canaryNow, canaryBestStored)
     val results = runs.map { case (name, rs) =>
       val ok = rs.flatten
       name -> (if (ok.nonEmpty) ok.min else -1.0)
@@ -108,7 +133,8 @@ object Bench {
       s""""env":{"load_before":${f3(loadBefore)},"load_after":${f3(loadAfter)},""" +
         s""""cpus_os":${osBean.getAvailableProcessors},"wall_sec":${f3(wallSec)},""" +
         s""""median_pass_spread":${f3(medianSpread)},"worsening_frac":${f3(worsening)},""" +
-        s""""contended":$contended}"""
+        s""""canary_mbps":${f3(canaryNow)},"canary_best_mbps":${f3(math.max(canaryBestStored, canaryNow))},""" +
+        s""""canary_contended":$canaryContended,"contended":$contended}"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, "%.6f")},"sf":"$sfDir",""" +
         s""""passes":$Passes,"runs":$runsJson$failedJson,$envJson,""" +
@@ -147,10 +173,51 @@ object Bench {
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
     // compact contention flag on the contract line: ~30 chars buys the
     // judge the quiet/tainted verdict without BENCH_DETAIL.json
+    // canary = this run's chunk-only MB/s over the best ever recorded
+    // (1.0 = as fast as the machine has ever been; <0.6 trips contended)
+    val canaryRatio = if (canaryBestStored > 0) canaryNow / canaryBestStored else 1.0
     println(s"""{"metric":"total","value":$totalStr,"unit":"sec",""" +
       s""""queries":$qJson,"sf":"$sfShort"$failedJson,""" +
-      s""""spread":${trim2(medianSpread)},"contended":$contended}""")
+      s""""spread":${trim2(medianSpread)},"canary":${trim2(canaryRatio)},"contended":$contended}""")
     spark.stop()
+  }
+
+  /** True when the absolute canary says the machine is loaded: below 60%
+    * of the best throughput this machine ever recorded for the same pure
+    * memory-streaming point. A zero/absent stored best never trips (first
+    * run on a fresh machine seeds it instead). */
+  private[graft] def canaryTrips(nowMbps: Double, bestMbps: Double): Boolean =
+    bestMbps > 0 && nowMbps < 0.6 * bestMbps
+
+  /** The full contended determination: relative statistics (pass spread,
+    * monotonic worsening, OS load) catch load that ramps during the run;
+    * the absolute canary catches load that is steady for the whole run —
+    * which inflates all passes uniformly and leaves every relative
+    * statistic looking quiet (the r8 artifact's failure mode). */
+  private[graft] def contendedVerdict(medianSpread: Double, worsening: Double,
+      maxLoad: Double, cpus: Int, canaryNow: Double, canaryBest: Double): Boolean =
+    medianSpread > 2.0 || worsening > 0.4 || maxLoad > 1.5 * cpus ||
+      canaryTrips(canaryNow, canaryBest)
+
+  /** The contention canary: single-thread MB/s of the 10 MiB
+    * chunk-only transform (the grid's `chunk100_comp0_enc0` point — no
+    * compression, no encryption, pure chunk-copy memory streaming). Sits
+    * at ~5 GB/s on this box when idle; steady external load drags it down
+    * proportionally, which per-query spread statistics cannot see. */
+  private def canaryMbps(): Double = {
+    import graft.core.transform._
+    val content = new Array[Byte](10 * 1024 * 1024)
+    new java.util.Random(42).nextBytes(content)
+    val spec = TransformSpec(100 * 1024, compression = false, None,
+      Array.emptyByteArray, Transforms.CodecNameLz4)
+    TransformPipeline.transform(content, spec) // JIT warm
+    var best = Double.MaxValue
+    (1 to 5).foreach { _ =>
+      val t0 = System.nanoTime()
+      TransformPipeline.transform(content, spec)
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    content.length / 1e6 / best
   }
 
   /** End-to-end fetch MB/s through the storage backend (BASELINE "fetch

@@ -311,27 +311,27 @@ object GraftFunctions {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("bitset_jaccard",
-      (exprs: Seq[Expression]) => BitsetJaccard(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("bitset_contain",
-      (exprs: Seq[Expression]) => BitsetContain(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("tokens_to_bitset",
-      (exprs: Seq[Expression]) => TokensToBitset(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("tokens_to_hashbits",
-      (exprs: Seq[Expression]) => TokensToHashBitset(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("vec_dot",
-      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("mg_sketch",
-      (exprs: Seq[Expression]) =>
-        MisraGriesSketch(exprs(0), exprs(1)).toAggregateExpression(), "scala_udf")
+    // Register-if-absent: the builders are stateless and identical on every
+    // call, so re-registration is a no-op except for the WARN
+    // "SimpleFunctionRegistry: The function X replaced a previously
+    // registered function" it emits per function per register() call —
+    // which polluted every bench/verify artifact tail (VERDICT r8 #5).
+    def tempFn(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    tempFn("bitset_jaccard")(exprs => BitsetJaccard(exprs(0), exprs(1)))
+    tempFn("bitset_contain")(exprs => BitsetContain(exprs(0), exprs(1)))
+    tempFn("tokens_to_bitset")(exprs => TokensToBitset(exprs(0), exprs(1)))
+    tempFn("tokens_to_hashbits")(exprs => TokensToHashBitset(exprs(0), exprs(1)))
+    tempFn("vec_dot")(exprs => VecDot(exprs(0), exprs(1)))
+    tempFn("mg_sketch")(exprs =>
+      MisraGriesSketch(exprs(0), exprs(1)).toAggregateExpression())
     // Spark's OWN codegen'd bloom-probe expression (what InjectRuntimeFilter
     // plants), registered for explicit use: the engine's always-on bloom
     // semi-join (q21) probes inside whole-stage codegen instead of a Scala
     // UDF. Args: (serialized util.sketch.BloomFilter binary, long value).
-    reg.createOrReplaceTempFunction("graft_might_contain",
-      (exprs: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)),
-      "scala_udf")
+    tempFn("graft_might_contain")(exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)))
   }
 }
 
