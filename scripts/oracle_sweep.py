@@ -9,7 +9,7 @@ a disk-filling spill) cannot sink the whole sweep. Records per-query
 status: PASS / FAIL / TIMEOUT / MISSING, plus the strict script's first
 diff lines for failures. Cleans DuckDB temp-spill dirs between queries.
 """
-import sys, os, json, glob, subprocess, time, shutil
+import sys, os, json, glob, re, subprocess, time, shutil
 
 def main():
     sf_dir, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
@@ -33,9 +33,17 @@ def main():
                 capture_output=True, text=True, timeout=timeout)
             sec = round(time.time() - t0, 1)
             out = p.stdout
-            if f"PASS {name}" in out:
-                rows = int(out.split("(")[1].split(" rows")[0])
-                results[name] = {"status": "PASS", "rows": rows, "sec": sec}
+            # parse the specific "PASS <name> (N rows)" line — splitting on
+            # the first '(' in the whole stdout dies on any stray
+            # parenthesized log/warning line, killing the sweep whose whole
+            # point is per-query isolation (r9, advisor)
+            m = re.search(rf"^PASS {re.escape(name)} \((\d+) rows\)",
+                          out, re.MULTILINE)
+            if m:
+                results[name] = {"status": "PASS", "rows": int(m.group(1)),
+                                 "sec": sec}
+            elif f"PASS {name}" in out:
+                results[name] = {"status": "PASS", "sec": sec}
             elif f"MISSING {name}" in out:
                 results[name] = {"status": "MISSING", "sec": sec}
             else:
@@ -43,6 +51,9 @@ def main():
                 results[name] = {"status": "FAIL", "sec": sec, "detail": detail}
         except subprocess.TimeoutExpired:
             results[name] = {"status": "TIMEOUT", "sec": timeout}
+        except Exception as e:  # any other per-query surprise stays isolated
+            results[name] = {"status": "ERROR", "sec": round(time.time() - t0, 1),
+                             "detail": repr(e)}
         st = results[name]["status"]
         print(f"[{i+1}/{len(names)}] {st:8s} {name} ({results[name]['sec']}s)",
               flush=True)

@@ -197,12 +197,17 @@ object GraftDsl {
     s.conf.set(graft.plans.RangeBinJoin.SubdivisionsKey, k.toString)
     s.conf.set(graft.plans.BandAggPushdown.RowsPerWindowKey, rpw.toString)
     s.conf.set(graft.plans.BandTuning.MaxRowsPerWindowKey, maxWin.toString)
-    // record WHAT was measured (r8): the rules trust these session-global
-    // values only for a band on the same (axis, width) — a later query on
-    // a different axis in the same session falls back to lazy sampling
-    // instead of inheriting a stale density into the AVG 2⁵³ guard
-    s.conf.set(graft.plans.BandTuning.TuneAxisKey,
-      graft.plans.BandTuning.axisFingerprint(axisCol.toString, windowWidth))
+    // record WHAT was measured (r8 + r9): the rules trust these
+    // session-global values only for a band on the same (axis, width) AND
+    // the same dataset — the canonicalized plan of the sampled frame is
+    // recorded and compared against the band's x side at rule time, so a
+    // tune on one table never leaks into a same-named axis of another
+    // table; any mismatch falls back to lazy sampling of the plan at hand
+    val fp = graft.plans.BandTuning.axisFingerprint(axisCol.toString, windowWidth)
+    s.conf.set(graft.plans.BandTuning.TuneAxisKey, fp)
+    // the OPTIMIZED form: band rules compare at optimizer time, where
+    // projections are collapsed — analyzed-form wrappers would never match
+    graft.plans.BandTuning.recordTunedPlan(s, fp, axis.queryExecution.optimizedPlan)
     k
   }
 

@@ -285,7 +285,7 @@ object BandAggPushdown extends Rule[LogicalPlan] with PredicateHelper {
     // guard below); unset or mismatched, sample lazily at planning time
     // (BandTuning, r7) so the naive formulation gets the same crossover +
     // k without a pre-flight call
-    val trustConfs = BandTuning.confsApplyTo(conf, band.x, band.width)
+    val trustConfs = BandTuning.confsApplyTo(conf, xSide, band.x, band.width)
     val confRpw = if (trustConfs) conf.getConfString(RowsPerWindowKey, "") else ""
     val confMaxWin =
       if (trustConfs) conf.getConfString(BandTuning.MaxRowsPerWindowKey, "") else ""

@@ -80,12 +80,118 @@ object BandTuning {
   def axisFingerprint(name: String, w: Long): String =
     s"${name.toLowerCase(java.util.Locale.ROOT)}/w=$w"
 
+  /** Canonicalized plan each explicit tune was measured on, keyed by
+    * (session UUID, axis fingerprint) — the DATASET-identity half of the
+    * conf gate (r9, advisor): the name/width fingerprint alone still let a
+    * tune on one table feed a band query on a DIFFERENT table whose axis
+    * happened to share the column name and window width (any two tables
+    * with a `us` micros column and a 1 h window), leaking a stale small
+    * `maxRowsPerWindow` into [[BandAggPushdown]]'s AVG 2⁵³ exactness
+    * guard. Recorded by `GraftDsl.tuneRangeBins`; absent for manually-set
+    * confs (which keep their always-trusted contract). */
+  private val tunedPlans = new ConcurrentHashMap[String, LogicalPlan]()
+
+  /** Stable per-session id via WEAK keys: a closed session's entries
+    * become unreachable with it (no eviction hook needed), and unlike
+    * identityHashCode a minted UUID can never alias a dead session's
+    * cache rows into a new session that reused its hash. */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionId(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
+  /** Record the plan an explicit tune sampled (DSL side). */
+  def recordTunedPlan(s: SparkSession, fingerprint: String, plan: LogicalPlan): Unit = {
+    if (tunedPlans.size > 1024) tunedPlans.clear() // resample > leak
+    tunedPlans.put(sessionId(s) + "/" + fingerprint, plan.canonicalized)
+  }
+
   /** Do the session's explicit tuning confs apply to this band? True when
-    * no fingerprint is recorded (manual conf set) or it matches. */
+    * no fingerprint is recorded (manual conf set) or BOTH halves match:
+    * the (axis name, width) fingerprint AND the dataset — the band's
+    * x-side plan must equal (or contain as a subtree) the canonicalized
+    * plan the tune actually measured. Any mismatch returns false and the
+    * rules fall back to lazy sampling of the plan at hand — never a
+    * correctness risk, only a resample. */
   def confsApplyTo(conf: org.apache.spark.sql.internal.SQLConf,
-                   x: Expression, w: Long): Boolean = {
+                   xSide: LogicalPlan, x: Expression, w: Long): Boolean = {
     val fp = conf.getConfString(TuneAxisKey, "")
-    fp.isEmpty || fp == axisFingerprint(x, w)
+    if (fp.isEmpty) return true
+    if (fp != axisFingerprint(x, w)) return false
+    val tuned = SparkSession.getActiveSession
+      .flatMap(s => Option(tunedPlans.get(sessionId(s) + "/" + fp)))
+    tuned match {
+      case None => true // fingerprint set by hand, no recorded plan
+      case Some(tp) =>
+        // tier 1 — the rule sees the join's x side, which may wrap the
+        // tuned frame in row-REDUCING unary operators (filter/project/
+        // limit/...): strip those and compare. A blanket subtree search
+        // would be unsound — a join or generator ABOVE the tuned plan can
+        // multiply rows past the measured density, exactly what the
+        // maxRowsPerWindow upper bound must never survive.
+        val xc = xSide.canonicalized
+        xc == tp || stripRowReducing(xc) == tp || sameSourceRowSubset(tp, xc)
+    }
+  }
+
+  /** Peel row-reducing UNARY wrappers (each output row maps to ≥0 input
+    * rows of the child — per-window counts only shrink through them). */
+  private def stripRowReducing(p: LogicalPlan): LogicalPlan = p match {
+    case f: Filter => stripRowReducing(f.child)
+    case pr: Project => stripRowReducing(pr.child)
+    case a: SubqueryAlias => stripRowReducing(a.child)
+    case l: GlobalLimit => stripRowReducing(l.child)
+    case l: LocalLimit => stripRowReducing(l.child)
+    case s: Sort => stripRowReducing(s.child)
+    case d: Deduplicate => stripRowReducing(d.child)
+    case other => other
+  }
+
+  /** Tier 2 of the dataset gate: strict canonical equality breaks under
+    * column pruning (the optimizer rewrites the scan's read schema, so
+    * the query-time leaf no longer equals the tuned one). Sound coarser
+    * identity: the tune measured the FULL source (nothing but projections
+    * and aliases above identified file/catalog leaves), and the x side
+    * reads exactly the same source set through ROW-REDUCING operators
+    * only (filter/project/limit/sort/dedup) — any such x side has
+    * per-window counts ≤ the measured ones, so the tuned
+    * `maxRowsPerWindow` stays a valid UPPER bound for the AVG 2⁵³
+    * exactness guard (and `rowsPerWindow` at worst overestimates, a
+    * crossover/perf choice, never correctness). A join/aggregate/
+    * generator anywhere on the x side, or any unidentified leaf
+    * (in-memory relations), fails the tier and the rules resample. */
+  private def sameSourceRowSubset(tuned: LogicalPlan, x: LogicalPlan): Boolean = {
+    def leafSource(p: LogicalPlan): Option[String] = p match {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            Some("fs:" + fs.location.rootPaths.map(_.toString).sorted.mkString(","))
+          case _ => None
+        }
+      case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        Some("v2:" + v2.identifier.map(_.toString).getOrElse(v2.table.name()))
+      case _ => None
+    }
+    def sources(p: LogicalPlan): Option[Set[String]] = {
+      val ids = p.collectLeaves().map(leafSource)
+      if (ids.nonEmpty && ids.forall(_.isDefined)) Some(ids.flatten.toSet) else None
+    }
+    val tunedFullSource = !tuned.exists {
+      case _: Project | _: SubqueryAlias => false
+      case l if l.children.isEmpty => false
+      case _ => true
+    }
+    val xRowReducing = !x.exists {
+      case _: Filter | _: Project | _: SubqueryAlias | _: GlobalLimit |
+           _: LocalLimit | _: Sort | _: Deduplicate => false
+      case l if l.children.isEmpty => false
+      case _ => true
+    }
+    tunedFullSource && xRowReducing &&
+      ((sources(tuned), sources(x)) match {
+        case (Some(a), Some(b)) => a == b
+        case _ => false
+      })
   }
 
   /** One axis sample: size-biased mean + sound max window population. */
@@ -97,9 +203,16 @@ object BandTuning {
     * values, whose collision would silently return another axis's
     * measured density into a correctness-relevant path (the AVG 2⁵³
     * guard). */
-  private final case class Key(sessionId: Int, plan: LogicalPlan,
+  private final case class Key(sessionId: String, plan: LogicalPlan,
                                e: Expression, tag: String)
 
+  /** Bounded (r9, advisor): the caches retain canonicalized plan trees, so
+    * a long-lived multi-session process must not accumulate them forever —
+    * past [[MaxCacheEntries]] the cache clears and axes resample (a few
+    * tiny aggregate jobs, never a correctness event). Session identity is
+    * the session UUID, not identityHashCode — a GC'd session's hash can be
+    * reused by a new one, aliasing dead entries into it. */
+  private val MaxCacheEntries = 4096
   private val densityCache = new ConcurrentHashMap[Key, Option[Density]]()
   private val maxAbsCache = new ConcurrentHashMap[Key, Option[Double]]()
 
@@ -108,11 +221,13 @@ object BandTuning {
   }
 
   /** Test hook: forget all samples (a fresh session UUID also isolates). */
-  def clearCache(): Unit = { densityCache.clear(); maxAbsCache.clear() }
+  def clearCache(): Unit = {
+    densityCache.clear(); maxAbsCache.clear(); tunedPlans.clear()
+  }
 
   private def cacheKey(s: SparkSession, plan: LogicalPlan, e: Expression,
                        tag: String): Key =
-    Key(System.identityHashCode(s), plan.canonicalized, e.canonicalized, tag)
+    Key(sessionId(s), plan.canonicalized, e.canonicalized, tag)
 
   /** Run `body` once per cache key with the re-entrancy latch held;
     * None when sampling is disabled, re-entrant, or fails. The sampling
@@ -135,6 +250,7 @@ object BandTuning {
       try body(s)
       catch { case NonFatal(_) => None }
       finally inSample.set(java.lang.Boolean.FALSE)
+    if (cache.size > MaxCacheEntries) cache.clear()
     val prev = cache.putIfAbsent(key, v)
     if (prev != null) prev else v
   }

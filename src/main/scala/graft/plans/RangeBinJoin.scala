@@ -113,7 +113,7 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
     // the naive formulation gets measured sub-binning too; no session and
     // sampling off → k=1, the classic two-bin plan
     val confK =
-      if (BandTuning.confsApplyTo(conf, band.x, band.width))
+      if (BandTuning.confsApplyTo(conf, xSide, band.x, band.width))
         conf.getConfString(SubdivisionsKey, "")
       else ""
     val k = confK match {

@@ -145,6 +145,9 @@ object SegmentQueries {
     * while the time-range read plans O(range/width) of them. */
   val R03SegmentRows = 8192L
 
+  /** One tiered store per corpus dir per process (see [[r03TimeRangeScan]]). */
+  private val r03Stores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** r03: the TIME-RANGE SCAN over tiered segments, end-to-end through the
     * `graft-segments` DSv2 source (r8, VERDICT r7 task 1). Documents become
     * Kafka records (offset = doc_id, timestamp = epoch + doc_id), ride the
@@ -180,9 +183,20 @@ object SegmentQueries {
       "CAST(array() AS ARRAY<STRUCT<key: STRING, value: BINARY>>) AS headers",
       "CAST(CONCAT('k', doc_id) AS BINARY) AS key_raw",
       "CAST(text AS BINARY) AS value_raw")
-    val store = java.nio.file.Files.createTempDirectory("graft-r03").toString
-    rows.repartition(col("segment_key"))
-      .write.format("graft-segments").option("root", store).mode("append").save()
+    // ONE store per (sfDir, process) — bench/probe harnesses invoke each
+    // query up to 3× (warmup + passes), and a corpus-sized segment copy
+    // per invocation exhausts /tmp at replica scale (r9, advisor; the
+    // disk-exhaustion failure mode that crashed two r7 probe runs). The
+    // first invocation writes, the rest re-read; the tree is removed on
+    // JVM exit.
+    val store = r03Stores.computeIfAbsent(d, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft-r03")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.streaming.EventStreams.deleteTreePublic(p)))
+      rows.repartition(col("segment_key"))
+        .write.format("graft-segments").option("root", p.toString).mode("append").save()
+      p.toString
+    })
     s.read.format("graft-segments").option("root", store).load()
       .filter(col("kafka.timestamp") >= T0 + 100L && col("kafka.timestamp") <= T0 + 1100L)
       .select(

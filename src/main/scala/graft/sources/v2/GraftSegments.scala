@@ -1027,7 +1027,22 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
   * the same bound the reference's broker enforces). */
 final class SegmentsWriteBuilder(conf: GraftSegments.SourceConf, schema: StructType)
     extends WriteBuilder {
-  override def build(): Write = new SegmentsWrite(conf, schema)
+  override def build(): Write = {
+    // Effective encryption derives from key presence when the option is
+    // absent — a write that merely FORGOT rsaPublicKeyB64 would otherwise
+    // succeed silently unencrypted (r9, advisor). One driver-side warn at
+    // plan time makes the downgrade visible; an explicit encryption=false
+    // is an informed choice and stays quiet.
+    if (!conf.encryption && conf.encryptionOpt.isEmpty)
+      SegmentsWriteBuilder.log.warn(
+        "graft-segments: writing UNENCRYPTED segments (no rsaPublicKeyB64 " +
+          "supplied and no explicit encryption option) — pass " +
+          "encryption=false to acknowledge plaintext, or supply key material")
+    new SegmentsWrite(conf, schema)
+  }
+}
+object SegmentsWriteBuilder {
+  private[v2] val log = org.slf4j.LoggerFactory.getLogger(classOf[SegmentsWriteBuilder])
 }
 
 final class SegmentsWrite(conf: GraftSegments.SourceConf, schema: StructType)

@@ -155,6 +155,67 @@ class BandAggPushdownSpec extends SparkSpec {
     }
   }
 
+  test("dataset gate: a tune measured on one table is not trusted for a same-named axis of ANOTHER table (r9)") {
+    GraftFunctions.register(spark)
+    spark.conf.set(BandAggPushdown.MinRowsPerWindowKey,
+      BandAggPushdown.DefaultMinRowsPerWindow.toString)
+    // lazy sampling OFF: the explicit-tune confs are the ONLY density
+    // source, so plan shape directly reveals whether they were trusted
+    spark.conf.set(BandTuning.AutoSampleKey, "false")
+    try {
+      BandTuning.clearCache()
+      // INT value columns: the AVG guard's |value| bound is static by
+      // type, so (with sampling off) the MEASURED maxRowsPerWindow from
+      // the tune confs is the guard's only variable — plan shape isolates
+      // exactly whether those confs were trusted. Parquet-backed tables:
+      // the dataset identity must survive the optimizer's column pruning,
+      // which rewrites in-memory relations beyond strict plan equality —
+      // file scans match through their source location (the tier the 100 TB
+      // deployment rides).
+      val tmp = java.nio.file.Files.createTempDirectory("band-dsgate").toString
+      // a DENSE axis table: every bx in [0,20) ⇒ ~1000 rows per w=10 bin,
+      // clear of the decomposition crossover (DefaultMinRowsPerWindow=512)
+      (0L until 20000L).map(i => (i, i % 20, (i % 5).toInt))
+        .toDF("bid", "bx", "bv").write.parquet(s"$tmp/dense")
+      val denseT = spark.read.parquet(s"$tmp/dense")
+      graft.functions.GraftDsl.tuneRangeBins(denseT, $"bx", 10L)
+      def q(x: DataFrame) = physical(probe.join(x, $"bx" >= $"px" - 10L && $"bx" < $"px")
+        .groupBy($"pid").agg(avg($"bv").as("a")))
+      // same dataset (plan-identical x side): confs trusted → the AVG 2⁵³
+      // guard has its measured maxRowsPerWindow → decomposition fires
+      assert(q(denseT).contains("graft_full_bin"),
+        "tuned dataset must trust its own confs:\n" + q(denseT).take(2000))
+      // x side even WRAPPED in a filter still contains the tuned plan
+      assert(q(denseT.filter($"bid" >= 0L)).contains("graft_full_bin"),
+        "a filtered view of the tuned dataset still matches:\n" +
+          q(denseT.filter($"bid" >= 0L)).take(2000))
+      // DIFFERENT table, same axis name bx and width 10: the r8
+      // name/width fingerprint alone would trust the stale dense
+      // maxRowsPerWindow into the AVG exactness guard — the r9 dataset
+      // identity must reject it (and with sampling off, no maxWin ⇒ the
+      // AVG guard falls back to enumeration)
+      (0L until 400L).map(i => (i, i * 11 % 103, (i % 5).toInt))
+        .toDF("bid", "bx", "bv").write.parquet(s"$tmp/sparse")
+      val sparseT = spark.read.parquet(s"$tmp/sparse")
+      assert(!q(sparseT).contains("graft_full_bin"),
+        "another table with a same-named axis must NOT inherit the tune:\n" +
+          q(sparseT).take(2000))
+      // a JOIN on the x side can multiply rows past the measured density —
+      // the row-subset tier must reject it even over the same source
+      val joined = denseT.join(denseT.select($"bid"), "bid")
+      assert(!q(joined).contains("graft_full_bin"),
+        "a row-multiplying x side over the tuned source must resample:\n" +
+          q(joined).take(2000))
+    } finally {
+      spark.conf.unset(BandTuning.AutoSampleKey)
+      spark.conf.unset(BandAggPushdown.RowsPerWindowKey)
+      spark.conf.unset(BandTuning.MaxRowsPerWindowKey)
+      spark.conf.unset(RangeBinJoin.SubdivisionsKey)
+      spark.conf.unset(BandTuning.TuneAxisKey)
+      BandTuning.clearCache()
+    }
+  }
+
   test("property: random widths/bounds styles — decomposition ≡ nested-loop for count+sum+min+max") {
     forceOn()
     val gen = for {
