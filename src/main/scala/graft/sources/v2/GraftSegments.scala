@@ -104,7 +104,20 @@ object GraftSegments {
                                 * Some(true) without keys fails HERE (driver,
                                 * planning time) instead of as a per-task
                                 * crypto error on executors. */
-                              encryptionOpt: Option[Boolean] = None) {
+                              encryptionOpt: Option[Boolean] = None,
+                              /** Streaming replay bounds (the Kafka source's
+                                * `startingTimestamp` idiom, r9): micro-batch
+                                * filter pushdown does not exist in Spark, so a
+                                * WHERE on `kafka.timestamp` runs post-scan and
+                                * a bounded replay would still list+fetch the
+                                * whole store. These options feed the manifest
+                                * RecordStats pruning when the stream's offset
+                                * space is built — non-matching segments never
+                                * enter it. SEGMENT-granular: a boundary
+                                * segment's rows outside the bound still flow;
+                                * keep the row-exact WHERE in the query. */
+                              streamStartingTimestamp: Option[Long] = None,
+                              streamEndingTimestamp: Option[Long] = None) {
     require(maxSegmentsPerTrigger >= 0,
       s"stream.maxSegmentsPerTrigger must be >= 0, got $maxSegmentsPerTrigger")
     require(maxBytesPerTrigger >= 0,
@@ -147,7 +160,9 @@ object GraftSegments {
         Option(o.get("read.cache.bytes")).map(_.toLong).getOrElse(256L << 20),
         Option(o.get("stream.maxSegmentsPerTrigger")).map(_.toInt).getOrElse(0),
         Option(o.get("stream.maxBytesPerTrigger")).map(_.toLong).getOrElse(0L),
-        Option(o.get("encryption")).map(_.toBoolean))
+        Option(o.get("encryption")).map(_.toBoolean),
+        Option(o.get("stream.startingTimestamp")).map(_.toLong),
+        Option(o.get("stream.endingTimestamp")).map(_.toLong))
     }
   }
 }
@@ -634,10 +649,20 @@ final class SegmentsScan(conf: GraftSegments.SourceConf, required: StructType,
   // must not shorten a micro-batch offset range). Stats pruning applies —
   // manifests are immutable once written, so the pruned listing is as
   // deterministic as the raw one and a timestamp-bounded replay skips
-  // non-matching segments entirely.
-  private[v2] def segmentKeys(): Array[String] =
+  // non-matching segments entirely. Spark pushes no filters into
+  // micro-batch scans, so the replay bounds arrive as source OPTIONS
+  // (`stream.startingTimestamp` / `stream.endingTimestamp`) synthesized
+  // into stats filters here (r9).
+  private[v2] def segmentKeys(): Array[String] = {
+    val bounds: Array[Filter] =
+      (conf.streamStartingTimestamp.map(v =>
+          GreaterThanOrEqual("kafka.timestamp", v): Filter) ++
+        conf.streamEndingTimestamp.map(v =>
+          LessThanOrEqual("kafka.timestamp", v): Filter)).toArray
     SegmentsScan.statsPrune(conf,
-      SegmentsScan.listSegments(conf, pruning ++ runtimeFilters), pruning, pruneMemo)
+      SegmentsScan.listSegments(conf, pruning ++ runtimeFilters),
+      pruning ++ bounds, pruneMemo)
+  }
 
   private[v2] def readerFactory(): PartitionReaderFactory = createReaderFactory()
 

@@ -515,6 +515,56 @@ class GraftSegmentsSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming time-range replay: only stats-matching segments enter the offset space, one per micro-batch (r9)") {
+    val (store, cfg, _) = setup()
+    // offsets 0..29 across 3 segments, timestamps T0 + offset: a replay
+    // bounded to ts >= T0+10 must plan segments 1 and 2 ONLY. Spark pushes
+    // no filters into micro-batch scans (a WHERE runs post-scan), so the
+    // bound rides the `stream.startingTimestamp` option — manifest
+    // RecordStats prune non-matching segments before the stream's offset
+    // space is even built, and at 100 TB a "since yesterday" replay never
+    // sizes or fetches the cold history. The WHERE stays for row
+    // exactness on boundary segments.
+    val T0 = 1700000000000L
+    val enc = java.util.Base64.getEncoder
+    val stream = spark.readStream.format("graft-segments")
+      .option("root", store)
+      .option("rsaPublicKeyB64", enc.encodeToString(cfg.rsaPublicKey))
+      .option("rsaPrivateKeyB64", enc.encodeToString(cfg.rsaPrivateKey))
+      .option("stream.maxSegmentsPerTrigger", "1")
+      .option("stream.startingTimestamp", (T0 + 10).toString)
+      .load()
+      .where(col("kafka.timestamp") >= T0 + 10)
+      .selectExpr("segment_key", "kafka.offset AS off",
+        "CAST(value_raw AS STRING) AS v")
+    val q = stream.writeStream.format("memory").queryName("segrange")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // rows: exactly the bounded range, byte-identical to the batch read
+      // under the same filter
+      val got = spark.sql("SELECT off, v FROM segrange").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val batch = reader(store, cfg).load()
+        .where(col("kafka.timestamp") >= T0 + 10)
+        .selectExpr("kafka.offset AS off", "CAST(value_raw AS STRING) AS v")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(got.toSeq == batch.toSeq && got.map(_._1).toSeq == (10L until 30L))
+      // per-trigger planning: maxSegmentsPerTrigger=1 over a PRUNED offset
+      // space drains as exactly 2 one-segment batches — an unpruned stream
+      // would show a third (empty) batch for the filtered-out segment
+      val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.length == 2 && batches.forall(_ == 10L),
+        s"expected 2 pruned batches of 10, got ${batches.mkString(",")}")
+      val drained = q.recentProgress.flatMap(p => Option(p.sources)).flatten
+        .map(_.endOffset).filter(_ != null).map(_.toString)
+      assert(drained.nonEmpty && drained.forall(!_.contains("\"n\":3")),
+        s"the pruned-out segment must never enter the offset space: $drained")
+      assert(drained.exists(_.contains("\"n\":2")),
+        s"final offset must count exactly the 2 matching segments: $drained")
+    } finally q.stop()
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING graft-segments, then pure SQL") {
     val (store, cfg, keys) = setup()
     val enc = java.util.Base64.getEncoder
