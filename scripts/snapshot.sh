@@ -1,0 +1,60 @@
+#!/usr/bin/env bash
+# End-of-round artifact snapshot — run at FINAL HEAD with nothing else on
+# the machine (r9, VERDICT r8 tasks 2/4/6: PLANS.md was generated before
+# the round's last commits in r8; this script makes the ordering
+# mechanical). Steps, in order:
+#
+#   1. clean DuckDB temp spills (a killed oracle leaves tens of GB)
+#   2. PLANS.md via PlanAudit          (AT final HEAD, never before)
+#   3. quiet bench leg at sf0.1        -> BENCH_DETAIL.json (+ canary gate)
+#   4. quiet bench leg at /tmp/sf1     -> merged into BENCH_sf1.json
+#   5. P03 per-stage probe at sf1+sf10 -> P03STAGES.json
+#   6. funnel state probe sf0.1+sf1    -> FUNNELSTATE.json
+#
+# Replicas must exist first (ScaleUp; they do not survive restarts):
+#   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10"
+#   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/sf10 100"
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ROUND="${1:?usage: snapshot.sh <round>}"
+
+echo "== 1. duckdb temp spills"
+rm -rf /root/repo/.tmp/duckdb_temp_storage-* || true
+
+echo "== 2. PLANS.md (PlanAudit at HEAD $(git rev-parse --short HEAD))"
+sbt -batch "runMain graft.tools.PlanAudit /root/testdata/sf0.001 PLANS.md"
+
+echo "== 3. bench leg sf0.1"
+rm -f /tmp/bench_sf01_detail.json
+SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  sbt -batch "runMain graft.Bench" | tail -1 | tee "BENCH_r${ROUND}.stdout"
+cp BENCH_DETAIL.json /tmp/bench_sf01_detail.json
+
+echo "== 4. bench leg /tmp/sf1"
+SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/tmp/sf1 \
+  sbt -batch "runMain graft.Bench" | tail -1
+python3 scripts/merge_bench.py /tmp/bench_sf01_detail.json BENCH_DETAIL.json \
+  "$ROUND" BENCH_sf1.json
+cp /tmp/bench_sf01_detail.json BENCH_DETAIL.json  # driver-facing = sf0.1 leg
+
+echo "== 5. p03 per-stage probe"
+{
+  printf '{"round":%s,"legs":[' "$ROUND"
+  SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.queries.P03StageProbe /tmp/sf1" 2>/dev/null | grep '^{' | tr -d '\n'
+  printf ','
+  SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.queries.P03StageProbe /tmp/sf10" 2>/dev/null | grep '^{' | tr -d '\n'
+  printf ']}\n'
+} > P03STAGES.json
+python3 -m json.tool P03STAGES.json > /dev/null  # validate
+
+echo "== 6. funnel state probe"
+{
+  printf '{"round":%s,"note":"streaming curation funnel state tables: max_rows_per_key must stay 1 at every scale (anchors keyed by band, collide/stars by doc, counters by source); collide/stars rows grow with COLLIDING docs only","legs":[' "$ROUND"
+  SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.tools.FunnelStateProbe /root/testdata/sf0.1 sf0.1" 2>/dev/null | grep '^{' | tr -d '\n'
+  printf ','
+  SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.tools.FunnelStateProbe /tmp/sf1 sf1-10x" 2>/dev/null | grep '^{' | tr -d '\n'
+  printf ']}\n'
+} > FUNNELSTATE.json
+python3 -m json.tool FUNNELSTATE.json > /dev/null  # validate
+
+echo "== snapshot complete (round $ROUND)"
