@@ -144,6 +144,7 @@ object SparkEntry {
     "t16_dsir_weights" -> (TextQueries.t16DsirWeights _),
     "x08_pareto_skyline" -> (TextQueries.x08ParetoSkyline _),
     "g03_kcore" -> (TextQueries.g03KCore _),
+    "g04_label_prop" -> (TextQueries.g04LabelProp _),
     "ts09_ewma_smooth" -> (TimeSeriesQueries.ts09EwmaSmooth _),
     "x09_eval_apportion" -> (TextQueries.x09EvalApportion _),
     "m09_voice_activity" -> (MultimodalQueries.m09VoiceActivity _),
@@ -1794,6 +1795,31 @@ object SparkEntry {
          |  JOIN $last ax ON ax.doc_id = e.x
          |  JOIN $last ay ON ay.doc_id = e.y GROUP BY e.x""".stripMargin
     },
+    // g04 oracle: the synchronous mode-relabeling unrolled exactly
+    // LpaRounds times — per round, neighbor-label counts then a
+    // row_number arg-max over SCALAR rows (cnt DESC, label ASC), the
+    // d13/ts08 no-payload-through-windows lesson. MATERIALIZED pins the
+    // multiply-referenced sig/e/l$i chain (the s11 inlining lesson).
+    "g04_label_prop" -> {
+      val rounds = (1 to TextQueries.LpaRounds).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e.x, l.label, count(*) AS cnt
+           |  FROM e JOIN l${i - 1} l ON l.doc_id = e.y GROUP BY e.x, l.label),
+           |l$i AS MATERIALIZED (SELECT x AS doc_id, label FROM (
+           |  SELECT x, label, row_number() OVER (PARTITION BY x
+           |    ORDER BY cnt DESC, label ASC) AS rk FROM c$i) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      val last = s"l${TextQueries.LpaRounds}"
+      s"""WITH sig AS MATERIALIZED ($minHashSigSql),
+         |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b FROM sig a JOIN sig b
+         |     ON a.band0 = b.band0 AND a.band1 = b.band1 AND a.doc_id < b.doc_id),
+         |e AS MATERIALIZED (SELECT a AS x, b AS y FROM p UNION ALL SELECT b, a FROM p),
+         |l0 AS MATERIALIZED (SELECT DISTINCT x AS doc_id, x AS label FROM e),
+         |$rounds,
+         |sz AS MATERIALIZED (SELECT label AS community, count(*) AS comm_size
+         |     FROM $last GROUP BY label)
+         |SELECT l.doc_id, l.label AS community, sz.comm_size
+         |FROM $last l JOIN sz ON sz.community = l.label""".stripMargin
+    },
     // ts09 oracle: the identical 16-lag chain — integer numerator and
     // renormalizing denominator, one double division at the end.
     "ts09_ewma_smooth" -> {
@@ -1920,9 +1946,9 @@ object SparkEntry {
     "s13_mmr_rerank" -> s13Sql,
     "d15_containment" -> {
       val t = TextQueries.ContainThreshold
-      s"""WITH pairs AS ($minHashPairsSql),
+      s"""WITH pairs AS MATERIALIZED ($minHashPairsSql),
          |tk AS (SELECT doc_id, list_distinct($dToks) AS t FROM documents),
-         |pos AS (SELECT doc_id, list_distinct(list_transform(t, tok -> $hashPosSql)) AS ps
+         |pos AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(t, tok -> $hashPosSql)) AS ps
          |        FROM tk WHERE len(t) > 0),
          |j AS (SELECT p.a, p.b, len(list_intersect(pa.ps, pb.ps)) AS inter,
          |             len(pa.ps) AS na, len(pb.ps) AS nb
@@ -1958,7 +1984,7 @@ object SparkEntry {
         |       count(*) AS n_events, CAST(sum(v) AS BIGINT) AS v_sum
         |FROM r GROUP BY user_id, hour""".stripMargin,
     "x07_split_leakage" ->
-      s"""WITH dup AS ($d06Sql),
+      s"""WITH dup AS MATERIALIZED ($d06Sql),
          |sp AS (SELECT doc_id,
          |         ${TextQueries.splitCaseSql("md5(CAST(doc_id AS VARCHAR))")} AS split
          |       FROM documents)
@@ -2054,9 +2080,9 @@ object SparkEntry {
     * SETS (popcount of AND/OR == intersection/union of distinct hashed
     * positions). */
   private def d06Sql: String =
-    s"""WITH pairs AS ($minHashPairsSql),
+    s"""WITH pairs AS MATERIALIZED ($minHashPairsSql),
        |tk AS (SELECT doc_id, list_distinct($dToks) AS t FROM documents),
-       |pos AS (SELECT doc_id, list_distinct(list_transform(t, tok -> $hashPosSql)) AS ps FROM tk),
+       |pos AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(t, tok -> $hashPosSql)) AS ps FROM tk),
        |j AS (SELECT p.a, p.b, len(list_intersect(pa.ps, pb.ps)) AS inter,
        |             len(pa.ps) AS na, len(pb.ps) AS nb
        |      FROM pairs p JOIN pos pa ON pa.doc_id = p.a JOIN pos pb ON pb.doc_id = p.b)
@@ -2147,10 +2173,16 @@ object SparkEntry {
        |      FROM h GROUP BY doc_id)
        |SELECT doc_id, CAST(${TextQueries.simhashAssembleExpr} AS BIGINT) AS simhash FROM b""".stripMargin
 
-  /** DuckDB mirror of [[graft.queries.TextQueries.d03MinHashPairs]]. */
+  /** DuckDB mirror of [[graft.queries.TextQueries.d03MinHashPairs]].
+    * MATERIALIZED hints only (identical semantics): `sig` is referenced
+    * twice by `bands`, and the pairs relation is itself multiply-referenced
+    * by the d06/d15/x07 oracles — without the hints DuckDB re-inlines the
+    * whole shingle→md5→min pipeline per reference (the s11 exponential-
+    * inlining failure), which is what made this family look intractable at
+    * the 100× replica. */
   private def minHashPairsSql: String =
-    s"""WITH sig AS ($minHashSigSql),
-       |bands AS (SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig)
+    s"""WITH sig AS MATERIALIZED ($minHashSigSql),
+       |bands AS MATERIALIZED (SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig)
        |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
        |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin
 

@@ -618,6 +618,73 @@ object TextQueries {
     coreDegrees(alive)
   }
 
+  /** g04: superstep count — part of the operator CONTRACT, not a tuning
+    * knob: synchronous LPA may oscillate between two labelings forever,
+    * so "propagate for exactly K rounds" is the deterministic semantics
+    * both the engine and the unrolled oracle compute (unlike g03, where
+    * the fixpoint is unique and the bound is just a guard). */
+  val LpaRounds = 4
+
+  /** g04: LABEL PROPAGATION communities (Raghavan et al. 2007, "Near
+    * linear time algorithm to detect community structures in large-scale
+    * networks") over the g02/g03 full-signature template graph. The
+    * fourth graph cut over the dedup edges: components (d07) lump every
+    * transitively-touching doc together, triangles (g02) and cores (g03)
+    * score local density — LPA finds the mesoscale COMMUNITIES (template
+    * families that share boilerplate but split into dialects), the
+    * granularity a curation pipeline prunes at. Classic LPA breaks ties
+    * randomly and updates asynchronously; this operator is the
+    * DETERMINISTIC synchronous form: every node starts as its own label,
+    * and each of exactly [[LpaRounds]] supersteps relabels every node to
+    * its neighbors' mode label, ties broken (count DESC, label ASC) — a
+    * pure function of the edge set, so the unrolled oracle recomputes it
+    * row-identically. Output: (doc_id, community, comm_size) for every
+    * node of the template graph.
+    *
+    * Scale shape: one superstep = one equi-join of edges against the
+    * (node, label) relation + a two-level aggregate — all shuffles are
+    * EDGE-bounded (the full-signature band grows near-linearly in docs,
+    * measured at the 10× probe for g02), labels are scalars, and the
+    * argmax is `max(struct(cnt, -label))` — a partial-aggregable
+    * commutative max, NOT a per-node window sort, so map-side combine
+    * keeps superstep shuffle bytes at one (node, candidate-label) row
+    * per distinct pair. Rounds are a compile-time constant; lineage is
+    * cut per superstep ([[org.apache.spark.sql.Dataset#localCheckpoint]])
+    * exactly like g01's rank iteration. */
+  def g04LabelProp(s: SparkSession, d: String): DataFrame = {
+    val sig = d02MinHashSig(s, d).select(col("doc_id"), col("band0"), col("band1"))
+      .localCheckpoint(true)
+    val pairs = sig.toDF("a", "band0", "band1")
+      .join(sig.toDF("b", "band0", "band1"), Seq("band0", "band1"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val edges = pairs.selectExpr("a AS x", "b AS y")
+      .unionAll(pairs.selectExpr("b AS x", "a AS y")).localCheckpoint(true)
+    var lab = edges.select(col("x").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    (1 to LpaRounds).foreach { _ =>
+      lab = lpaSuperstep(edges, lab).localCheckpoint(true)
+    }
+    val sz = lab.groupBy(col("label").as("community")).agg(count(lit(1)).as("comm_size"))
+    lab.selectExpr("doc_id", "label AS community")
+      .join(sz, "community")
+      .select(col("doc_id"), col("community"), col("comm_size"))
+  }
+
+  /** One g04 superstep: relabel every node to its neighbors' mode label,
+    * ties (count DESC, label ASC). Package-visible so PlanChecksSpec can
+    * pin THIS plan (the `localCheckpoint` per round means the final g04
+    * DataFrame's plan shows only the size join, not the superstep).
+    * argmax by (cnt DESC, label ASC) = max of (cnt, -label) — a
+    * partial-aggregable max, not a per-node window sort; every node of
+    * the graph has ≥1 neighbor, so the inner join drops nobody. */
+  private[queries] def lpaSuperstep(edges: DataFrame, lab: DataFrame): DataFrame =
+    edges.join(lab.selectExpr("doc_id AS y", "label"), "y")
+      .groupBy(col("x"), col("label")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("x"))
+      .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("m"))
+      .selectExpr("x AS doc_id", "-m.nl AS label")
+
   /** Minimum block count for d05's exact all-pairs join. */
   val JaccardBlocks = 8
 

@@ -898,6 +898,49 @@ class PlanChecksSpec extends SparkSpec {
     got.values.foreach(d => assert(d >= TextQueries.CoreK))
   }
 
+  test("g04: four LPA supersteps equal the naive synchronous recompute") {
+    // value-level: run the deterministic synchronous relabeling on the
+    // driver over the collected full-signature edge set and compare
+    // exactly — sf0.01, where the template graph has real communities.
+    val dd = "/root/testdata/sf0.01"
+    val got = TextQueries.g04LabelProp(spark, dd)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sig = TextQueries.d02MinHashSig(spark, dd)
+      .select("doc_id", "band0", "band1").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+    val pairs = for {
+      (a, sa) <- sig; (b, sb) <- sig if a < b && sa == sb
+    } yield (a, b)
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSeq }
+    var lab: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    (1 to TextQueries.LpaRounds).foreach { _ =>
+      lab = nbrs.map { case (n, ns) =>
+        val counts = ns.map(lab).groupBy(identity).view.mapValues(_.size)
+        n -> counts.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    val szs = lab.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    val naive = lab.map { case (n, l) => (n, l, szs(l)) }.toSet
+    assert(got == naive && got.nonEmpty,
+      s"LPA mismatch: got ${got.size} rows, naive ${naive.size}")
+    // communities must REFINE d07-style reachability: merging beyond a
+    // component is impossible in any propagation round
+    assert(got.exists(_._3 > 1), "sf0.01 template graph should have a real community")
+    // plan shape of ONE superstep (the per-round localCheckpoint hides the
+    // iteration from the final plan): edge-bounded equi-joins only, argmax
+    // as a combinable aggregate — no per-node window sort anywhere
+    val edges = spark.createDataFrame(
+      pairs.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }).toDF("x", "y")
+    val lab0 = edges.select(org.apache.spark.sql.functions.col("x").as("doc_id")).distinct()
+      .withColumn("label", org.apache.spark.sql.functions.col("doc_id"))
+    val p = plan(TextQueries.lpaSuperstep(edges, lab0))
+    assert(!p.contains("CartesianProduct"), "LPA joins must stay equi:\n" + p.take(3000))
+    assert(p.contains("partial_max"),
+      "superstep argmax must map-side combine:\n" + p.take(3000))
+    assert(!p.contains("Window"), "superstep must not window-sort nodes:\n" + p.take(3000))
+  }
+
   test("w10: sliding distinct is two linear passes + calendar-sized tail") {
     val p = plan(RelationalQueries.w10SlidingDistinct(spark, d))
     // events are never window-joined: the only joins are broadcasts of
