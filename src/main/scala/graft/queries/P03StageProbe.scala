@@ -31,7 +31,7 @@ object P03StageProbe {
     require(args.length >= 1, "usage: P03StageProbe <sfDir>")
     val dir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.core.FastLocalDir.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

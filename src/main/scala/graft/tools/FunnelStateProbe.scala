@@ -22,7 +22,7 @@ object FunnelStateProbe {
     val label = if (args.length > 1) args(1)
       else java.nio.file.Paths.get(sfDir).getFileName.toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.core.FastLocalDir.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -12,7 +12,7 @@ import graft.records._
   */
 object RecordPipelineDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = graft.core.FastLocalDir.configure(SparkSession.builder())
       .master("local[4]")
       .appName("record-pipeline-demo")
       .config("spark.sql.shuffle.partitions", 4)

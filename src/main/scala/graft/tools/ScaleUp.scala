@@ -39,7 +39,7 @@ object ScaleUp {
     require(mode == "densify" || mode == "stretch", s"unknown mode $mode")
     val f = fs.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
+    val spark = graft.core.FastLocalDir.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

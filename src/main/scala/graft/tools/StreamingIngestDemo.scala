@@ -14,7 +14,7 @@ import graft.streaming.SegmentIngestStream
   */
 object StreamingIngestDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = graft.core.FastLocalDir.configure(SparkSession.builder())
       .master("local[4]")
       .appName("streaming-ingest-demo")
       .config("spark.sql.shuffle.partitions", 4)

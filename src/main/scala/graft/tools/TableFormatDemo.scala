@@ -15,7 +15,7 @@ import graft.records.KafkaWireCodec._
   * protocol's reader-visible guarantees. */
 object TableFormatDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = graft.core.FastLocalDir.configure(SparkSession.builder())
       .master("local[4]")
       .appName("table-format-demo")
       .config("spark.sql.shuffle.partitions", 4)
