@@ -1,0 +1,133 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+
+/** Graph-family gate at replica scale (r9): g01–g04's DuckDB oracles
+  * re-derive the banded MinHash candidate graph in unrolled CTEs —
+  * strict-green at /tmp/sf1 but intractable at the 100× replica (the
+  * same wall as the d03/d06 family). So, exactly like
+  * [[graft.tools.CcGate]] for the d07 family, this tool gates the
+  * g-family by TWO INDEPENDENT IMPLEMENTATIONS agreeing: each query runs
+  * once through the engine (distributed joins/aggregates, the
+  * oracle-gated form) and once through [[GraphRef]] (single-threaded
+  * in-memory loops over the collected edge list, including an
+  * independent in-memory re-derivation of the band buckets), and the two
+  * outputs must be multiset-identical. All four algorithms are exact
+  * integer arithmetic, so any divergence — a lost superstep, a wrong
+  * tie-break, an orientation bug surfacing only on replica-scale hub
+  * degrees — fails the gate exactly, at scales DuckDB cannot reach.
+  *
+  * `runMain graft.tools.GraphGate <sfDir>` → one JSON line with
+  * per-query {rows, equal, sec_engine, sec_ref} plus edge-set sizes.
+  */
+object GraphGate {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: GraphGate <sfDir>")
+    val dir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.FastLocalDir.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.queries.TextQueries
+
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
+    }
+
+    // one signature scan feeds both edge derivations (collected once;
+    // 3 scalars per doc — 500k rows at the 100× replica)
+    val sig = TextQueries.d02MinHashSig(spark, dir)
+      .selectExpr("doc_id", "band0", "band1")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    // g01 edge set: ANY-band buckets (the d03 shape), re-derived in memory
+    // independently of the Spark band join; distinct undirected a<b
+    def halfSigEdges(): Array[(Long, Long)] = {
+      val buckets = mutable.HashMap.empty[String, mutable.ArrayBuffer[Long]]
+      sig.foreach { case (id, b0, b1) =>
+        buckets.getOrElseUpdate(b0, mutable.ArrayBuffer.empty) += id
+        buckets.getOrElseUpdate(b1, mutable.ArrayBuffer.empty) += id
+      }
+      val pairs = mutable.HashSet.empty[(Long, Long)]
+      buckets.valuesIterator.foreach { ds =>
+        val u = ds.distinct.sorted // a doc whose two bands collide appears twice
+        var i = 0
+        while (i < u.length) {
+          var j = i + 1
+          while (j < u.length) { pairs += ((u(i), u(j))); j += 1 }
+          i += 1
+        }
+      }
+      pairs.toArray
+    }
+
+    // g02/g03/g04 edge set: BOTH-bands buckets (the full-signature
+    // template graph); each doc has exactly one composite key, so pairs
+    // are unique by construction
+    def fullSigEdges(): Array[(Long, Long)] = {
+      val buckets = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Long]]
+      sig.foreach { case (id, b0, b1) =>
+        buckets.getOrElseUpdate((b0, b1), mutable.ArrayBuffer.empty) += id
+      }
+      val pairs = mutable.ArrayBuffer.empty[(Long, Long)]
+      buckets.valuesIterator.foreach { ds =>
+        val u = ds.sorted
+        var i = 0
+        while (i < u.length) {
+          var j = i + 1
+          while (j < u.length) { pairs += ((u(i), u(j))); j += 1 }
+          i += 1
+        }
+      }
+      pairs.toArray
+    }
+
+    val (tHalf, half) = timed(halfSigEdges())
+    val (tFull, full) = timed(fullSigEdges())
+    val halfDirected = half ++ half.map(e => (e._2, e._1))
+    val docIds = graft.queries.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+
+    def engine2(name: String): (Double, Array[(Long, Long)]) = {
+      val fn = graft.SparkEntry.queries(name)
+      timed(fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).sorted)
+    }
+    def engine3(name: String): (Double, Array[(Long, Long, Long)]) = {
+      val fn = graft.SparkEntry.queries(name)
+      timed(fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted)
+    }
+
+    val results = mutable.ArrayBuffer.empty[(String, Long, Boolean, Double, Double)]
+    def check[A](name: String, eng: (Double, Array[A]), ref: (Double, Array[A])): Unit = {
+      val equal = eng._2.toSeq == ref._2.toSeq
+      System.err.println(f"[graphgate] $name%-18s rows=${eng._2.length}%9d equal=$equal " +
+        f"engine=${eng._1}%.1fs ref=${ref._1}%.1fs")
+      results += ((name, eng._2.length.toLong, equal, eng._1, ref._1))
+    }
+
+    check("g01_pagerank", engine2("g01_pagerank"),
+      timed(GraphRef.pageRank(docIds, halfDirected, TextQueries.PrScale, TextQueries.PrIters).sorted))
+    check("g02_triangles", engine2("g02_triangles"), timed(GraphRef.triangles(full)))
+    check("g03_kcore", engine2("g03_kcore"), timed(GraphRef.kCore(full, TextQueries.CoreK)))
+    check("g04_label_prop", engine3("g04_label_prop"),
+      timed(GraphRef.labelProp(full, TextQueries.LpaRounds)))
+
+    val js = results.map { case (n, rows, eq, te, tr) =>
+      s""""$n":{"rows":$rows,"equal":$eq,"sec_engine":${f"$te%.2f"},"sec_ref":${f"$tr%.2f"}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"sf_dir":"$dir","gate":"engine-vs-inmemory-graph",""" +
+      s""""docs":${docIds.length},"half_sig_edges":${half.length},""" +
+      s""""full_sig_edges":${full.length},""" +
+      s""""sec_edge_derive":${f"${tHalf + tFull}%.2f"},"queries":$js}""")
+    val allEqual = results.forall(_._3)
+    spark.stop()
+    if (!allEqual) sys.exit(1)
+  }
+}
