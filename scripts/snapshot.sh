@@ -28,6 +28,8 @@ echo "== 3. bench leg sf0.1"
 rm -f /tmp/bench_sf01_detail.json
 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   sbt -batch "runMain graft.Bench" | tail -1 | tee "BENCH_r${ROUND}.stdout"
+python3 -m json.tool BENCH_DETAIL.json > /dev/null  # validate artifact JSON
+python3 -m json.tool "BENCH_r${ROUND}.stdout" > /dev/null  # validate stdout line
 cp BENCH_DETAIL.json /tmp/bench_sf01_detail.json
 
 echo "== 4. bench leg /tmp/sf1"

@@ -77,6 +77,16 @@ object Bench {
         s"""{"best_mbps":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(canaryNow))},"point":"chunk100_comp0_enc0_10mib"}\n""")
       catch { case e: Throwable => System.err.println(s"[bench] canary write failed: ${e.getMessage}") }
     }
+    // Scratch-disk self-evidence (r9): the CPU canary cannot see a slow or
+    // saturated SCRATCH device, and spark.local.dir placement dominated a
+    // full 1.8× of total bench time on the r9 rig (boot disk ~33 MB/s
+    // buffered writes vs /dev/shm; t07 ran 34–77 s/pass until the local
+    // dir moved). Record where shuffle scratch actually lives and what it
+    // sustains, so a future artifact measured against a crawling scratch
+    // device carries the proof inside itself.
+    val scratchDir = spark.conf.getOption("spark.local.dir")
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+    val scratchMbps = scratchWriteMbps(scratchDir)
     val wallT0 = System.nanoTime()
     val runs: Seq[(String, Vector[Option[Double]])] = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
@@ -134,7 +144,8 @@ object Bench {
         s""""cpus_os":${osBean.getAvailableProcessors},"wall_sec":${f3(wallSec)},""" +
         s""""median_pass_spread":${f3(medianSpread)},"worsening_frac":${f3(worsening)},""" +
         s""""canary_mbps":${f3(canaryNow)},"canary_best_mbps":${f3(math.max(canaryBestStored, canaryNow))},""" +
-        s""""canary_contended":$canaryContended,"contended":$contended}"""
+        s""""canary_contended":$canaryContended,"contended":$contended,""" +
+        s""""scratch_dir":"$scratchDir","scratch_write_mbps":${f3(scratchMbps)}}"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, "%.6f")},"sf":"$sfDir",""" +
         s""""passes":$Passes,"runs":$runsJson$failedJson,$envJson,""" +
@@ -198,6 +209,28 @@ object Bench {
       maxLoad: Double, cpus: Int, canaryNow: Double, canaryBest: Double): Boolean =
     medianSpread > 2.0 || worsening > 0.4 || maxLoad > 1.5 * cpus ||
       canaryTrips(canaryNow, canaryBest)
+
+  /** Buffered-write MB/s of the shuffle scratch device: 256 MiB streamed
+    * through a FileOutputStream (the shuffle writer's write path shape),
+    * fsync'd so writeback cannot hide a slow device, then deleted. One
+    * probe, ~1 s on a healthy disk — pure self-evidence, not a gate. */
+  private def scratchWriteMbps(dir: String): Double = {
+    val f = java.nio.file.Paths.get(dir).resolve(s"bench-scratch-probe-${ProcessHandle.current.pid}")
+    try {
+      val buf = new Array[Byte](4 << 20)
+      new java.util.Random(13).nextBytes(buf)
+      val total = 256L << 20
+      val t0 = System.nanoTime()
+      val out = new java.io.FileOutputStream(f.toFile)
+      try {
+        var written = 0L
+        while (written < total) { out.write(buf); written += buf.length }
+        out.getFD.sync()
+      } finally out.close()
+      total / 1e6 / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+    finally { try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () } }
+  }
 
   /** The contention canary: single-thread MB/s of the 10 MiB
     * chunk-only transform (the grid's `chunk100_comp0_enc0` point — no
