@@ -748,6 +748,11 @@ object SparkEntry {
     // boundary schedule), recomputes each frame-pair SAD and applies the
     // identical threshold rule. The ENGINE sees only real-PNG-decoded
     // bytes; agreement proves codec round-trip + detector together.
+    // r9: the frame-pair SELF-JOIN on (doc, f-1, x, y) collapsed to a
+    // lag(s) window + inlined previous-frame channel formulas — proven
+    // row-identical to the join form in DuckDB at sf0.01/sf0.1/sf1 before
+    // the swap (the ts08 lesson: a 576M-row hash join at 100x is the
+    // oracle's only intractable part; the arithmetic is unchanged).
     "m06_scene_cuts" -> {
       import MultimodalQueries.{M06Frames => F, M06Width => W, M06Height => H, M06CutThreshold => T}
       s"""WITH fr AS (SELECT doc_id, unnest(generate_series(0, ${F - 1})) AS f FROM documents),
@@ -755,18 +760,19 @@ object SparkEntry {
          |         SUM(CASE WHEN f > 0 AND (doc_id*13 + f*29) % 7 = 0 THEN 1 ELSE 0 END)
          |           OVER (PARTITION BY doc_id ORDER BY f) AS s
          |       FROM fr),
-         |px AS (SELECT doc_id, f, s, unnest(generate_series(0, ${W - 1})) AS x FROM sc),
-         |pxy AS (SELECT doc_id, f, s, x, unnest(generate_series(0, ${H - 1})) AS y FROM px),
-         |ch AS (SELECT doc_id, f, x, y,
-         |        (doc_id*7 + s*97 + x*3 + y*5 + f) % 256 AS r,
-         |        (doc_id*11 + s*131 + x*13 + y + 2*f) % 256 AS g,
-         |        (x*y + doc_id + s*53 + 3*f) % 256 AS b
-         |       FROM pxy),
-         |sad AS (SELECT a.doc_id, a.f,
-         |          SUM(abs(a.r - b.r) + abs(a.g - b.g) + abs(a.b - b.b)) AS sad
-         |        FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND b.f = a.f - 1
-         |          AND a.x = b.x AND a.y = b.y
-         |        GROUP BY 1, 2),
+         |sl AS (SELECT doc_id, f, s, lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS sp
+         |       FROM sc),
+         |px AS (SELECT doc_id, f, s, sp, unnest(generate_series(0, ${W - 1})) AS x
+         |       FROM sl WHERE f > 0),
+         |pxy AS (SELECT doc_id, f, s, sp, x, unnest(generate_series(0, ${H - 1})) AS y FROM px),
+         |sad AS (SELECT doc_id, f,
+         |          SUM(abs((doc_id*7 + s*97 + x*3 + y*5 + f) % 256
+         |                - (doc_id*7 + sp*97 + x*3 + y*5 + f - 1) % 256)
+         |            + abs((doc_id*11 + s*131 + x*13 + y + 2*f) % 256
+         |                - (doc_id*11 + sp*131 + x*13 + y + 2*(f-1)) % 256)
+         |            + abs((x*y + doc_id + s*53 + 3*f) % 256
+         |                - (x*y + doc_id + sp*53 + 3*(f-1)) % 256)) AS sad
+         |        FROM pxy GROUP BY 1, 2),
          |cuts AS (SELECT doc_id, COUNT(*) AS n_cuts,
          |           md5(string_agg(CAST(f AS VARCHAR), ',' ORDER BY f)) AS cuts_md5
          |         FROM sad WHERE sad > $T GROUP BY 1),
