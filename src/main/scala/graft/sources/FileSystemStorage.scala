@@ -23,6 +23,9 @@ import graft.core.BytesRange
 final class FileSystemStorage(root: Path) extends StorageBackend {
   Files.createDirectories(root)
 
+  /** Exposed for tests that need to plant files next to uploaded objects. */
+  def rootPath: Path = root
+
   private def resolve(key: String): Path = {
     val p = root.resolve(key).normalize()
     require(p.startsWith(root), s"key $key escapes storage root")
@@ -31,8 +34,25 @@ final class FileSystemStorage(root: Path) extends StorageBackend {
 
   override def upload(in: InputStream, key: String): Long = {
     val target = resolve(key)
-    Files.createDirectories(target.getParent)
-    val tmp = Files.createTempFile(target.getParent, ".upload-", ".tmp")
+    // Concurrent delete() prunes emptied parents, racing createDirectories →
+    // createTempFile (NoSuchFileException on the just-pruned dir). Retry the
+    // mkdir+tmp pair: once the tmp file exists the parent can no longer be
+    // pruned (Files.delete on a non-empty dir fails atomically), so the
+    // input stream below is consumed exactly once.
+    var tmp: Path = null
+    var attempts = 0
+    while (tmp == null) {
+      // createDirectories is also racy: it creates path segments one at a
+      // time, and a concurrent prune of a just-created intermediate makes
+      // the next segment's createDirectory throw NoSuchFileException.
+      try {
+        Files.createDirectories(target.getParent)
+        tmp = Files.createTempFile(target.getParent, ".upload-", ".tmp")
+      } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempts += 1; if (attempts > 16) throw e
+      }
+    }
     try {
       val written = Using.resource(Files.newOutputStream(tmp, StandardOpenOption.TRUNCATE_EXISTING)) { out =>
         in.transferTo(out)
@@ -68,13 +88,17 @@ final class FileSystemStorage(root: Path) extends StorageBackend {
     // Prune empty parents up to the root (ref :97-112).
     var parent = p.getParent
     while (parent != null && parent != root && Files.isDirectory(parent) && isEmptyDir(parent)) {
-      try Files.delete(parent) catch { case _: java.nio.file.DirectoryNotEmptyException => return }
+      try Files.delete(parent) catch {
+        case _: java.nio.file.DirectoryNotEmptyException => return // writer moved in
+        case _: java.nio.file.NoSuchFileException => () // concurrent pruner won; continue up
+      }
       parent = parent.getParent
     }
   }
 
   private def isEmptyDir(p: Path): Boolean =
-    Using.resource(Files.list(p))(s => !s.iterator().hasNext)
+    try Using.resource(Files.list(p))(s => !s.iterator().hasNext)
+    catch { case _: java.nio.file.NoSuchFileException => false } // pruned under us; stop
 
   override def exists(key: String): Boolean = Files.exists(resolve(key))
   override def size(key: String): Long = {
@@ -85,13 +109,37 @@ final class FileSystemStorage(root: Path) extends StorageBackend {
 
   override def listKeys(prefix: String): Vector[String] = {
     if (!Files.exists(root)) return Vector.empty
-    Using.resource(Files.walk(root)) { stream =>
-      stream.iterator().asScala
-        .filter(Files.isRegularFile(_))
-        .map(p => root.relativize(p).toString)
-        .filter(_.startsWith(prefix))
-        .toVector.sorted
+    // NOT Files.walk: its FileTreeIterator stats every entry eagerly and
+    // throws (Unchecked)NoSuchFileException when a concurrent upload's
+    // .upload-*.tmp is atomically renamed away mid-walk, or delete() prunes
+    // an emptied parent dir. A live store always has writers; listing must
+    // tolerate entries vanishing between readdir and stat, and in-flight
+    // temp files are not objects — readers must never see them.
+    val out = Vector.newBuilder[String]
+    def inFlightTmp(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      n.startsWith(".upload-") && n.endsWith(".tmp")
     }
+    def visit(dir: Path): Unit = {
+      val entries =
+        try Using.resource(Files.newDirectoryStream(dir))(_.asScala.toVector)
+        catch {
+          case _: java.nio.file.NoSuchFileException => Vector.empty
+          case _: java.nio.file.NotDirectoryException => Vector.empty
+          case e: java.nio.file.DirectoryIteratorException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => Vector.empty
+        }
+      entries.foreach { p =>
+        // isDirectory/isRegularFile return false (no throw) if p vanished.
+        if (Files.isDirectory(p)) visit(p)
+        else if (Files.isRegularFile(p) && !inFlightTmp(p)) {
+          val rel = root.relativize(p).toString
+          if (rel.startsWith(prefix)) out += rel
+        }
+      }
+    }
+    visit(root)
+    out.result().sorted
   }
 }
 

@@ -85,6 +85,50 @@ class FileSystemStorageSpec extends AnyFunSuite {
     }
   }
 
+  test("listKeys hides in-flight upload temp files") {
+    withStorage { s =>
+      s.uploadBytes(Array[Byte](1), "t/p0/seg1.log")
+      // Simulate an upload in progress: the temp file a crashed/concurrent
+      // writer leaves before its atomic rename. Listings must not show it.
+      val tmp = Files.createTempFile(s.rootPath.resolve("t/p0"), ".upload-", ".tmp")
+      Files.write(tmp, Array[Byte](9, 9))
+      assert(s.listKeys("") == Vector("t/p0/seg1.log"))
+      Files.delete(tmp)
+    }
+  }
+
+  test("listKeys is safe under concurrent upload/delete churn") {
+    withStorage { s =>
+      // Writers rename .upload-*.tmp files into place and delete() prunes
+      // emptied parents while a reader walks — the exact race that made
+      // Files.walk throw NoSuchFileException mid-iteration. 2s of churn
+      // across 4 writer threads reproduced the crash reliably pre-fix.
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val writers = (0 until 4).map { w =>
+        new Thread(() => {
+          var i = 0
+          try while (!stop.get()) {
+            val key = s"churn/w$w/d${i % 7}/obj$i"
+            s.uploadBytes(Array[Byte](1, 2, 3), key)
+            s.delete(key)
+            i += 1
+          } catch { case t: Throwable => failure.compareAndSet(null, t) }
+        })
+      }
+      writers.foreach(_.start())
+      val deadline = System.nanoTime() + 2_000_000_000L
+      try while (System.nanoTime() < deadline) {
+        val keys = s.listKeys("churn/")
+        assert(keys.forall(k => k.startsWith("churn/") && !k.contains(".upload-")))
+      } finally {
+        stop.set(true)
+        writers.foreach(_.join(5000))
+      }
+      assert(failure.get() == null, s"writer failed: ${failure.get()}")
+    }
+  }
+
   test("batched delete removes >1000 keys") {
     withStorage { s =>
       val keys = (0 until 1005).map(i => s"bulk/k$i")
