@@ -728,20 +728,26 @@ object SparkEntry {
     // m05: every frame's features recomputed from the closed-form waveform
     // — block-local zero crossings (off > 0 mirrors the engine's n > 0
     // guard), integer energy, 512 samples per decoder block.
+    // r9: the lag(s) window collapsed to the closed form s(t-1) inlined
+    // per row — valid because t is dense 0..N-1 and s is a pure function
+    // of (doc_id, t), so lag(s) ≡ ((doc_id*31+(t-1)*17)%4001)-2000 for
+    // every row the off>0 guard admits; proven row-identical to the window
+    // form in DuckDB at sf0.01/sf0.1 before the swap. The window form
+    // sorts the N-per-doc sample relation (2.0B rows at 100x) and timed
+    // out at /tmp/sf10; the closed form streams through a hash agg.
     "m05_audio_features" -> {
       import MultimodalQueries.{M03Samples => N}
       s"""WITH smp AS (SELECT doc_id, unnest(generate_series(0, ${N - 1})) AS t FROM documents),
          |v AS (SELECT doc_id, t, t // 512 AS frame_idx,
-         |        ((doc_id*31 + t*17) % 4001) - 2000 AS s FROM smp),
-         |p AS (SELECT doc_id, t, frame_idx, s,
-         |        lag(s) OVER (PARTITION BY doc_id ORDER BY t) AS ps,
-         |        t % 512 AS off FROM v)
+         |        ((doc_id*31 + t*17) % 4001) - 2000 AS s,
+         |        ((doc_id*31 + (t-1)*17) % 4001) - 2000 AS ps,
+         |        t % 512 AS off FROM smp)
          |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
          |       CAST(COUNT(*) AS BIGINT) AS n_samples,
          |       CAST(SUM(s * s) AS BIGINT) AS energy,
          |       CAST(SUM(CASE WHEN off > 0 AND ((ps < 0 AND s > 0) OR (ps > 0 AND s < 0))
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-         |FROM p GROUP BY 1, 2""".stripMargin
+         |FROM v GROUP BY 1, 2""".stripMargin
     },
     // m06 = scene-cut detection: the oracle re-derives every pixel of the
     // closed-form frame sequence (scene index s = running count of the
