@@ -26,6 +26,12 @@ def main():
     for i, name in enumerate(names):
         for d in glob.glob("/root/repo/.tmp/duckdb_temp_storage-*"):
             shutil.rmtree(d, ignore_errors=True)
+        # 1-min load BEFORE the check starts: a TIMEOUT/OOM row with load
+        # >> ncpu means the check was contaminated by concurrent work (the
+        # r9 lesson: a parallel test-suite run turned two tractable oracles
+        # into a timeout and a DuckDB OOM), not that the oracle is
+        # intractable — rerun idle before excluding anything.
+        load1 = round(os.getloadavg()[0], 1)
         t0 = time.time()
         try:
             p = subprocess.run(
@@ -54,6 +60,7 @@ def main():
         except Exception as e:  # any other per-query surprise stays isolated
             results[name] = {"status": "ERROR", "sec": round(time.time() - t0, 1),
                              "detail": repr(e)}
+        results[name]["load1"] = load1
         st = results[name]["status"]
         print(f"[{i+1}/{len(names)}] {st:8s} {name} ({results[name]['sec']}s)",
               flush=True)

@@ -27,14 +27,16 @@ sbt -batch "runMain graft.tools.PlanAudit /root/testdata/sf0.001 PLANS.md"
 echo "== 3. bench leg sf0.1"
 rm -f /tmp/bench_sf01_detail.json
 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  sbt -batch "runMain graft.Bench" | tail -1 | tee "BENCH_r${ROUND}.stdout"
+  sbt -batch "runMain graft.Bench" | grep '^{' | tail -1 | tee "BENCH_r${ROUND}.stdout"
+  # (grep '^{': sbt prints "[success] Total time..." AFTER the program's
+  # single JSON line, so a bare tail -1 captures the wrong line)
 python3 -m json.tool BENCH_DETAIL.json > /dev/null  # validate artifact JSON
 python3 -m json.tool "BENCH_r${ROUND}.stdout" > /dev/null  # validate stdout line
 cp BENCH_DETAIL.json /tmp/bench_sf01_detail.json
 
 echo "== 4. bench leg /tmp/sf1"
 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/tmp/sf1 \
-  sbt -batch "runMain graft.Bench" | tail -1
+  sbt -batch "runMain graft.Bench" | grep '^{' | tail -1
 python3 scripts/merge_bench.py /tmp/bench_sf01_detail.json BENCH_DETAIL.json \
   "$ROUND" BENCH_sf1.json
 cp /tmp/bench_sf01_detail.json BENCH_DETAIL.json  # driver-facing = sf0.1 leg

@@ -35,8 +35,16 @@ object FunnelStateProbe {
       .selectExpr("doc_id", "lang", "source", "text")
       .localCheckpoint(true)
     val n = docs.count()
-    // three uneven chunks by doc_id rank — same shape as the spec's splits
-    val cuts = Seq((0L, n / 3), (n / 3, n / 2), (n / 2, n + 1))
+    // Three uneven chunks by doc_id RANK — cut at the exact 1/3 and 1/2
+    // quantiles of the actual id distribution (relativeError=0 ⇒ exact).
+    // NOT value arithmetic on n: replica doc_ids sit in 1e8-spaced copy
+    // blocks, so (0, n/3, n/2) ranges would select only the original
+    // copy's ids and silently probe a tenth of the corpus (the r9 bug:
+    // both FUNNELSTATE legs reported identical state cardinalities).
+    val Array(q1, q2) = docs.stat.approxQuantile("doc_id", Array(1.0 / 3, 0.5), 0.0)
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val cuts = Seq((Long.MinValue, q1.toLong), (q1.toLong, q2.toLong),
+      (q2.toLong, maxId + 1))
     val t0 = System.nanoTime()
     cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
       val chunk = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
