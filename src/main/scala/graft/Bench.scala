@@ -86,7 +86,9 @@ object Bench {
     // device carries the proof inside itself.
     val scratchDir = spark.conf.getOption("spark.local.dir")
       .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
-    val scratchMbps = scratchWriteMbps(scratchDir)
+    // spark.local.dir may be a comma-separated LIST of dirs; probe the
+    // first (Spark round-robins across them, any one is representative).
+    val scratchMbps = scratchWriteMbps(scratchDir.split(',').head.trim)
     val wallT0 = System.nanoTime()
     val runs: Seq[(String, Vector[Option[Double]])] = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
@@ -139,13 +141,21 @@ object Bench {
       s""""$k":[${rs.map(_.fold("null")(v => String.format(java.util.Locale.ROOT, "%.6f", Double.box(v)))).mkString(",")}]"""
     }.mkString("{", ",", "}")
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // JSON string escape for free-form values (paths can carry quotes or
+    // backslashes; an unescaped one makes the whole artifact unparseable)
+    def jsonStr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val envJson =
       s""""env":{"load_before":${f3(loadBefore)},"load_after":${f3(loadAfter)},""" +
         s""""cpus_os":${osBean.getAvailableProcessors},"wall_sec":${f3(wallSec)},""" +
         s""""median_pass_spread":${f3(medianSpread)},"worsening_frac":${f3(worsening)},""" +
         s""""canary_mbps":${f3(canaryNow)},"canary_best_mbps":${f3(math.max(canaryBestStored, canaryNow))},""" +
         s""""canary_contended":$canaryContended,"contended":$contended,""" +
-        s""""scratch_dir":"$scratchDir","scratch_write_mbps":${f3(scratchMbps)}}"""
+        s""""scratch_dir":${jsonStr(scratchDir)},"scratch_write_mbps":${f3(scratchMbps)}}"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, "%.6f")},"sf":"$sfDir",""" +
         s""""passes":$Passes,"runs":$runsJson$failedJson,$envJson,""" +

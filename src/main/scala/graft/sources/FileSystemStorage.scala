@@ -29,6 +29,12 @@ final class FileSystemStorage(root: Path) extends StorageBackend {
   private def resolve(key: String): Path = {
     val p = root.resolve(key).normalize()
     require(p.startsWith(root), s"key $key escapes storage root")
+    // The .upload-*.tmp basename pattern is RESERVED for in-flight upload
+    // temp files, which listKeys hides. Accepting such a key would create
+    // an object that exists/fetches but never lists — invisible to the
+    // retention and scrub jobs, a permanent orphan. Reject at write time.
+    require(!FileSystemStorage.isInFlightTmpName(p.getFileName.toString),
+      s"key $key uses the reserved in-flight upload temp pattern .upload-*.tmp")
     p
   }
 
@@ -116,10 +122,8 @@ final class FileSystemStorage(root: Path) extends StorageBackend {
     // tolerate entries vanishing between readdir and stat, and in-flight
     // temp files are not objects — readers must never see them.
     val out = Vector.newBuilder[String]
-    def inFlightTmp(p: Path): Boolean = {
-      val n = p.getFileName.toString
-      n.startsWith(".upload-") && n.endsWith(".tmp")
-    }
+    def inFlightTmp(p: Path): Boolean =
+      FileSystemStorage.isInFlightTmpName(p.getFileName.toString)
     def visit(dir: Path): Unit = {
       val entries =
         try Using.resource(Files.newDirectoryStream(dir))(_.asScala.toVector)
@@ -131,7 +135,11 @@ final class FileSystemStorage(root: Path) extends StorageBackend {
         }
       entries.foreach { p =>
         // isDirectory/isRegularFile return false (no throw) if p vanished.
-        if (Files.isDirectory(p)) visit(p)
+        // NOFOLLOW on the recursion guard: Files.walk (the old impl) never
+        // followed directory symlinks, and following one that points at an
+        // ancestor would recurse unboundedly. A symlink to a FILE still
+        // lists (isRegularFile follows links), matching walk's semantics.
+        if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) visit(p)
         else if (Files.isRegularFile(p) && !inFlightTmp(p)) {
           val rel = root.relativize(p).toString
           if (rel.startsWith(prefix)) out += rel
@@ -145,6 +153,11 @@ final class FileSystemStorage(root: Path) extends StorageBackend {
 
 object FileSystemStorage {
   def apply(root: String): FileSystemStorage = new FileSystemStorage(Paths.get(root))
+
+  /** The reserved basename pattern of in-flight upload temp files: hidden
+    * from listKeys and rejected as object keys (see resolve/listKeys). */
+  private[sources] def isInFlightTmpName(name: String): Boolean =
+    name.startsWith(".upload-") && name.endsWith(".tmp")
 }
 
 /** Reads at most `limit` bytes from `in` then reports EOF; closing closes the

@@ -41,10 +41,16 @@ object FunnelStateProbe {
     // blocks, so (0, n/3, n/2) ranges would select only the original
     // copy's ids and silently probe a tenth of the corpus (the r9 bug:
     // both FUNNELSTATE legs reported identical state cardinalities).
-    val Array(q1, q2) = docs.stat.approxQuantile("doc_id", Array(1.0 / 3, 0.5), 0.0)
-    val maxId = docs.agg(max("doc_id")).head().getLong(0)
-    val cuts = Seq((Long.MinValue, q1.toLong), (q1.toLong, q2.toLong),
-      (q2.toLong, maxId + 1))
+    // approxQuantile returns an EMPTY array on an empty/all-null column —
+    // degrade to degenerate cuts instead of a MatchError (an empty sfDir
+    // would otherwise kill the probe mid-snapshot and leave malformed
+    // FUNNELSTATE.json behind).
+    val qs = docs.stat.approxQuantile("doc_id", Array(1.0 / 3, 0.5), 0.0)
+    val cuts = if (qs.length < 2) Seq((0L, 0L), (0L, 0L), (0L, 1L)) else {
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      Seq((Long.MinValue, qs(0).toLong), (qs(0).toLong, qs(1).toLong),
+        (qs(1).toLong, maxId + 1))
+    }
     val t0 = System.nanoTime()
     cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
       val chunk = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)

@@ -46,50 +46,11 @@ object GraphGate {
       .selectExpr("doc_id", "band0", "band1")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
 
-    // g01 edge set: ANY-band buckets (the d03 shape), re-derived in memory
-    // independently of the Spark band join; distinct undirected a<b
-    def halfSigEdges(): Array[(Long, Long)] = {
-      val buckets = mutable.HashMap.empty[String, mutable.ArrayBuffer[Long]]
-      sig.foreach { case (id, b0, b1) =>
-        buckets.getOrElseUpdate(b0, mutable.ArrayBuffer.empty) += id
-        buckets.getOrElseUpdate(b1, mutable.ArrayBuffer.empty) += id
-      }
-      val pairs = mutable.HashSet.empty[(Long, Long)]
-      buckets.valuesIterator.foreach { ds =>
-        val u = ds.distinct.sorted // a doc whose two bands collide appears twice
-        var i = 0
-        while (i < u.length) {
-          var j = i + 1
-          while (j < u.length) { pairs += ((u(i), u(j))); j += 1 }
-          i += 1
-        }
-      }
-      pairs.toArray
-    }
-
-    // g02/g03/g04 edge set: BOTH-bands buckets (the full-signature
-    // template graph); each doc has exactly one composite key, so pairs
-    // are unique by construction
-    def fullSigEdges(): Array[(Long, Long)] = {
-      val buckets = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Long]]
-      sig.foreach { case (id, b0, b1) =>
-        buckets.getOrElseUpdate((b0, b1), mutable.ArrayBuffer.empty) += id
-      }
-      val pairs = mutable.ArrayBuffer.empty[(Long, Long)]
-      buckets.valuesIterator.foreach { ds =>
-        val u = ds.sorted
-        var i = 0
-        while (i < u.length) {
-          var j = i + 1
-          while (j < u.length) { pairs += ((u(i), u(j))); j += 1 }
-          i += 1
-        }
-      }
-      pairs.toArray
-    }
-
-    val (tHalf, half) = timed(halfSigEdges())
-    val (tFull, full) = timed(fullSigEdges())
+    // Edge derivations live in GraphRef (halfSigEdges = g01's ANY-band
+    // d03 shape; fullSigEdges = g02–g04's BOTH-bands template graph) so
+    // GraphRefSpec pins the exact code this gate runs.
+    val (tHalf, half) = timed(GraphRef.halfSigEdges(sig))
+    val (tFull, full) = timed(GraphRef.fullSigEdges(sig))
     val halfDirected = half ++ half.map(e => (e._2, e._1))
     val docIds = graft.queries.Tables.documents(spark, dir)
       .select("doc_id").collect().map(_.getLong(0))

@@ -19,6 +19,50 @@ import scala.collection.mutable
   */
 object GraphRef {
 
+  /** g01's edge set, re-derived in memory from collected (doc_id, band0,
+    * band1) signature rows: ANY-band buckets (the d03 shape), distinct
+    * undirected a<b pairs. Shared by GraphGate and GraphRefSpec so the
+    * spec pins the SAME derivation the replica-scale gate runs. */
+  def halfSigEdges(sig: Array[(Long, String, String)]): Array[(Long, Long)] = {
+    val buckets = mutable.HashMap.empty[String, mutable.ArrayBuffer[Long]]
+    sig.foreach { case (id, b0, b1) =>
+      buckets.getOrElseUpdate(b0, mutable.ArrayBuffer.empty) += id
+      buckets.getOrElseUpdate(b1, mutable.ArrayBuffer.empty) += id
+    }
+    val pairs = mutable.HashSet.empty[(Long, Long)]
+    buckets.valuesIterator.foreach { ds =>
+      val u = ds.distinct.sorted // a doc whose two bands collide appears twice
+      var i = 0
+      while (i < u.length) {
+        var j = i + 1
+        while (j < u.length) { pairs += ((u(i), u(j))); j += 1 }
+        i += 1
+      }
+    }
+    pairs.toArray
+  }
+
+  /** g02/g03/g04's edge set: BOTH-bands buckets (the full-signature
+    * template graph); each doc has exactly one composite key, so pairs
+    * are unique by construction. */
+  def fullSigEdges(sig: Array[(Long, String, String)]): Array[(Long, Long)] = {
+    val buckets = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Long]]
+    sig.foreach { case (id, b0, b1) =>
+      buckets.getOrElseUpdate((b0, b1), mutable.ArrayBuffer.empty) += id
+    }
+    val pairs = mutable.ArrayBuffer.empty[(Long, Long)]
+    buckets.valuesIterator.foreach { ds =>
+      val u = ds.sorted
+      var i = 0
+      while (i < u.length) {
+        var j = i + 1
+        while (j < u.length) { pairs += ((u(i), u(j))); j += 1 }
+        i += 1
+      }
+    }
+    pairs.toArray
+  }
+
   /** Dense node indexer: doc_id -> [0, n). */
   final class Idx(ids: Array[Long]) {
     val n: Int = ids.length

@@ -138,6 +138,17 @@ class FileSystemStorageSpec extends AnyFunSuite {
     }
   }
 
+  test("reserved .upload-*.tmp basename is rejected as a key") {
+    withStorage { s =>
+      // listKeys hides the in-flight temp pattern, so accepting it as a
+      // key would create an unlisted orphan invisible to retention/scrub.
+      intercept[IllegalArgumentException](s.uploadBytes(Array[Byte](1), "t/.upload-x.tmp"))
+      intercept[IllegalArgumentException](s.exists(".upload-1.tmp"))
+      s.uploadBytes(Array[Byte](1), "t/upload-x.tmp") // non-dot sibling is fine
+      assert(s.listKeys("t/") == Vector("t/upload-x.tmp"))
+    }
+  }
+
   test("key escaping the root is rejected") {
     withStorage { s => intercept[IllegalArgumentException](s.uploadBytes(Array[Byte](1), "../escape")) }
   }

@@ -14,30 +14,10 @@ class GraphRefSpec extends SparkSpec {
     .selectExpr("doc_id", "band0", "band1")
     .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
 
-  private lazy val halfEdges: Array[(Long, Long)] = {
-    val buckets = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
-    sig.foreach { case (id, b0, b1) =>
-      buckets.getOrElseUpdate(b0, scala.collection.mutable.ArrayBuffer.empty) += id
-      buckets.getOrElseUpdate(b1, scala.collection.mutable.ArrayBuffer.empty) += id
-    }
-    val pairs = scala.collection.mutable.HashSet.empty[(Long, Long)]
-    buckets.valuesIterator.foreach { ds =>
-      val u = ds.distinct.sorted
-      for (i <- u.indices; j <- i + 1 until u.length) pairs += ((u(i), u(j)))
-    }
-    pairs.toArray
-  }
-
-  private lazy val fullEdges: Array[(Long, Long)] = {
-    val buckets = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.ArrayBuffer[Long]]
-    sig.foreach { case (id, b0, b1) =>
-      buckets.getOrElseUpdate((b0, b1), scala.collection.mutable.ArrayBuffer.empty) += id
-    }
-    buckets.valuesIterator.flatMap { ds =>
-      val u = ds.sorted
-      for (i <- u.indices.iterator; j <- (i + 1 until u.length).iterator) yield (u(i), u(j))
-    }.toArray
-  }
+  // The gate's own derivations (hoisted into GraphRef), NOT a re-implementation:
+  // a drift in the code GraphGate actually runs must fail here.
+  private lazy val halfEdges: Array[(Long, Long)] = GraphRef.halfSigEdges(sig)
+  private lazy val fullEdges: Array[(Long, Long)] = GraphRef.fullSigEdges(sig)
 
   test("in-memory half-signature edge derivation matches d03") {
     val d03 = TextQueries.d03MinHashPairs(spark, dir).collect()
