@@ -57,6 +57,10 @@ echo "== 6. funnel state probe"
   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.tools.FunnelStateProbe /root/testdata/sf0.1 sf0.1" 2>/dev/null | grep '^{' | tr -d '\n'
   printf ','
   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.tools.FunnelStateProbe /tmp/sf1 sf1-10x" 2>/dev/null | grep '^{' | tr -d '\n'
+  if [ -d /tmp/sf10 ]; then
+    printf ','
+    SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.tools.FunnelStateProbe /tmp/sf10 sf10-100x" 2>/dev/null | grep '^{' | tr -d '\n'
+  fi
   printf ']}\n'
 } > FUNNELSTATE.json
 python3 -m json.tool FUNNELSTATE.json > /dev/null  # validate
