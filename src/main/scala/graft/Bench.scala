@@ -25,6 +25,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Memory/scratch-state sensors (r10, VERDICT r9 "What's wrong" #1: the
+    // r9 driver artifact was poisoned by memory/scratch-state pressure left
+    // behind by an oracle sweep that ended 3 minutes earlier — the CPU
+    // canary recorded a machine BEST during the poisoned run because
+    // single-thread memory streaming doesn't touch the degraded path).
+    // Record MemAvailable and /dev/shm usage before and after, and detect
+    // any live duckdb/oracle process at start: each is self-evidence the
+    // artifact carries inside itself.
+    val memTotalMb = meminfoMb("MemTotal")
+    val memAvailBeforeMb = meminfoMb("MemAvailable")
+    val shmUsedBeforeMb = shmUsedMb()
+    val oracleProcsAtStart = oracleProcs()
+    if (oracleProcsAtStart.nonEmpty)
+      System.err.println(s"[bench] WARNING: oracle-class processes alive at start: ${oracleProcsAtStart.mkString("; ")}")
+
     // Warm-up: one full pass over every query (JMH-style — the reference
     // bench runs 4 warmup iterations; we run 1). First-touch costs (JIT,
     // codegen compile, parquet footers, broadcast machinery) land here
@@ -64,19 +79,20 @@ object Bench {
     // whenever beaten): landing below 60% of the stored best declares the
     // whole run contended no matter how self-consistent the passes look.
     val canaryPath = java.nio.file.Paths.get("BENCH_CANARY.json")
-    val canaryBestStored: Double =
+    def storedCanary(key: String): Double =
       try {
         val s = java.nio.file.Files.readString(canaryPath)
-        """"best_mbps"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(s)
-          .map(_.group(1).toDouble).getOrElse(0.0)
+        (""""""" + java.util.regex.Pattern.quote(key) + """"\s*:\s*([0-9.]+)""").r
+          .findFirstMatchIn(s).map(_.group(1).toDouble).getOrElse(0.0)
       } catch { case _: Throwable => 0.0 }
+    val canaryBestStored: Double = storedCanary("best_mbps")
     val canaryNow = canaryMbps()
     val canaryContended = canaryTrips(canaryNow, canaryBestStored)
-    if (canaryNow > canaryBestStored) {
-      try java.nio.file.Files.writeString(canaryPath,
-        s"""{"best_mbps":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(canaryNow))},"point":"chunk100_comp0_enc0_10mib"}\n""")
-      catch { case e: Throwable => System.err.println(s"[bench] canary write failed: ${e.getMessage}") }
-    }
+    // The shuffle-path canary's stored best is keyed by executor-thread
+    // count: shuffle throughput scales with parallelism, so a best recorded
+    // at local[32] must not judge a local[4] run.
+    val shuffleKey = s"shuffle_best_krps_cpus$cpus"
+    val shuffleBestStored: Double = storedCanary(shuffleKey)
     // Scratch-disk self-evidence (r9): the CPU canary cannot see a slow or
     // saturated SCRATCH device, and spark.local.dir placement dominated a
     // full 1.8× of total bench time on the r9 rig (boot disk ~33 MB/s
@@ -89,6 +105,14 @@ object Bench {
     // spark.local.dir may be a comma-separated LIST of dirs; probe the
     // first (Spark round-robins across them, any one is representative).
     val scratchMbps = scratchWriteMbps(scratchDir.split(',').head.trim)
+    // Shuffle-path mini-canary (r10): a timed 5 M-row repartition+agg that
+    // exercises exactly the path the r9 poison degraded (shuffle write →
+    // scratch → shuffle read → hash agg) while the CPU canary stayed at a
+    // machine best. Measured before AND after the query passes — the pair
+    // catches both pre-existing scratch/memory-state pressure and pressure
+    // that arrives during the run. Compared against the per-cpus stored
+    // best; below 50% on either sample declares the run contended.
+    val shuffleKrpsBefore = shuffleCanaryKrps(spark)
     val wallT0 = System.nanoTime()
     val runs: Seq[(String, Vector[Option[Double]])] = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
@@ -105,6 +129,31 @@ object Bench {
     }
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     val loadAfter = osBean.getSystemLoadAverage
+    val shuffleKrpsAfter = shuffleCanaryKrps(spark)
+    val memAvailAfterMb = meminfoMb("MemAvailable")
+    val shmUsedAfterMb = shmUsedMb()
+    val shuffleContended = shuffleCanaryTrips(
+      math.min(shuffleKrpsBefore, shuffleKrpsAfter), shuffleBestStored)
+    // Persist the canary bests (both sensors share BENCH_CANARY.json; the
+    // shuffle best is per-cpus keyed, other cpus' entries are preserved).
+    val shuffleNowMax = math.max(shuffleKrpsBefore, shuffleKrpsAfter)
+    if (canaryNow > canaryBestStored || shuffleNowMax > shuffleBestStored) {
+      try {
+        val prior: Map[String, String] =
+          (try """"(shuffle_best_krps_cpus\d+)"\s*:\s*([0-9.]+)""".r
+            .findAllMatchIn(java.nio.file.Files.readString(canaryPath))
+            .map(m => m.group(1) -> m.group(2)).toMap
+          catch { case _: Throwable => Map.empty[String, String] }) ++
+            (if (shuffleNowMax > shuffleBestStored)
+              Map(shuffleKey -> String.format(java.util.Locale.ROOT, "%.1f", Double.box(shuffleNowMax)))
+            else Map.empty)
+        val bestMbps = String.format(java.util.Locale.ROOT, "%.1f",
+          Double.box(math.max(canaryNow, canaryBestStored)))
+        val extra = prior.toSeq.sorted.map { case (k, v) => s""","$k":$v""" }.mkString
+        java.nio.file.Files.writeString(canaryPath,
+          s"""{"best_mbps":$bestMbps,"point":"chunk100_comp0_enc0_10mib"$extra}\n""")
+      } catch { case e: Throwable => System.err.println(s"[bench] canary write failed: ${e.getMessage}") }
+    }
     val spreads = runs.flatMap { case (_, rs) =>
       val ok = rs.flatten
       if (ok.size == Passes && ok.min > 0.05) Some(ok.max / ok.min) else None
@@ -115,9 +164,18 @@ object Bench {
       val inc = eligible.count(rs => rs.sliding(2).forall { case Seq(a, b) => b > a })
       if (eligible.isEmpty) 0.0 else inc.toDouble / eligible.size
     }
+    // Per-query monotonic-worsening trip (r10): p03's signature inside the
+    // poisoned r9 artifact was passes strictly worsening 2.94 → 31.56 →
+    // 56.29 s — >3× first-to-last inside ONE query's passes. Any query
+    // showing that shape marks the artifact contended regardless of every
+    // other gate (a quiet machine never produces it: min-of-3 exists
+    // precisely because pass times jitter both directions).
+    val monotonicTrip = monotonicTripQueries(runs.map { case (n, rs) => n -> rs.toVector })
     val contended = contendedVerdict(medianSpread, worsening,
       math.max(loadBefore, loadAfter), osBean.getAvailableProcessors,
-      canaryNow, canaryBestStored)
+      canaryNow, canaryBestStored) ||
+      shuffleContended || monotonicTrip.nonEmpty || oracleProcsAtStart.nonEmpty ||
+      memPressure(memAvailBeforeMb, memTotalMb)
     val results = runs.map { case (name, rs) =>
       val ok = rs.flatten
       name -> (if (ok.nonEmpty) ok.min else -1.0)
@@ -155,9 +213,17 @@ object Bench {
         s""""median_pass_spread":${f3(medianSpread)},"worsening_frac":${f3(worsening)},""" +
         s""""canary_mbps":${f3(canaryNow)},"canary_best_mbps":${f3(math.max(canaryBestStored, canaryNow))},""" +
         s""""canary_contended":$canaryContended,"contended":$contended,""" +
-        s""""scratch_dir":${jsonStr(scratchDir)},"scratch_write_mbps":${f3(scratchMbps)}}"""
+        s""""scratch_dir":${jsonStr(scratchDir)},"scratch_write_mbps":${f3(scratchMbps)},""" +
+        s""""mem_total_mb":$memTotalMb,"mem_avail_before_mb":$memAvailBeforeMb,""" +
+        s""""mem_avail_after_mb":$memAvailAfterMb,"shm_used_before_mb":$shmUsedBeforeMb,""" +
+        s""""shm_used_after_mb":$shmUsedAfterMb,""" +
+        s""""shuffle_krps_before":${f3(shuffleKrpsBefore)},"shuffle_krps_after":${f3(shuffleKrpsAfter)},""" +
+        s""""shuffle_best_krps":${f3(math.max(shuffleBestStored, shuffleNowMax))},""" +
+        s""""shuffle_contended":$shuffleContended,""" +
+        s""""monotonic_trip":${monotonicTrip.map(jsonStr).mkString("[", ",", "]")},""" +
+        s""""oracle_procs_at_start":${oracleProcsAtStart.map(jsonStr).mkString("[", ",", "]")}}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, "%.6f")},"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, "%.6f")},"sf":${jsonStr(sfDir)},""" +
         s""""passes":$Passes,"runs":$runsJson$failedJson,$envJson,""" +
         s""""transform_mbps":${jmap(tMbps, "%.3f")},"detransform_mbps":${jmap(dMbps, "%.3f")},""" +
         s""""fetch_mbps":${jmap(fMbps, "%.3f")}}"""
@@ -197,9 +263,15 @@ object Bench {
     // canary = this run's chunk-only MB/s over the best ever recorded
     // (1.0 = as fast as the machine has ever been; <0.6 trips contended)
     val canaryRatio = if (canaryBestStored > 0) canaryNow / canaryBestStored else 1.0
+    // shuffle = min(before,after) over the per-cpus stored best — the r10
+    // sensor for scratch/memory-state poison the CPU canary cannot see
+    val shuffleRatio =
+      if (shuffleBestStored > 0) math.min(shuffleKrpsBefore, shuffleKrpsAfter) / shuffleBestStored
+      else 1.0
     println(s"""{"metric":"total","value":$totalStr,"unit":"sec",""" +
       s""""queries":$qJson,"sf":"$sfShort"$failedJson,""" +
-      s""""spread":${trim2(medianSpread)},"canary":${trim2(canaryRatio)},"contended":$contended}""")
+      s""""spread":${trim2(medianSpread)},"canary":${trim2(canaryRatio)},""" +
+      s""""shuffle":${trim2(shuffleRatio)},"contended":$contended}""")
     spark.stop()
   }
 
@@ -219,6 +291,112 @@ object Bench {
       maxLoad: Double, cpus: Int, canaryNow: Double, canaryBest: Double): Boolean =
     medianSpread > 2.0 || worsening > 0.4 || maxLoad > 1.5 * cpus ||
       canaryTrips(canaryNow, canaryBest)
+
+  /** True when the shuffle-path canary says the shuffle/scratch path is
+    * degraded: below 50% of the best this machine recorded at the same
+    * thread count. Threshold is looser than the CPU canary's 60% because a
+    * 32-thread shuffle job is intrinsically noisier than single-thread
+    * memory streaming. Zero/absent stored best never trips (seeds). */
+  private[graft] def shuffleCanaryTrips(nowKrps: Double, bestKrps: Double): Boolean =
+    bestKrps > 0 && nowKrps < 0.5 * bestKrps
+
+  /** Memory-pressure trip: less than 25% of physical RAM available at run
+    * start means some other process (a leftover oracle, a memory hog)
+    * holds the machine — the shuffle/spill path will page. Conservative on
+    * purpose; the shuffle canary is the fine-grained sensor. Unknown
+    * readings (-1 on non-Linux) never trip. */
+  private[graft] def memPressure(availMb: Long, totalMb: Long): Boolean =
+    totalMb > 0 && availMb >= 0 && availMb < totalMb / 4
+
+  /** Queries whose passes strictly increase AND whose last pass is >3× the
+    * first — the inside-one-query signature of load ramping up during the
+    * run (the poisoned r9 artifact's p03: 2.94 → 31.56 → 56.29 s). Queries
+    * with sub-0.2 s first passes are skipped: codegen-cache or GC jitter
+    * can triple a 50 ms query without meaning anything. */
+  private[graft] def monotonicTripQueries(
+      runs: Seq[(String, Vector[Option[Double]])]): Seq[String] =
+    runs.collect {
+      case (name, rs) if {
+        val ok = rs.flatten
+        ok.size == rs.size && ok.size >= 2 && ok.head > 0.2 &&
+          ok.sliding(2).forall { case Seq(a, b) => b > a } &&
+          ok.last > 3.0 * ok.head
+      } => name
+    }
+
+  /** /proc/meminfo value in MiB, or -1 when unreadable (non-Linux). */
+  private[graft] def meminfoMb(key: String): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith(key + ":") =>
+          l.drop(key.length + 1).trim.split("\\s+")(0).toLong / 1024
+      }.getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** Bytes used on /dev/shm in MiB (tmpfs: used = total - usable), or -1
+    * when the mount doesn't exist. A large number here that this process
+    * didn't create is scratch-state pressure from someone else. */
+  private def shmUsedMb(): Long =
+    try {
+      val f = new java.io.File("/dev/shm")
+      if (!f.isDirectory) -1L
+      else (f.getTotalSpace - f.getUsableSpace) / (1024 * 1024)
+    } catch { case _: Throwable => -1L }
+
+  /** Other live processes whose command line looks like a DuckDB oracle
+    * run (`duckdb`, `oracle_sweep`, `make_gate`) — benching while one runs
+    * (or within minutes of one) produced the poisoned r8 AND r9 artifacts.
+    * Returns "pid:cmdline-prefix" strings; the run is marked contended
+    * when nonempty. */
+  private def oracleProcs(): Seq[String] =
+    try {
+      val self = ProcessHandle.current.pid
+      val pat = java.util.regex.Pattern.compile("(?i)duckdb|oracle_sweep|make_gate")
+      val procDir = new java.io.File("/proc")
+      val pids = Option(procDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+      pids.toSeq.flatMap { d =>
+        try {
+          val pid = d.getName.toLong
+          if (pid == self) None
+          else {
+            val raw = java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(d.getPath, "cmdline"))
+            val cmd = new String(raw.map(b => if (b == 0) ' ' else b.toChar)).trim
+            if (cmd.nonEmpty && pat.matcher(cmd).find())
+              Some(s"$pid:${cmd.take(120)}")
+            else None
+          }
+        } catch { case _: Throwable => None }
+      }
+    } catch { case _: Throwable => Seq.empty }
+
+  /** The shuffle-path canary job: 5 M rows hashed across the full thread
+    * count into a repartition (shuffle write through spark.local.dir, then
+    * shuffle read) feeding a hash aggregation. ~1 s idle at local[32].
+    * min-of-3 after one warm pass; returns krows/s. This is the sensor for
+    * the r9 failure mode: memory/scratch-state pressure that slows exactly
+    * the shuffle/spill path while single-thread CPU streaming runs at a
+    * machine best. */
+  private[graft] def shuffleCanaryKrps(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val rows = 5000000L
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(rows)
+        .select((col("id") % 100000).as("k"), col("id"))
+        .repartition(col("k"))
+        .groupBy("k").agg(sum("id").as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm
+    var best = Double.MaxValue
+    (1 to 3).foreach(_ => best = math.min(best, once()))
+    rows / 1e3 / best
+  }
 
   /** Buffered-write MB/s of the shuffle scratch device: 256 MiB streamed
     * through a FileOutputStream (the shuffle writer's write path shape),
@@ -247,7 +425,7 @@ object Bench {
     * compression, no encryption, pure chunk-copy memory streaming). Sits
     * at ~5 GB/s on this box when idle; steady external load drags it down
     * proportionally, which per-query spread statistics cannot see. */
-  private def canaryMbps(): Double = {
+  private[graft] def canaryMbps(): Double = {
     import graft.core.transform._
     val content = new Array[Byte](10 * 1024 * 1024)
     new java.util.Random(42).nextBytes(content)

@@ -40,6 +40,38 @@ class BenchGateSpec extends AnyFunSuite {
       maxLoad = 2.0, cpus = 32, canaryNow = 100, canaryBest = 0.0))
   }
 
+  test("shuffle canary: threshold is 50% of per-cpus stored best; absent best seeds") {
+    assert(!Bench.shuffleCanaryTrips(nowKrps = 2600, bestKrps = 5000)) // 52%
+    assert(Bench.shuffleCanaryTrips(nowKrps = 2400, bestKrps = 5000)) // 48%
+    assert(!Bench.shuffleCanaryTrips(nowKrps = 100, bestKrps = 0.0))
+  }
+
+  test("memory pressure: trips below 25% of physical RAM; unknown never trips") {
+    assert(Bench.memPressure(availMb = 20000, totalMb = 128000)) // 15.6%
+    assert(!Bench.memPressure(availMb = 40000, totalMb = 128000)) // 31%
+    assert(!Bench.memPressure(availMb = -1, totalMb = 128000))
+    assert(!Bench.memPressure(availMb = 100, totalMb = -1))
+  }
+
+  test("monotonic trip: the poisoned-r9 p03 shape (2.94 -> 31.56 -> 56.29) trips") {
+    val shaped = Seq(
+      "p03_curation" -> Vector(Some(2.94), Some(31.56), Some(56.29)),
+      "q01_agg" -> Vector(Some(1.1), Some(1.2), Some(1.0)))
+    assert(Bench.monotonicTripQueries(shaped) == Seq("p03_curation"))
+  }
+
+  test("monotonic trip: ordinary jitter, sub-3x growth, fast queries, and failed passes don't trip") {
+    assert(Bench.monotonicTripQueries(Seq(
+      // strictly increasing but only 2.5x total: jitter, not poison
+      "a" -> Vector(Some(1.0), Some(1.8), Some(2.5)),
+      // >3x growth but not strictly increasing
+      "b" -> Vector(Some(1.0), Some(0.9), Some(4.0)),
+      // sub-0.2s first pass: codegen-cache noise can triple it
+      "c" -> Vector(Some(0.05), Some(0.1), Some(0.3)),
+      // a failed pass disqualifies the query from the statistic
+      "d" -> Vector(Some(1.0), None, Some(4.0)))).isEmpty)
+  }
+
   test("ramping load still trips through the relative statistics") {
     assert(Bench.contendedVerdict(medianSpread = 2.5, worsening = 0.1,
       maxLoad = 2.0, cpus = 32, canaryNow = 5000, canaryBest = 5074))
