@@ -473,20 +473,37 @@ object TextQueries {
     * these are LSH candidate pairs) against the rank vector plus one
     * aggregate; `localCheckpoint` truncates lineage per iteration — the
     * discipline every iterative Spark job needs (without it the plan
-    * doubles each round and the driver dies of analysis, not data). */
+    * doubles each round and the driver dies of analysis, not data).
+    *
+    * Superstep constant (r10, VERDICT r9 task 3 — GraphGate measured the
+    * old 3-join loop at 105 s/sf1 where fixed per-iteration overhead, not
+    * data, dominated): the degree join is FOLDED into the edge relation
+    * ONCE (`src, dst, deg` persisted up front — deg never changes), and
+    * every relation in the loop is pinned hash-partitioned on its join
+    * key at a FIXED partition count (`repartition(n, key)`, which AQE
+    * never coalesces, and `localCheckpoint` preserves outputPartitioning
+    * into the next plan): edges on src, ranks on doc_id, so the
+    * edge⋈rank join aligns shuffle-free, the contribution aggregate is
+    * the superstep's ONE real exchange, and the dangling-node left join
+    * (contrib on dst vs ranks on doc_id) aligns shuffle-free again —
+    * leaving the output partitioned on doc_id for the next superstep. */
   def g01PageRank(s: SparkSession, d: String): DataFrame = {
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val pairs = d03MinHashPairs(s, d).localCheckpoint(true)
     val edges = pairs.selectExpr("a AS src", "b AS dst")
-      .union(pairs.selectExpr("b AS src", "a AS dst")).localCheckpoint(true)
+      .union(pairs.selectExpr("b AS src", "a AS dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = documents(s, d).select(col("doc_id"))
-    var ranks = nodes.selectExpr("doc_id", s"CAST($PrScale AS BIGINT) AS r")
+    val edgesDeg = edges.join(deg, "src")
+      .repartition(n, col("src")).localCheckpoint(true)
+    var ranks = documents(s, d)
+      .selectExpr("doc_id", s"CAST($PrScale AS BIGINT) AS r")
+      .repartition(n, col("doc_id")).localCheckpoint(true)
     (1 to PrIters).foreach { _ =>
-      val contrib = edges.join(deg, "src")
+      val contrib = edgesDeg
         .join(ranks.withColumnRenamed("doc_id", "src"), "src")
         .selectExpr("dst", "r div deg AS c")
         .groupBy("dst").agg(sum(col("c")).as("in_sum"))
-      ranks = nodes.join(contrib, col("doc_id") === col("dst"), "left")
+      ranks = ranks.select("doc_id").join(contrib, col("doc_id") === col("dst"), "left")
         .selectExpr("doc_id",
           s"CAST((15 * $PrScale) div 100 + (85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100 AS BIGINT) AS r")
         .localCheckpoint(true)
@@ -1947,19 +1964,26 @@ object TextQueries {
     * engines), and the groupBy's map-side partial aggregation means the
     * exchange moves |distinct pairs per partition| rows, not the raw
     * position stream. The global top-k is orderBy+limit (TakeOrdered — a
-    * per-partition heap, no global sort), and ranks are a window over the
-    * 20 surviving rows only. */
+    * per-partition heap, no global sort); ranks over the [[MergePairK]]
+    * survivors come from a triangular join on the checkpointed 20-row
+    * result (rank = 1 + #rows strictly ahead in the (n DESC, pair ASC)
+    * total order) — r10: no unpartitioned window anywhere, and the heavy
+    * aggregate runs exactly once. */
   def t11MergePairs(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("n").desc, col("pair").asc)
-    documents(s, d)
+    val top = documents(s, d)
       .selectExpr(s"$toksExpr AS toks")
       .filter(col("toks").isNotNull && expr("size(toks) >= 2"))
       .selectExpr("explode(sequence(1, size(toks) - 1)) AS i", "toks")
       .selectExpr("concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS pair")
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair").asc).limit(MergePairK)
-      .withColumn("rnk", row_number().over(w).cast("long"))
+      .localCheckpoint(true)
+    top.as("a")
+      .join(broadcast(top.as("b")),
+        col("b.n") > col("a.n") ||
+          (col("b.n") === col("a.n") && col("b.pair") < col("a.pair")), "left")
+      .groupBy(col("a.pair").as("pair"), col("a.n").as("n"))
+      .agg((count(col("b.pair")) + 1L).as("rnk"))
   }
 
   /** Shard count for x03. 8 keeps the oracle's per-shard windows readable;
@@ -2040,10 +2064,13 @@ object TextQueries {
     val wSub = Window.partitionBy("stage").orderBy("sub")
     val subOff = counts
       .withColumn("sub_off", (sum("n").over(wSub) - col("n")).cast("long"))
-    val wStage = Window.orderBy("stage")
-    val stageOff = counts.groupBy("stage").agg(sum("n").as("sn"))
-      .withColumn("stage_off", (sum("sn").over(wStage) - col("sn")).cast("long"))
-      .select("stage", "stage_off")
+    // exclusive stage offsets over ≤ 3 rows: triangular join instead of an
+    // unpartitioned window (r10 — see SpinePrefix's Scaladoc)
+    val stageTot = counts.groupBy("stage").agg(sum("n").as("sn"))
+    val stageOff = stageTot.as("a")
+      .join(stageTot.as("b"), col("b.stage") < col("a.stage"), "left")
+      .groupBy(col("a.stage").as("stage"))
+      .agg(coalesce(sum(col("b.sn")), lit(0L)).cast("long").as("stage_off"))
     inSub
       .join(broadcast(subOff.select("stage", "sub", "sub_off")), Seq("stage", "sub"))
       .join(broadcast(stageOff), Seq("stage"))

@@ -151,6 +151,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("band stats twin: state spreads across time-band buckets, never one key (FUNNELSTATE-style)") {
+    import spark.implicits._
+    // routing contract (pure): every event lands in exactly two groups —
+    // resident in its own hour bucket, emit-masked carry in the successor
+    val w = 3600L * 1000000
+    assert(EventStreams.bandStatsRoutes(0L, w) == Seq((0L, true), (1L, false)))
+    assert(EventStreams.bandStatsRoutes(w - 1, w) == Seq((0L, true), (1L, false)))
+    assert(EventStreams.bandStatsRoutes(w, w) == Seq((1L, true), (2L, false)))
+    assert(EventStreams.bandStatsRoutes(-1L, w) == Seq((-1L, true), (0L, false)))
+    // state-spread over the real table: the r9 shape routed ALL rows to
+    // one key; the sharded key space must grow with the time axis and no
+    // bucket may hold more than two windows' population
+    val us = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("unix_micros(ts) AS us").as[Long].collect()
+    val byBucket = us.flatMap(EventStreams.bandStatsRoutes(_, w)).groupBy(_._1)
+    val residentsPerBucket = us.groupBy(u => Math.floorDiv(u, w)).view.mapValues(_.length)
+    val maxTwoWindows = residentsPerBucket.values.max * 2
+    assert(byBucket.size >= 24, s"expected the time axis to spread state, got ${byBucket.size} buckets")
+    assert(byBucket.values.map(_.length).max <= maxTwoWindows,
+      "a bucket's group rows must stay within two window populations")
+  }
+
+  test("skyline local pre-filter: dominated rows never cross the shuffle, frontier preserved") {
+    val rnd = new scala.util.Random(7)
+    val pts = Vector.tabulate(500) { i =>
+      (i.toLong, rnd.nextInt(100).toLong, rnd.nextInt(100).toLong, rnd.nextInt(100).toLong)
+    }
+    val local = EventStreams.skylineLocalFrontier(pts)
+    assert(local.toSet.subsetOf(pts.toSet))
+    // no survivor is dominated by ANY input point (local fold is complete
+    // within the partition)
+    assert(local.forall(p => !pts.exists(q => EventStreams.skylineDominates(q, p))))
+    // every globally non-dominated point survives (pre-filter never eats
+    // a frontier row)
+    val global = pts.filter(p => !pts.exists(q => EventStreams.skylineDominates(q, p)))
+    assert(global.toSet.subsetOf(local.toSet))
+    // and the filter actually shrinks the shuffle: 500 random rows in a
+    // 100^3 grid collapse to a small frontier
+    assert(local.size < pts.size / 4, s"expected a real reduction, got ${local.size}/${pts.size}")
+    // split across "partitions": union of local frontiers still contains
+    // the global frontier (the merge key sees only survivors)
+    val (a, b) = pts.splitAt(250)
+    val merged = EventStreams.skylineLocalFrontier(a) ++ EventStreams.skylineLocalFrontier(b)
+    assert(global.toSet.subsetOf(merged.toSet))
+  }
+
   test("anomaly twin: streamed rolling z-score flags equal batch w09 across a batch split") {
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
     // two time-ordered files -> two micro-batches: second-batch frames
