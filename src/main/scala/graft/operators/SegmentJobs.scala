@@ -344,12 +344,26 @@ object SegmentFetchJob {
         throw new InterruptedException("fetch cancelled")
       storage.fetchRangeBytes(logKey, c.transformedRange)
     }
-    val out = new java.io.ByteArrayOutputStream(clamped.size.toInt)
-    try TransformPipeline.detransform(fetched, chunks, spec).foreach(out.write)
+    // Each detransformed chunk's overlap with the clamped range is copied
+    // straight into the preallocated result — ONE copy per byte served
+    // (r10; the old BAOS + toByteArray + copyOfRange path copied every
+    // chunk byte three times, a measurable tax on sub-chunk ranges where
+    // decrypt amplification already dominates — see Bench's sub-range
+    // adjudication note).
+    val out = new Array[Byte](clamped.size.toInt)
+    var outPos = 0
+    var origPos = chunks.head.originalPosition.toLong
+    try TransformPipeline.detransform(fetched, chunks, spec).foreach { plain =>
+      val from = math.max(origPos, clamped.from)
+      val to = math.min(origPos + plain.length - 1, clamped.to)
+      if (to >= from) {
+        System.arraycopy(plain, (from - origPos).toInt, out, outPos, (to - from + 1).toInt)
+        outPos += (to - from + 1).toInt
+      }
+      origPos += plain.length
+    }
     catch { case _: InterruptedException => return Array.emptyByteArray }
-    val joined = out.toByteArray
-    val skip = (clamped.from - chunks.head.originalPosition).toInt
-    java.util.Arrays.copyOfRange(joined, skip, skip + clamped.size.toInt)
+    out
   }
 
   /** Analytic path: every stored segment's chunk metadata as a DataFrame
