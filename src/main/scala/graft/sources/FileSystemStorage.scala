@@ -29,17 +29,23 @@ final class FileSystemStorage(root: Path) extends StorageBackend {
   private def resolve(key: String): Path = {
     val p = root.resolve(key).normalize()
     require(p.startsWith(root), s"key $key escapes storage root")
-    // The .upload-*.tmp basename pattern is RESERVED for in-flight upload
-    // temp files, which listKeys hides. Accepting such a key would create
-    // an object that exists/fetches but never lists — invisible to the
-    // retention and scrub jobs, a permanent orphan. Reject at write time.
-    require(!FileSystemStorage.isInFlightTmpName(p.getFileName.toString),
-      s"key $key uses the reserved in-flight upload temp pattern .upload-*.tmp")
     p
   }
 
+  /** The .upload-*.tmp basename pattern is RESERVED for in-flight upload
+    * temp files, which listKeys hides. Writing such a key would create an
+    * object that fetches but never lists — invisible to the retention and
+    * scrub jobs, a permanent orphan — so upload REJECTS it; read-side ops
+    * treat it as a nonexistent object (exists false, fetch/size not-found,
+    * delete no-op) so probing callers see 'not an object', not an error
+    * (r10 review follow-up). */
+  private def isReservedName(p: Path): Boolean =
+    FileSystemStorage.isInFlightTmpName(p.getFileName.toString)
+
   override def upload(in: InputStream, key: String): Long = {
     val target = resolve(key)
+    require(!isReservedName(target),
+      s"key $key uses the reserved in-flight upload temp pattern .upload-*.tmp")
     // Concurrent delete() prunes emptied parents, racing createDirectories →
     // createTempFile (NoSuchFileException on the just-pruned dir). Retry the
     // mkdir+tmp pair: once the tmp file exists the parent can no longer be
@@ -72,13 +78,13 @@ final class FileSystemStorage(root: Path) extends StorageBackend {
 
   override def fetch(key: String): InputStream = {
     val p = resolve(key)
-    if (!Files.exists(p)) throw ObjectKeyNotFound(key)
+    if (isReservedName(p) || !Files.exists(p)) throw ObjectKeyNotFound(key)
     new BufferedInputStream(Files.newInputStream(p))
   }
 
   override def fetchRange(key: String, range: BytesRange): InputStream = {
     val p = resolve(key)
-    if (!Files.exists(p)) throw ObjectKeyNotFound(key)
+    if (isReservedName(p) || !Files.exists(p)) throw ObjectKeyNotFound(key)
     val fileSize = Files.size(p)
     if (range.isEmpty) return InputStream.nullInputStream()
     if (range.from >= fileSize) throw InvalidRange(key, range, fileSize)
@@ -90,6 +96,7 @@ final class FileSystemStorage(root: Path) extends StorageBackend {
 
   override def delete(key: String): Unit = {
     val p = resolve(key)
+    if (isReservedName(p)) return // not an object (in-flight temp namespace)
     Files.deleteIfExists(p)
     // Prune empty parents up to the root (ref :97-112).
     var parent = p.getParent
@@ -106,10 +113,13 @@ final class FileSystemStorage(root: Path) extends StorageBackend {
     try Using.resource(Files.list(p))(s => !s.iterator().hasNext)
     catch { case _: java.nio.file.NoSuchFileException => false } // pruned under us; stop
 
-  override def exists(key: String): Boolean = Files.exists(resolve(key))
+  override def exists(key: String): Boolean = {
+    val p = resolve(key)
+    !isReservedName(p) && Files.exists(p)
+  }
   override def size(key: String): Long = {
     val p = resolve(key)
-    if (!Files.exists(p)) throw ObjectKeyNotFound(key)
+    if (isReservedName(p) || !Files.exists(p)) throw ObjectKeyNotFound(key)
     Files.size(p)
   }
 
@@ -125,14 +135,31 @@ final class FileSystemStorage(root: Path) extends StorageBackend {
     def inFlightTmp(p: Path): Boolean =
       FileSystemStorage.isInFlightTmpName(p.getFileName.toString)
     def visit(dir: Path): Unit = {
-      val entries =
-        try Using.resource(Files.newDirectoryStream(dir))(_.asScala.toVector)
-        catch {
-          case _: java.nio.file.NoSuchFileException => Vector.empty
-          case _: java.nio.file.NotDirectoryException => Vector.empty
-          case e: java.nio.file.DirectoryIteratorException
-            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => Vector.empty
+      // Entries are collected INCREMENTALLY: a DirectoryIteratorException
+      // (an entry vanished between readdir batches) ends the iteration but
+      // keeps every sibling already read — discarding the partial result
+      // would transiently hide stable objects unrelated to the vanished
+      // entry (r10 review follow-up).
+      val entries = {
+        val buf = Vector.newBuilder[Path]
+        try Using.resource(Files.newDirectoryStream(dir)) { ds =>
+          val it = ds.iterator()
+          var more = true
+          while (more) {
+            try {
+              more = it.hasNext
+              if (more) buf += it.next()
+            } catch {
+              case e: java.nio.file.DirectoryIteratorException
+                if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => more = false
+            }
+          }
+        } catch {
+          case _: java.nio.file.NoSuchFileException => ()
+          case _: java.nio.file.NotDirectoryException => ()
         }
+        buf.result()
+      }
       entries.foreach { p =>
         // isDirectory/isRegularFile return false (no throw) if p vanished.
         // NOFOLLOW on the recursion guard: Files.walk (the old impl) never

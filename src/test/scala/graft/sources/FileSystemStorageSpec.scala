@@ -143,7 +143,12 @@ class FileSystemStorageSpec extends AnyFunSuite {
       // listKeys hides the in-flight temp pattern, so accepting it as a
       // key would create an unlisted orphan invisible to retention/scrub.
       intercept[IllegalArgumentException](s.uploadBytes(Array[Byte](1), "t/.upload-x.tmp"))
-      intercept[IllegalArgumentException](s.exists(".upload-1.tmp"))
+      // read-side ops treat the reserved namespace as 'not an object'
+      // (probing callers get nonexistence, not an error) — r10
+      assert(!s.exists(".upload-1.tmp"))
+      intercept[ObjectKeyNotFound](s.size("t/.upload-x.tmp"))
+      intercept[ObjectKeyNotFound](s.fetch("t/.upload-x.tmp"))
+      s.delete("t/.upload-x.tmp") // no-op, not an error
       s.uploadBytes(Array[Byte](1), "t/upload-x.tmp") // non-dot sibling is fine
       assert(s.listKeys("t/") == Vector("t/upload-x.tmp"))
     }
