@@ -10,6 +10,10 @@
 #   4. quiet bench leg at /tmp/sf1     -> merged into BENCH_sf1.json
 #   5. P03 per-stage probe at sf1+sf10 -> P03STAGES.json
 #   6. funnel state probe sf0.1+sf1    -> FUNNELSTATE.json
+#   7. (opt-in: SNAPSHOT_SF10_GATE=1)  -> CORRECTNESS_sf10.json at HEAD
+#   8. commit every artifact this script generated (r10, VERDICT r9
+#      "What's wrong" #4: uncommitted evidence gets clobbered by the
+#      driver's and judge's own post-round reruns)
 #
 # Replicas must exist first (ScaleUp; they do not survive restarts):
 #   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10"
@@ -64,5 +68,32 @@ echo "== 6. funnel state probe"
   printf ']}\n'
 } > FUNNELSTATE.json
 python3 -m json.tool FUNNELSTATE.json > /dev/null  # validate
+
+if [ "${SNAPSHOT_SF10_GATE:-0}" = "1" ] && [ -d /tmp/sf10 ]; then
+  # The 100x strict gate takes hours (d09's exact all-pairs oracle alone
+  # needs ~2400s idle), so it is opt-in AND idle-gated: benching or
+  # sweeping on a loaded box is how the r8/r9 artifacts got poisoned.
+  LOAD1=$(cut -d' ' -f1 /proc/loadavg | cut -d. -f1)
+  if [ "$LOAD1" -lt 4 ]; then
+    echo "== 7. sf10 strict gate at HEAD $(git rev-parse --short HEAD)"
+    sbt -batch "runMain graft.Verify /tmp/sf10 /tmp/sf10gate" > /tmp/sf10gate_verify.log 2>&1
+    python3 scripts/oracle_sweep.py /tmp/sf10 /tmp/sf10gate /tmp/sf10_sweep.json 900 \
+      $(python3 -c "
+import json
+exc = {n for group in json.load(open('scripts/sf10_exclusions.json')).values() for n in group}
+names = sorted(json.load(open('/tmp/sf10gate/oracle_sql.json')))
+print(' '.join(n for n in names if n not in exc))")
+    python3 scripts/make_gate_json.py /tmp/sf10_sweep.json CORRECTNESS_sf10.json \
+      "$ROUND" scripts/sf10_note.txt scripts/sf10_exclusions.json scripts/sf10_adjudicated.json
+  else
+    echo "== 7. SKIPPED sf10 gate: load1=$LOAD1 not idle"
+  fi
+fi
+
+echo "== 8. commit snapshot artifacts"
+git add PLANS.md BENCH_DETAIL.json BENCH_CANARY.json "BENCH_r${ROUND}.stdout" \
+  BENCH_sf1.json P03STAGES.json FUNNELSTATE.json 2>/dev/null || true
+git add CORRECTNESS_sf10.json 2>/dev/null || true
+git diff --cached --quiet || git commit -m "round ${ROUND} snapshot artifacts (mechanical, at HEAD $(git rev-parse --short HEAD))"
 
 echo "== snapshot complete (round $ROUND)"
