@@ -392,10 +392,19 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    once() // warm
-    var best = Double.MaxValue
-    (1 to 3).foreach(_ => best = math.min(best, once()))
-    rows / 1e3 / best
+    // A canary that cannot RUN (scratch device full, executor OOM) is the
+    // strongest possible contention signal — report 0 krps (always trips
+    // against any stored best) instead of killing the bench.
+    try {
+      once() // warm
+      var best = Double.MaxValue
+      (1 to 3).foreach(_ => best = math.min(best, once()))
+      rows / 1e3 / best
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] shuffle canary failed: ${e.getMessage}")
+        0.0
+    }
   }
 
   /** Buffered-write MB/s of the shuffle scratch device: 256 MiB streamed

@@ -41,8 +41,14 @@ object ContentionProbe {
     val memAvail = graft.Bench.meminfoMb("MemAvailable")
     val cpuBest = stored("best_mbps")
     val cpuNow = graft.Bench.canaryMbps()
-    spark.range(1000000L).selectExpr("sum(id)").collect() // warm the session
+    // The stored shuffle best was recorded inside a Bench run whose JVM had
+    // a full query-suite warmup behind it; a fresh probe JVM shuffles ~2x
+    // slower until codegen/shuffle machinery compiles. Discard a full
+    // canary call as warmup so the measured one runs at bench-equivalent
+    // warmth (otherwise an IDLE probe false-trips the 50% bar).
+    spark.range(1000000L).selectExpr("sum(id)").collect()
     val shufBest = stored(s"shuffle_best_krps_cpus$cpus")
+    graft.Bench.shuffleCanaryKrps(spark) // warmup, discarded
     val shufNow = graft.Bench.shuffleCanaryKrps(spark)
 
     val cpuTrip = graft.Bench.canaryTrips(cpuNow, cpuBest)
