@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Per-query strict-oracle sweep with isolation (r8).
 
-Usage: oracle_sweep.py <sfDir> <verifyOutDir> <outJson> [timeoutSec] [name...]
+Usage: oracle_sweep.py <sfDir> <verifyOutDir> <outJson> [timeoutSpec] [name...]
+
+timeoutSpec is either a plain default in seconds ("900") or a comma list
+mixing the default with per-query overrides ("900,d09_simhash_pairs=2400")
+— r11, ADVICE r10: the documented sf10 budget is {default: 900, d09: 2400}
+(d09's EXACT all-pairs oracle needs ~1049 s idle), which a single flat
+number cannot express, so the scripted gate used to regress d09 to TIMEOUT.
 
 Runs scripts/oracle_check_strict.py once PER QUERY in a subprocess with a
 wall-clock timeout, so a single intractable DuckDB oracle (hours of CPU or
@@ -11,9 +17,24 @@ diff lines for failures. Cleans DuckDB temp-spill dirs between queries.
 """
 import sys, os, json, glob, re, subprocess, time, shutil
 
+def parse_timeout_spec(spec):
+    """-> (default_sec, {query_name: sec})"""
+    default, overrides = 600, {}
+    for part in str(spec).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" in part:
+            k, v = part.split("=", 1)
+            overrides[k.strip()] = int(v)
+        else:
+            default = int(part)
+    return default, overrides
+
 def main():
     sf_dir, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
-    timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 600
+    default_timeout, timeout_overrides = parse_timeout_spec(
+        sys.argv[4] if len(sys.argv) > 4 else "600")
     only = sys.argv[5:]
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
@@ -32,6 +53,7 @@ def main():
         # into a timeout and a DuckDB OOM), not that the oracle is
         # intractable — rerun idle before excluding anything.
         load1 = round(os.getloadavg()[0], 1)
+        timeout = timeout_overrides.get(name, default_timeout)
         t0 = time.time()
         try:
             p = subprocess.run(
@@ -65,7 +87,8 @@ def main():
         print(f"[{i+1}/{len(names)}] {st:8s} {name} ({results[name]['sec']}s)",
               flush=True)
     summary = {
-        "sf_dir": sf_dir, "timeout_sec": timeout,
+        "sf_dir": sf_dir, "timeout_sec": default_timeout,
+        "timeout_overrides": timeout_overrides,
         "total_sec": round(time.time() - t_all, 1),
         "n_pass": sum(1 for r in results.values() if r["status"] == "PASS"),
         "n_fail": sum(1 for r in results.values() if r["status"] == "FAIL"),

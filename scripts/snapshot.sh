@@ -69,6 +69,18 @@ echo "== 6. funnel state probe"
 } > FUNNELSTATE.json
 python3 -m json.tool FUNNELSTATE.json > /dev/null  # validate
 
+echo "== 6b. bandStats/skyline state-store probe"
+{
+  printf '{"round":%s,"note":"state-store shapes for the bandStats and skyline twins, measured through the statestore data source after driving the real queries: bandStats buckets spread across the time axis from the first trigger, every buffer obeys the two-window bound, the event-time timeout reclaims expired buckets; skyline holds ONE key of exactly the batch x08 frontier","legs":[' "$ROUND"
+  SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.tools.BandStateProbe /root/testdata/sf0.1 sf0.1" 2>/dev/null | grep '^{' | tr -d '\n'
+  if [ -d /tmp/sf1 ]; then
+    printf ','
+    SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.tools.BandStateProbe /tmp/sf1 sf1-10x" 2>/dev/null | grep '^{' | tr -d '\n'
+  fi
+  printf ']}\n'
+} > BANDSTATE.json
+python3 -m json.tool BANDSTATE.json > /dev/null  # validate
+
 if [ "${SNAPSHOT_SF10_GATE:-0}" = "1" ] && [ -d /tmp/sf10 ]; then
   # The 100x strict gate takes hours (d09's exact all-pairs oracle alone
   # needs ~2400s idle), so it is opt-in AND idle-gated: benching or
@@ -77,7 +89,10 @@ if [ "${SNAPSHOT_SF10_GATE:-0}" = "1" ] && [ -d /tmp/sf10 ]; then
   if [ "$LOAD1" -lt 4 ]; then
     echo "== 7. sf10 strict gate at HEAD $(git rev-parse --short HEAD)"
     sbt -batch "runMain graft.Verify /tmp/sf10 /tmp/sf10gate" > /tmp/sf10gate_verify.log 2>&1
-    python3 scripts/oracle_sweep.py /tmp/sf10 /tmp/sf10gate /tmp/sf10_sweep.json 900 \
+    # per-query budget (ADVICE r10): d09's exact all-pairs oracle needs
+    # ~1049s idle — the documented sf10 budget is {default:900, d09:2400}
+    python3 scripts/oracle_sweep.py /tmp/sf10 /tmp/sf10gate /tmp/sf10_sweep.json \
+      "900,d09_simhash_pairs=2400" \
       $(python3 -c "
 import json
 exc = {n for group in json.load(open('scripts/sf10_exclusions.json')).values() for n in group}
@@ -91,9 +106,17 @@ print(' '.join(n for n in names if n not in exc))")
 fi
 
 echo "== 8. commit snapshot artifacts"
-git add PLANS.md BENCH_DETAIL.json BENCH_CANARY.json "BENCH_r${ROUND}.stdout" \
-  BENCH_sf1.json P03STAGES.json FUNNELSTATE.json 2>/dev/null || true
-git add CORRECTNESS_sf10.json 2>/dev/null || true
-git diff --cached --quiet || git commit -m "round ${ROUND} snapshot artifacts (mechanical, at HEAD $(git rev-parse --short HEAD))"
+# Refuse to run with a dirty index (ADVICE r10): anything the operator had
+# staged before this script would otherwise be swept into the mechanical
+# snapshot commit. The commit itself is also pathspec-scoped as a second
+# fence — only files this script generates can land in it.
+if ! git diff --cached --quiet; then
+  echo "ERROR: index already has staged changes — commit or unstage them first" >&2
+  exit 1
+fi
+SNAP_FILES=(PLANS.md BENCH_DETAIL.json BENCH_CANARY.json "BENCH_r${ROUND}.stdout" \
+  BENCH_sf1.json P03STAGES.json FUNNELSTATE.json BANDSTATE.json CORRECTNESS_sf10.json)
+git add -- "${SNAP_FILES[@]}" 2>/dev/null || true
+git diff --cached --quiet || git commit -m "round ${ROUND} snapshot artifacts (mechanical, at HEAD $(git rev-parse --short HEAD))" -- "${SNAP_FILES[@]}"
 
 echo "== snapshot complete (round $ROUND)"

@@ -486,7 +486,17 @@ object TextQueries {
     * edge⋈rank join aligns shuffle-free, the contribution aggregate is
     * the superstep's ONE real exchange, and the dangling-node left join
     * (contrib on dst vs ranks on doc_id) aligns shuffle-free again —
-    * leaving the output partitioned on doc_id for the next superstep. */
+    * leaving the output partitioned on doc_id for the next superstep.
+    *
+    * Checkpoint CADENCE (r11, VERDICT r10 task 7 — the remaining engine
+    * constant at sf10 was the eager `localCheckpoint` materializing the
+    * full rank vector EVERY superstep): ranks materialize every SECOND
+    * iteration. Lineage depth stays ≤ 2 supersteps (analysis cost still
+    * bounded), partitioning still flows through the lazy plan (the join
+    * output is hash-partitioned on doc_id whether or not it checkpoints),
+    * and the fixed-point arithmetic is identical — GraphGate's
+    * bit-identity gate is unaffected while half the rank-vector
+    * materializations disappear. */
   def g01PageRank(s: SparkSession, d: String): DataFrame = {
     val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val pairs = d03MinHashPairs(s, d).localCheckpoint(true)
@@ -498,15 +508,15 @@ object TextQueries {
     var ranks = documents(s, d)
       .selectExpr("doc_id", s"CAST($PrScale AS BIGINT) AS r")
       .repartition(n, col("doc_id")).localCheckpoint(true)
-    (1 to PrIters).foreach { _ =>
+    (1 to PrIters).foreach { i =>
       val contrib = edgesDeg
         .join(ranks.withColumnRenamed("doc_id", "src"), "src")
         .selectExpr("dst", "r div deg AS c")
         .groupBy("dst").agg(sum(col("c")).as("in_sum"))
-      ranks = ranks.select("doc_id").join(contrib, col("doc_id") === col("dst"), "left")
+      val updated = ranks.select("doc_id").join(contrib, col("doc_id") === col("dst"), "left")
         .selectExpr("doc_id",
           s"CAST((15 * $PrScale) div 100 + (85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100 AS BIGINT) AS r")
-        .localCheckpoint(true)
+      ranks = if (i % 2 == 0) updated.localCheckpoint(true) else updated
     }
     ranks
   }

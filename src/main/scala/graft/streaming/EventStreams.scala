@@ -328,9 +328,19 @@ object EventStreams {
     * boundary handoff that lets each bucket's group compute every
     * resident's frame from purely local state. Distinct hours process in
     * parallel tasks; per-group state is bounded by TWO window populations
-    * (the batch boundary-bin bound), and groups idle past `stateTtlMs`
-    * processing time are dropped (a bucket whose hour has passed can
-    * never receive events again under the ordering contract below).
+    * (the batch boundary-bin bound).
+    *
+    * State cleanup is EVENT-time keyed (r11, ADVICE r10: the r10 version
+    * dropped a bucket after 6 h of PROCESSING-time idleness, but "a bucket
+    * whose hour has passed can never receive events again" is an
+    * event-time property — a live stream stalling mid-event-hour longer
+    * than the TTL and then resuming found its buffer purged and silently
+    * emitted wrong frames): bucket `b` times out only once the WATERMARK
+    * passes `(b+2)·w`. The last row that can ever route to `b` is a
+    * resident with `us < (b+1)·w`, so by then the bucket is provably
+    * unreachable no matter how long wall-clock stalls last. Requires the
+    * input to carry a watermark; one is applied here (`watermarkDelay`,
+    * same contract as [[trailingCounts]]'s ordered sources).
     *
     * Exactness contract: within a group, events process one PEER GROUP
     * (equal `us`) at a time; an error's frame is the buffer BEFORE its
@@ -344,34 +354,47 @@ object EventStreams {
     * watermarked-source ordering contract as [[trailingCounts]]. */
   def bandStats(spark: SparkSession, events: DataFrame,
                 windowUs: Long = 3600L * 1000000,
-                stateTtlMs: Long = 6L * 3600 * 1000): Dataset[BandStatsUpdate] = {
+                watermarkDelay: String = "2 hours"): Dataset[BandStatsUpdate] = {
     import spark.implicits._
-    events.selectExpr("event_id", "unix_micros(ts) AS us",
+    // batch twins run the same code with no watermark in the plan, where
+    // timeout calls are undefined — both are streaming-only below
+    val streaming = events.isStreaming
+    val wm = if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    // The bucket routing stays in DataFrame-land (explode of a 2-struct
+    // array — the SQL form of [[bandStatsRoutes]], with floorDiv spelled
+    // `(us - pmod(us, w)) div w`) and the watermarked `ts` column is
+    // CARRIED into the group function's input: a typed flatMap here would
+    // re-serialize the rows and strip the watermark metadata, and Spark
+    // rejects EventTimeTimeout when the stateful operator's child no
+    // longer carries a watermark column.
+    wm.selectExpr("ts", "event_id", "unix_micros(ts) AS us",
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
         "event_type = 'error' AS is_err")
-      .as[(Long, Long, Long, Boolean)]
-      .flatMap { case (id, us, cents, isErr) =>
-        bandStatsRoutes(us, windowUs).map {
-          case (bucket, resident) => (bucket, id, us, cents, isErr && resident)
-        }
-      }
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout) {
-        (_: Long, rows: Iterator[(Long, Long, Long, Long, Boolean)], state: GroupState[BandStatsState]) =>
+      .selectExpr("ts", "event_id", "us", "cents", "is_err",
+        s"(us - pmod(us, ${windowUs}L)) div ${windowUs}L AS b")
+      .selectExpr("ts", "event_id", "us", "cents",
+        "explode(array(struct(b AS bucket, is_err AS emit), " +
+          "struct(b + 1L AS bucket, false AS emit))) AS r")
+      .selectExpr("ts", "r.bucket AS bucket", "event_id", "us", "cents", "r.emit AS emit")
+      .as[(java.sql.Timestamp, Long, Long, Long, Long, Boolean)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (bucket: Long, rows: Iterator[(java.sql.Timestamp, Long, Long, Long, Long, Boolean)],
+         state: GroupState[BandStatsState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var buf = state.getOption.map(_.buf).getOrElse(Nil)
-            val sorted = rows.toVector.sortBy(r => (r._3, r._2))
+            val sorted = rows.toVector.sortBy(r => (r._4, r._3))
             val out = Vector.newBuilder[BandStatsUpdate]
             var i = 0
             while (i < sorted.length) {
-              val us = sorted(i)._3
+              val us = sorted(i)._4
               var j = i
-              while (j < sorted.length && sorted(j)._3 == us) j += 1
+              while (j < sorted.length && sorted(j)._4 == us) j += 1
               // evict, then read the frame BEFORE this peer group lands:
               // every remaining entry has us' ∈ [us − w, us) — the band
               buf = buf.dropWhile(_._1 < us - windowUs)
-              if (buf.nonEmpty && sorted.slice(i, j).exists(_._5)) {
+              if (buf.nonEmpty && sorted.slice(i, j).exists(_._6)) {
                 var n = 0L; var sum = 0L
                 var mn = Long.MaxValue; var mx = Long.MinValue
                 buf.foreach { case (_, c) =>
@@ -380,13 +403,19 @@ object EventStreams {
                 }
                 val upd = (id: Long) =>
                   BandStatsUpdate(id, n, sum, mn, mx, sum.toDouble / n.toDouble)
-                sorted.slice(i, j).foreach(r => if (r._5) out += upd(r._2))
+                sorted.slice(i, j).foreach(r => if (r._6) out += upd(r._3))
               }
-              buf = buf ++ sorted.slice(i, j).map(r => (r._3, r._4))
+              buf = buf ++ sorted.slice(i, j).map(r => (r._4, r._5))
               i = j
             }
             state.update(BandStatsState(buf))
-            state.setTimeoutDuration(stateTtlMs)
+            if (streaming) {
+              // unreachable once the watermark passes (b+2)·w; clamp above
+              // the current watermark (Spark rejects a timeout at/behind it —
+              // possible for a bucket first touched when already near-expiry)
+              val unreachableMs = Math.floorDiv((bucket + 2) * windowUs, 1000L)
+              state.setTimeoutTimestamp(math.max(unreachableMs, state.getCurrentWatermarkMs + 1))
+            }
             out.result().iterator
           }
       }

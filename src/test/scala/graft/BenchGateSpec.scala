@@ -72,6 +72,25 @@ class BenchGateSpec extends AnyFunSuite {
       "d" -> Vector(Some(1.0), None, Some(4.0)))).isEmpty)
   }
 
+  test("oracle-proc match is executable-based: executing oracles trip") {
+    assert(Bench.isOracleProc(Seq("duckdb", "/tmp/oracle.db")))
+    assert(Bench.isOracleProc(Seq("/usr/bin/duckdb")))
+    assert(Bench.isOracleProc(Seq("python3", "scripts/oracle_sweep.py", "--sf", "0.01")))
+    assert(Bench.isOracleProc(Seq("/usr/bin/python3.11", "/root/repo/scripts/make_gate_json.py")))
+    assert(Bench.isOracleProc(Seq("bash", "scripts/oracle_sweep.sh")))
+  }
+
+  test("oracle-proc match: viewers/editors whose cmdline MENTIONS an oracle file don't trip") {
+    // the r10 substring match false-tripped the hard gate on all of these
+    assert(!Bench.isOracleProc(Seq("vim", "scripts/oracle_sweep.py")))
+    assert(!Bench.isOracleProc(Seq("less", "/tmp/duckdb_run.log")))
+    assert(!Bench.isOracleProc(Seq("tail", "-f", "/tmp/oracle_sweep.out")))
+    assert(!Bench.isOracleProc(Seq("grep", "-rn", "make_gate", "scripts")))
+    // a python process running something else entirely
+    assert(!Bench.isOracleProc(Seq("python3", "scripts/merge_bench.py", "a", "b", "11", "out")))
+    assert(!Bench.isOracleProc(Seq.empty))
+  }
+
   test("ramping load still trips through the relative statistics") {
     assert(Bench.contendedVerdict(medianSpread = 2.5, worsening = 0.1,
       maxLoad = 2.0, cpus = 32, canaryNow = 5000, canaryBest = 5074))
