@@ -491,29 +491,47 @@ object TextQueries {
     * Checkpoint CADENCE (r11, VERDICT r10 task 7 — the remaining engine
     * constant at sf10 was the eager `localCheckpoint` materializing the
     * full rank vector EVERY superstep): ranks materialize every SECOND
-    * iteration. Lineage depth stays ≤ 2 supersteps (analysis cost still
-    * bounded), partitioning still flows through the lazy plan (the join
-    * output is hash-partitioned on doc_id whether or not it checkpoints),
-    * and the fixed-point arithmetic is identical — GraphGate's
-    * bit-identity gate is unaffected while half the rank-vector
-    * materializations disappear. */
+    * iteration. That is only sound because the lazy rank plan is
+    * referenced ONCE per superstep — the dangling-node left join's
+    * row-preserving side is the CONSTANT `docIds` relation (the doc set
+    * never changes across supersteps; ranks preserves it by construction),
+    * checkpointed once up front, NOT `ranks.select("doc_id")`. With two
+    * references a lazy superstep would recompute the previous edge⋈rank
+    * join twice (measured at the 100× replica: 86 s vs 49 with the double
+    * reference). Lineage depth stays ≤ 2 supersteps, partitioning flows
+    * through the lazy plan (the left join output is hash-partitioned on
+    * doc_id whether or not it checkpoints), and the fixed-point arithmetic
+    * is identical — GraphGate's bit-identity gate is unaffected while half
+    * the rank-vector materializations disappear. */
   def g01PageRank(s: SparkSession, d: String): DataFrame = {
     val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val pairs = d03MinHashPairs(s, d).localCheckpoint(true)
+    // repartition the directed edges on src FIRST: the degree aggregate
+    // and the edge⋈deg join then both align on the same partitioning and
+    // run exchange-free — one 2|E|-row shuffle where building from
+    // unpartitioned edges paid three (groupBy, join probe, final pin).
+    // sortWithinPartitions before the checkpoint: localCheckpoint's
+    // LogicalRDD preserves outputORDERING as well as partitioning, so the
+    // per-superstep sort-merge join sees the 2|E|-row side pre-sorted and
+    // only sorts the |V|-row rank vector — without it every superstep
+    // re-sorted the full edge relation (the dominant superstep cost at the
+    // 100× replica: 33 M-row sort × 3 iterations)
     val edges = pairs.selectExpr("a AS src", "b AS dst")
       .union(pairs.selectExpr("b AS src", "a AS dst"))
+      .repartition(n, col("src"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src")
-      .repartition(n, col("src")).localCheckpoint(true)
-    var ranks = documents(s, d)
-      .selectExpr("doc_id", s"CAST($PrScale AS BIGINT) AS r")
-      .repartition(n, col("doc_id")).localCheckpoint(true)
+      .sortWithinPartitions("src").localCheckpoint(true)
+    val docIds = documents(s, d).select("doc_id")
+      .repartition(n, col("doc_id"))
+      .sortWithinPartitions("doc_id").localCheckpoint(true)
+    var ranks: DataFrame = docIds.selectExpr("doc_id", s"CAST($PrScale AS BIGINT) AS r")
     (1 to PrIters).foreach { i =>
       val contrib = edgesDeg
         .join(ranks.withColumnRenamed("doc_id", "src"), "src")
         .selectExpr("dst", "r div deg AS c")
         .groupBy("dst").agg(sum(col("c")).as("in_sum"))
-      val updated = ranks.select("doc_id").join(contrib, col("doc_id") === col("dst"), "left")
+      val updated = docIds.join(contrib, col("doc_id") === col("dst"), "left")
         .selectExpr("doc_id",
           s"CAST((15 * $PrScale) div 100 + (85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100 AS BIGINT) AS r")
       ranks = if (i % 2 == 0) updated.localCheckpoint(true) else updated
