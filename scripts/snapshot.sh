@@ -28,22 +28,35 @@ rm -rf /root/repo/.tmp/duckdb_temp_storage-* || true
 echo "== 2. PLANS.md (PlanAudit at HEAD $(git rev-parse --short HEAD))"
 sbt -batch "runMain graft.tools.PlanAudit /root/testdata/sf0.001 PLANS.md"
 
-echo "== 3. bench leg sf0.1"
-rm -f /tmp/bench_sf01_detail.json
+echo "== 3. bench leg sf0.1 (A)"
+rm -f /tmp/bench_sf01_detail.json /tmp/bench_sf01_merged.json
+rm -rf /tmp/bench_legB
 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  sbt -batch "runMain graft.Bench" | grep '^{' | tail -1 | tee "BENCH_r${ROUND}.stdout"
+  sbt -batch "runMain graft.Bench" | grep '^{' | tail -1
   # (grep '^{': sbt prints "[success] Total time..." AFTER the program's
   # single JSON line, so a bare tail -1 captures the wrong line)
 python3 -m json.tool BENCH_DETAIL.json > /dev/null  # validate artifact JSON
-python3 -m json.tool "BENCH_r${ROUND}.stdout" > /dev/null  # validate stdout line
 cp BENCH_DETAIL.json /tmp/bench_sf01_detail.json
 
+echo "== 3b. bench leg sf0.1 (B, fresh JVM) + two-leg min merge"
+# per-query min across TWO JVM legs (r11, VERDICT r10 "What's wrong" #2):
+# whole legs drift 15%+ with VM speed, which no in-JVM pass count cancels —
+# the committed number of record is the cross-leg min
+SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_BENCH_OUT=/tmp/bench_legB \
+  sbt -batch "runMain graft.Bench" | grep '^{' | tail -1
+python3 scripts/merge_legs.py /tmp/bench_sf01_detail.json \
+  /tmp/bench_legB/BENCH_DETAIL.json /tmp/bench_sf01_merged.json "BENCH_r${ROUND}.stdout"
+python3 -m json.tool "BENCH_r${ROUND}.stdout" > /dev/null  # validate stdout line
+
 echo "== 4. bench leg /tmp/sf1"
+# BENCH_sf1 ratios compare SAME-protocol legs: leg A vs the single sf1 leg
+# (a min-merged numerator over a single-leg denominator would bias ratios)
 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/tmp/sf1 \
   sbt -batch "runMain graft.Bench" | grep '^{' | tail -1
 python3 scripts/merge_bench.py /tmp/bench_sf01_detail.json BENCH_DETAIL.json \
   "$ROUND" BENCH_sf1.json
-cp /tmp/bench_sf01_detail.json BENCH_DETAIL.json  # driver-facing = sf0.1 leg
+cp /tmp/bench_sf01_merged.json BENCH_DETAIL.json  # driver-facing = two-leg min
 
 echo "== 5. p03 per-stage probe"
 {
