@@ -26,6 +26,11 @@ def main():
         "sf1": {short(k): v for k, v in p1["queries"].items()},
         "sf10": {short(k): v for k, v in p10["queries"].items()},
     }
+    # Two probe queries sharing a short-id prefix would silently collapse
+    # into one legs_sec entry, corrupting every total (ADVICE r11).
+    for leg_name, probe in (("sf0.1", p01), ("sf1", p1), ("sf10", p10)):
+        assert len(legs[leg_name]) == len(probe["queries"]), \
+            f"short-id collision in {leg_name} leg: {sorted(probe['queries'])}"
     t01 = sum(legs["sf0.1"].values())
     t1 = sum(legs["sf1"].values())
     t10 = sum(legs["sf10"].values())
@@ -43,6 +48,7 @@ def main():
         "date": datetime.date.today().isoformat(),
         "factor": 100,
         "method": prev["method"].replace(f"at r{prev_round} HEAD", f"at r{rnd} HEAD"),
+        # (stale-stamp guard below, after `out` is built)
         "probe_queries": len(legs["sf0.1"]),
         "totals": totals,
         f"vs_r{prev_round}": {
@@ -60,6 +66,12 @@ def main():
         "adjudications": prev.get("adjudications", {}),
         "r7_carried_probes": prev.get("r7_carried_probes", {}),
     }
+    # The replace() above silently no-ops if the stored method string
+    # drifted from the "at rN HEAD" phrasing, leaving a stale round stamp
+    # in a freshly regenerated artifact (ADVICE r11).
+    if prev_round != rnd:
+        assert out["method"] != prev["method"], \
+            f"method string kept r{prev_round} stamp: {prev['method']!r}"
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {out_path}: {totals}")

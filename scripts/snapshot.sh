@@ -90,6 +90,12 @@ echo "== 6b. bandStats/skyline state-store probe"
     printf ','
     SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.tools.BandStateProbe /tmp/sf1 sf1-10x" 2>/dev/null | grep '^{' | tr -d '\n'
   fi
+  # 100x leg (r12, VERDICT r11 "What's missing" #4): completes the
+  # funnel-parity treatment — same two-window/constant-buckets contract
+  if [ -d /tmp/sf10 ]; then
+    printf ','
+    SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.tools.BandStateProbe /tmp/sf10 sf10-100x" 2>/dev/null | grep '^{' | tr -d '\n'
+  fi
   printf ']}\n'
 } > BANDSTATE.json
 python3 -m json.tool BANDSTATE.json > /dev/null  # validate
@@ -129,7 +135,26 @@ if ! git diff --cached --quiet; then
 fi
 SNAP_FILES=(PLANS.md BENCH_DETAIL.json BENCH_CANARY.json "BENCH_r${ROUND}.stdout" \
   BENCH_sf1.json P03STAGES.json FUNNELSTATE.json BANDSTATE.json CORRECTNESS_sf10.json)
-git add -- "${SNAP_FILES[@]}" 2>/dev/null || true
-git diff --cached --quiet || git commit -m "round ${ROUND} snapshot artifacts (mechanical, at HEAD $(git rev-parse --short HEAD))" -- "${SNAP_FILES[@]}"
+# Stage files INDIVIDUALLY (ADVICE r11, medium): a single `git add` with
+# every pathspec is all-or-nothing — one missing artifact (e.g. the opt-in
+# CORRECTNESS_sf10.json on a round that skipped step 7) made it stage
+# NOTHING, with the error swallowed, silently defeating the r10 "commit
+# every artifact" fence. Artifacts this run GENERATED must exist — fail
+# loudly on those; only the opt-in sf10 gate may legitimately be absent.
+MISSING=()
+for f in "${SNAP_FILES[@]}"; do
+  if [ -e "$f" ]; then
+    git add -- "$f"
+  elif [ "$f" = "CORRECTNESS_sf10.json" ]; then
+    echo "note: $f absent (opt-in step 7 not run) — skipping"
+  else
+    MISSING+=("$f")
+  fi
+done
+if [ "${#MISSING[@]}" -gt 0 ]; then
+  echo "ERROR: snapshot artifacts missing after generation: ${MISSING[*]}" >&2
+  exit 1
+fi
+git diff --cached --quiet || git commit -m "round ${ROUND} snapshot artifacts (mechanical, at HEAD $(git rev-parse --short HEAD))"
 
 echo "== snapshot complete (round $ROUND)"

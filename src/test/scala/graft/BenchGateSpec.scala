@@ -91,6 +91,34 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.isOracleProc(Seq.empty))
   }
 
+  test("canary-file parse round-trips numbers bare and strings with quotes") {
+    val m = Bench.parseCanaryJson(
+      """{"best_mbps":6257.4,"point":"chunk100_comp0_enc0_10mib",""" +
+        """"shuffle_best_krps_cpus32":21187.5,"shuffle_best_krps_cpus32_boot":"ab-12"}""")
+    assert(m("best_mbps") == "6257.4")
+    assert(m("point") == "\"chunk100_comp0_enc0_10mib\"")
+    assert(m("shuffle_best_krps_cpus32") == "21187.5")
+    assert(m("shuffle_best_krps_cpus32_boot") == "\"ab-12\"")
+    assert(Bench.parseCanaryJson("") == Map.empty)
+  }
+
+  test("boot-scoped shuffle best: cross-boot decay 0.7x keeps r11's quiet readings above the floor") {
+    // r11 driver shape: quiet fresh-JVM readings 0.40-0.47 of a 21188-krps
+    // cross-regime best tripped the 0.5 floor. Under the decayed best
+    // (0.7x) the same readings sit at 0.57-0.67 -> no trip; a genuinely
+    // loaded box (<0.35 of the old regime's best) still trips.
+    val decayed = 0.7 * 21187.5
+    assert(!Bench.shuffleCanaryTrips(nowKrps = 10033, bestKrps = decayed)) // r11 attempt-1 reading
+    assert(!Bench.shuffleCanaryTrips(nowKrps = 8442, bestKrps = decayed))
+    assert(Bench.shuffleCanaryTrips(nowKrps = 7000, bestKrps = decayed)) // 0.33 of old best
+  }
+
+  test("boot id is non-empty and stable within the process") {
+    val b = Bench.bootId()
+    assert(b.nonEmpty)
+    assert(Bench.bootId() == b)
+  }
+
   test("ramping load still trips through the relative statistics") {
     assert(Bench.contendedVerdict(medianSpread = 2.5, worsening = 0.1,
       maxLoad = 2.0, cpus = 32, canaryNow = 5000, canaryBest = 5074))
