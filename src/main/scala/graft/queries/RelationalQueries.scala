@@ -634,7 +634,10 @@ object RelationalQueries {
     * deterministic; share is one correctly-rounded double division of two
     * exact longs (oracle-exact). */
   def a02KeySkew(s: SparkSession, d: String): DataFrame = {
-    val counts = lineitem(s, d).groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    // raw (unspread) scan: the profile is scan → partial agg on one narrow
+    // key, so Tables' adaptive spread would only add an exchange here
+    val counts = Tables.table(s, d, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
     val tot = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
     counts.orderBy(col("cnt").desc, col("l_orderkey").asc).limit(SkewTopN)
       .crossJoin(broadcast(tot))
@@ -813,7 +816,10 @@ object RelationalQueries {
     * avg() output types/rounding differ by dialect, products and sums of
     * decimals do not. */
   def q26CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
-    lineitem(s, d).createOrReplaceTempView("q26_lineitem")
+    // raw (unspread) scan: the decorrelation references this view THREE
+    // times, and each reference would pay Tables' adaptive spread exchange
+    // (measured +0.8 s) for stages that aggregate immediately anyway
+    Tables.table(s, d, "lineitem").createOrReplaceTempView("q26_lineitem")
     s.sql("""
       SELECT l_partkey, COUNT(*) AS n_small,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue

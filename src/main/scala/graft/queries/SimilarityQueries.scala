@@ -743,13 +743,28 @@ object SimilarityQueries {
       .persist()
     try {
       // selected rows: (query_id, pick, cand_id, rel, score, cv)
+      // r12 (guide §1.2 per-task/driver overhead): each greedy round used
+      // to run TWO jobs — the argmax, then a broadcast-join + collect to
+      // fetch the picked row's (rel, cv). The argmax struct now CARRIES
+      // rel and cv as trailing fields: (score, -cand_id) is already a
+      // total order within a query group (cand_id is unique), so the
+      // trailing fields can never influence which row wins — they just
+      // ride along. One job per round, 11 → 6 for MmrK=5, same picks.
       var sel = Vector.empty[(Long, Long, Long, Long, Long, Seq[Long])]
+      def argmaxCollect(scored: DataFrame): Array[(Long, Long, Long, Long, Seq[Long])] =
+        scored
+          .groupBy(col("query_id"))
+          .agg(max(struct(col("score").as("s"), (-col("cand_id")).as("ni"),
+            col("cand_id").as("id"), col("rel").as("r"), col("cv").as("v"))).as("m"))
+          .selectExpr("query_id", "m.id AS cand_id", "m.r AS rel",
+            "m.s AS score", "m.v AS cv")
+          .as[(Long, Long, Long, Long, Seq[Long])]
+          .collect()
       for (pick <- 1 to MmrK) {
-        val best =
-          if (pick == 1) cand.groupBy(col("query_id"))
-            .agg(max(struct(col("rel").as("s"), (-col("cand_id")).as("ni"),
-              col("cand_id").as("id"))).as("m"))
-            .selectExpr("query_id", "m.id AS cand_id", "m.s AS score")
+        val picked =
+          if (pick == 1)
+            argmaxCollect(cand.selectExpr("query_id", "cand_id", "rel",
+              "rel AS score", "cv"))
           else {
             val selDf = sel.toDF(
               "query_id", "pick", "sel_id", "srel", "sscore", "sv")
@@ -758,27 +773,17 @@ object SimilarityQueries {
             val selVecs = broadcast(selDf.select(col("query_id"), col("sv")))
             val sim = "aggregate(zip_with(cv, sv, (a, b) -> a * b), " +
               "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            cand
+            argmaxCollect(cand
               .join(selPairs, col("query_id") === col("sq") &&
                 col("cand_id") === col("sel_id"), "left_anti")
               .join(selVecs, Seq("query_id"))
-              .selectExpr("query_id", "cand_id", "rel", s"$sim AS sim")
-              .groupBy(col("query_id"), col("cand_id"), col("rel"))
+              .selectExpr("query_id", "cand_id", "rel", "cv", s"$sim AS sim")
+              .groupBy(col("query_id"), col("cand_id"), col("rel"), col("cv"))
               .agg(max(col("sim")).as("msim"))
-              .selectExpr("query_id", "cand_id", "rel - msim AS score")
-              .groupBy(col("query_id"))
-              .agg(max(struct(col("score").as("s"), (-col("cand_id")).as("ni"),
-                col("cand_id").as("id"))).as("m"))
-              .selectExpr("query_id", "m.id AS cand_id", "m.s AS score")
+              .selectExpr("query_id", "cand_id", "rel", "cv",
+                "rel - msim AS score"))
           }
-        val picked = broadcast(best.select(col("query_id"), col("cand_id"),
-          col("score")))
-        sel = sel ++ cand.join(picked, Seq("query_id", "cand_id"))
-          .select(col("query_id"), col("cand_id"), col("rel"), col("score"),
-            col("cv"))
-          .as[(Long, Long, Long, Long, Seq[Long])]
-          .collect()
-          .map { case (q, c, r, sc, v) => (q, pick.toLong, c, r, sc, v) }
+        sel = sel ++ picked.map { case (q, c, r, sc, v) => (q, pick.toLong, c, r, sc, v) }
       }
       sel.map { case (q, p, c, r, sc, _) => (q, p, c, r, sc) }
         .toDF("query_id", "pick", "cand_id", "rel", "score")

@@ -16,8 +16,52 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  /** Scale-adaptive scan spread (optimization guide §2.2/§2.5 "input
+    * skew: one huge unsplittable file"): a parquet input whose TOTAL size
+    * fits inside one scan split (`spark.sql.files.maxPartitionBytes`) is
+    * read by exactly ONE task — a single-row-group file cannot be split —
+    * so every narrow kernel between the scan and the first exchange
+    * (tokenize + md5 shingles, decimal casts, JSON parsing) runs
+    * single-threaded no matter how many cores the session has. For such
+    * inputs a round-robin repartition spreads the scan
+    * output across `defaultParallelism` tasks; the shuffled bytes are by
+    * construction ≤ one split (~128 MB), i.e. noise next to a 32× gain on
+    * the dominant stage. The condition is derived from the input, not
+    * tuned to local[32]: any production-sized table (more bytes than one
+    * split) takes the `df` branch unchanged, so no corpus is ever
+    * re-shuffled at scale. Round-robin (not hash-on-key): a keyed
+    * repartition forces its key columns into the scan's ReadSchema even
+    * when the query never reads them, silently un-pruning every consumer
+    * (caught by the q02 plan lock); round-robin keeps pruning intact and
+    * stays deterministic under task retry through Spark's default
+    * sort-before-repartition (SPARK-23207). */
+  private def spread(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = table(s, dir, name)
+    val want = s.sparkContext.defaultParallelism
+    if (want > 1 && !noSpread &&
+        inputBytes(s, s"$dir/$name.parquet") <= maxSplitBytes(s))
+      df.repartition(want)
+    else df
+  }
+
+  /** A/B escape hatch for optimization measurements only. */
+  private def noSpread: Boolean = sys.env.get("SPARK_GRAFT_NO_SPREAD").contains("1")
+
+  private def inputBytes(s: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    } catch { case _: Throwable => Long.MaxValue } // unknown size: never spread
+
+  private def maxSplitBytes(s: SparkSession): Long =
+    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    catch { case _: Throwable => 128L * 1024 * 1024 }
+
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = spread(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
@@ -29,6 +73,11 @@ object Tables {
     * DuckDB's ns->datetime truncation) and plain TIMESTAMP(MICROS)/NTZ.
     * Normalize both to session-TZ `TimestampType` so every downstream query
     * sees one shape regardless of the file vintage. */
+  // events stays UNSPREAD: its consumers (window/band/sketch families)
+  // project a few narrow columns and immediately exchange on user_id/type —
+  // the first stage is scan+project, not per-row compute, so a spread only
+  // adds a second exchange (measured: +0.15–0.8 s each on i02–i05, q08,
+  // q26, w06/w07/w10 vs no win anywhere in the family).
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
@@ -39,8 +88,8 @@ object Tables {
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame = spread(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = spread(s, d, "embeddings")
 
   /** Cast to DECIMAL(18,2) before aggregating: decimal addition is exact and
     * order-independent, so Spark and the DuckDB oracle agree bit-for-bit

@@ -382,15 +382,41 @@ object TextQueries {
     }.mkString(" + ")
 
   /** d04: SimHash — 64-bit signature from per-token md5 bits, majority vote
-    * per bit position. Near-dup docs land at small Hamming distance. */
+    * per bit position. Near-dup docs land at small Hamming distance.
+    *
+    * r12 per-task-work rewrite (guide §1.2 step 2, §4 "prefer built-in
+    * expressions"): the original evaluated 64 aggregate update expressions
+    * of the form `instr('0123456789abcdef', substring(h, p, 1))` per TOKEN
+    * — 64 single-char substrings plus 16-char linear scans per row. Now
+    * the 16 hex digits are parsed ONCE per token into two unsigned-32-bit
+    * longs (`conv` is exact below 2⁶³), and each bit is a codegen'd
+    * shift+mask. The per-bit sum of ±1 votes s_j = (#1s) − (#0s) equals
+    * 2·cnt_j − n, so `s_j > 0` ⟺ `2·cnt_j > n` with cnt_j = Σ bit_j and
+    * n = token count — identical integer arithmetic, identical signature
+    * (pinned against the unchanged [[simhashBitExprs]] oracle form by
+    * SimhashRewriteSpec). */
   def d04SimHash(s: SparkSession, d: String): DataFrame = {
-    val bitSums = simhashBitExprs("div", "instr").map(expr)
+    // bit j reads md5 hex digit 1 + j/4 (1-indexed), bit (j%4) within the
+    // digit; digits 1-8 live in `hi`, digits 9-16 in `lo` (big-endian)
+    def bitExpr(j: Int): String = {
+      val shift = if (j < 32) 28 - 4 * (j / 4) + (j % 4) else 60 - 4 * (j / 4) + (j % 4)
+      val src = if (j < 32) "hi" else "lo"
+      s"SUM((shiftright($src, $shift) & 1)) AS c$j"
+    }
+    val aggs = (count(lit(1)).as("n") +: (0 until SimhashBits).map(j => expr(bitExpr(j))))
+    val assemble = (0 until SimhashBits).map { j =>
+      val weight = if (j == 63) Long.MinValue.toString else (1L << j).toString
+      s"(CASE WHEN 2 * c$j > n THEN $weight ELSE 0 END)"
+    }.mkString(" + ")
     documents(s, d)
       .selectExpr("doc_id", s"explode($toksExpr) AS tok")
       .selectExpr("doc_id", "md5(CAST(tok AS BINARY)) AS h")
+      .selectExpr("doc_id",
+        "CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT) AS hi",
+        "CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT) AS lo")
       .groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .selectExpr("doc_id", s"CAST($simhashAssembleExpr AS BIGINT) AS simhash")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("doc_id", s"CAST($assemble AS BIGINT) AS simhash")
   }
 
   /** d09 banding: the 64-bit simhash split into 4 disjoint 16-bit blocks;

