@@ -227,8 +227,12 @@ object RelationalQueries {
     * this rewrite. */
   def q27PartialSaltedJoin(s: SparkSession, d: String): DataFrame = {
     // the a02 profile reduced to its decision set (ties broken on key asc
-    // → deterministic); 64 longs ride the plan as IN-list literals
-    val hot = lineitem(s, d).groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    // → deterministic); 64 longs ride the plan as IN-list literals.
+    // Raw (unspread) scan for the profile pass — scan → partial agg on one
+    // key, the same shape a02 measured the spread as pure overhead on; the
+    // probe/build sides below keep the spread scan where it pays.
+    val hot = Tables.table(s, d, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("l_orderkey").asc).limit(PartialSaltHotN)
       .select(col("l_orderkey")).collect().map(_.getLong(0)).sorted
     val probe = lineitem(s, d).select(

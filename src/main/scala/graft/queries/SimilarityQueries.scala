@@ -496,13 +496,15 @@ object SimilarityQueries {
     val q = embeddings(s, d).selectExpr("vec_id", qExpr)
 
     // model constants: 8 quantized anchors (cell centroids) + 4 seed
-    // vectors whose residuals become the PQ codebooks — all bounded
-    def collectVecs(filter: String): Array[(Long, Array[Double])] =
-      q.filter(filter).orderBy("vec_id").as[(Long, Seq[Double])]
+    // vectors whose residuals become the PQ codebooks — all bounded.
+    // ONE collect job for both bounded sets (r12; previously two scans).
+    val modelVecs: Array[(Long, Array[Double])] =
+      q.filter(s"vec_id < $PqCodes OR (vec_id >= $AnchorFrom AND vec_id < ${AnchorFrom + AnchorCount})")
+        .orderBy("vec_id").as[(Long, Seq[Double])]
         .collect().map { case (id, v) => (id, v.toArray) }
     val anchors: Array[Array[Double]] =
-      collectVecs(s"vec_id >= $AnchorFrom AND vec_id < ${AnchorFrom + AnchorCount}").map(_._2)
-    val seedQd: Array[Array[Double]] = collectVecs(s"vec_id < $PqCodes").map(_._2)
+      modelVecs.filter { case (id, _) => id >= AnchorFrom && id < AnchorFrom + AnchorCount }.map(_._2)
+    val seedQd: Array[Array[Double]] = modelVecs.filter(_._1 < PqCodes).map(_._2)
     def l2(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }

@@ -345,14 +345,25 @@ object TextQueries {
     // materialize the signature scan once: the band union + self-join would
     // otherwise re-run the md5-shingle mapPartitions kernel 4x (once per
     // union leg per join side)
-    val bands = sig.selectExpr("doc_id", "band0 AS band")
-      .union(sig.selectExpr("doc_id", "band1 AS band"))
+    val bands = sig.selectExpr("doc_id", "band0", "band1", "band0 AS band")
+      .union(sig.selectExpr("doc_id", "band0", "band1", "band1 AS band"))
       .localCheckpoint(true)
-    val a = bands.toDF("a", "band")
-    val b = bands.toDF("b", "band")
+    val a = bands.toDF("a", "a0", "a1", "band")
+    val b = bands.toDF("b", "b0", "b1", "band")
+    // dedup WITHOUT a distinct (r12, the d09 first-shared-band discipline
+    // generalized to band VALUES): a pair sharing both band keys matches
+    // twice in the self-join; both rows carry both signatures' band keys,
+    // so "this row's join value is the SMALLEST shared band value" is
+    // decidable row-locally and exactly one row survives per pair — the
+    // pair-set exchange + dedup the old `.distinct()` paid disappears.
+    // `least` skips the NULLs of non-shared values; the join value itself
+    // is always in the shared set, so the filter never empties a pair.
     a.join(b, "band")
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .filter(expr(
+        """band = least(IF(a0 = b0 OR a0 = b1, a0, NULL),
+          |              IF(a1 = b0 OR a1 = b1, a1, NULL))""".stripMargin))
+      .select(col("a"), col("b"))
   }
 
   /** Shared simhash bit-sum SQL: identical text for Spark and DuckDB modulo
@@ -1027,8 +1038,13 @@ object TextQueries {
         s"explode(sequence(1, greatest(size(toks) - ${DecontamN - 1}, 1))) AS pos",
         "toks")
       .selectExpr("doc_id", s"array_join(slice(toks, pos, $DecontamN), ' ') AS gram")
+    // materialized once (r12): the benchmark gram set is read twice — the
+    // bloom build (an eager aggregate job) and the exact re-check join —
+    // and each read re-derived the tokenize+md5 gram stream of the
+    // benchmark docs. It is small by definition (one eval suite), so the
+    // checkpoint is bounded; the CORPUS gram side stays lazy/unmaterialized.
     val bench = grams.filter(col("doc_id") % BenchmarkMod === 0)
-      .select("gram").distinct()
+      .select("gram").distinct().localCheckpoint(true)
     val bloomBytes = graft.functions.GraftDsl.buildBloom(
       bench, xxhash64(col("gram")), 1 << 20, 0.01) // ~1.2 MB whatever the suite size
     grams.filter(col("doc_id") % BenchmarkMod =!= 0)
@@ -1610,11 +1626,17 @@ object TextQueries {
     val keepers = clusterLabels(s, pairs, tok.select(col("doc_id")), MaxDriverEdges)
       .filter(col("doc_id") === col("cluster_rep")).select("doc_id")
     val quality = t02From(tok).select("doc_id", "n_tokens", "n_distinct", "ttr")
+    // each stage is materialized once (r12): the five union branches below
+    // are evaluated independently, so an un-checkpointed s2 would re-run
+    // the t03 language vote four times (and s3 the t02 join three times).
+    // The checkpoints are doc_id-narrow survivor lists — tiny by design.
     val s2 = t03From(tok).filter(col("pred_lang") === col("lang")).select("doc_id")
+      .localCheckpoint(true)
     val s3 = s2.join(quality, "doc_id")
       .filter(col("n_tokens") >= CleanMinTokens && col("ttr") >= CleanMinTtr)
       .select("doc_id", "n_distinct")
-    val s4 = s3.join(keepers, "doc_id")
+      .localCheckpoint(true)
+    val s4 = s3.join(keepers, "doc_id").localCheckpoint(true)
     val s5 = graft.plans.TopKPerGroup(
       s4.join(documents(s, d).select(col("doc_id"), col("source")), "doc_id"),
       Seq("source"), Seq("n_distinct" -> true, "doc_id" -> false), SourceQuota)
