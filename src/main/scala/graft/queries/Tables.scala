@@ -34,7 +34,15 @@ object Tables {
     * when the query never reads them, silently un-pruning every consumer
     * (caught by the q02 plan lock); round-robin keeps pruning intact and
     * stays deterministic under task retry through Spark's default
-    * sort-before-repartition (SPARK-23207). */
+    * sort-before-repartition (SPARK-23207).
+    *
+    * Known over-approximation (ADVICE r12): Spark sizes splits as
+    * max(openCostInBytes, totalBytes/defaultParallelism) capped by
+    * maxPartitionBytes, so a MULTI-row-group file under the cap is already
+    * read by several tasks and the injected exchange is redundant there
+    * (bounded: ≤ one split of bytes, sub-split inputs only — a perf nit,
+    * never a correctness or at-scale issue, and the driver's bench tables
+    * are all single-row-group where the spread is exactly right). */
   private def spread(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = table(s, dir, name)
     val want = s.sparkContext.defaultParallelism
@@ -47,12 +55,23 @@ object Tables {
   /** A/B escape hatch for optimization measurements only. */
   private def noSpread: Boolean = sys.env.get("SPARK_GRAFT_NO_SPREAD").contains("1")
 
+  /** Memoized per resolved path for the process lifetime (ADVICE r12):
+    * the size decides a plan shape and is probed at every table reference
+    * of every plan construction — a repeated driver-side filesystem
+    * metadata call for a value that never changes within a run (the bench
+    * corpora are immutable; a table that grows past one split between
+    * queries of one session is not a supported shape). */
+  private val inputBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def inputBytes(s: SparkSession, path: String): Long =
-    try {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.getContentSummary(p).getLength
-    } catch { case _: Throwable => Long.MaxValue } // unknown size: never spread
+    inputBytesCache.computeIfAbsent(path, { _ =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength
+      } catch { case _: Throwable => Long.MaxValue } // unknown size: never spread
+    })
 
   private def maxSplitBytes(s: SparkSession): Long =
     try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(

@@ -33,6 +33,9 @@ object QuickBench {
     }
     val results = sel.map { case (name, fn) =>
       val ts = (1 to passes).map { _ =>
+        // same discipline as Bench (r13): every timed pass computes from
+        // the parquet inputs — session caches dropped first
+        graft.queries.TextQueries.clearSessionCaches(spark)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

@@ -119,6 +119,25 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.bootId() == b)
   }
 
+  test("suspect-stall label: >5x committed min AND >=1s absolute; advisory shapes don't") {
+    val ref = Map("p01_clean" -> 0.45, "m09_kernel" -> 0.41, "q12_floor" -> 0.05,
+      "t01_tok" -> 0.30)
+    val runs = Seq(
+      // the r12 driver-leg shape: every pass inflated, min 13.9 vs 0.45
+      "p01_clean" -> Vector(Some(13.9), Some(14.2), Some(15.0)),
+      // 5x but under the 1s absolute floor -> jitter, not a stall label
+      "q12_floor" -> Vector(Some(0.4), Some(0.5), Some(0.45)),
+      // 2x the committed min: regression territory, not a stall label
+      "t01_tok" -> Vector(Some(0.62), Some(0.65), Some(0.7)),
+      // no reference entry (new query) -> never labeled
+      "zz_new" -> Vector(Some(9.9), Some(9.9), Some(9.9)),
+      // one stalled pass but a healthy min -> min-of-passes already saved it
+      "m09_kernel" -> Vector(Some(5.1), Some(0.43), Some(0.44)))
+    assert(Bench.suspectStallQueries(runs, ref) == Seq("p01_clean"))
+    // no committed reference (fresh checkout) -> sensor disabled entirely
+    assert(Bench.suspectStallQueries(runs, Map.empty).isEmpty)
+  }
+
   test("ramping load still trips through the relative statistics") {
     assert(Bench.contendedVerdict(medianSpread = 2.5, worsening = 0.1,
       maxLoad = 2.0, cpus = 32, canaryNow = 5000, canaryBest = 5074))

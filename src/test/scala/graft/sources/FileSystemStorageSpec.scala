@@ -117,13 +117,24 @@ class FileSystemStorageSpec extends AnyFunSuite {
         })
       }
       writers.foreach(_.start())
+      // Deadline-tolerant shape (r13, VERDICT r12 "What's wrong" #4): this
+      // box has multi-second whole-JVM stall windows. A minimum ITERATION
+      // count keeps the race coverage meaningful when a stall eats the
+      // wall-clock budget, and the joins are UNBOUNDED — the old join(5000)
+      // could expire during a stall and leave a live writer racing the
+      // fixture's directory teardown (DirectoryNotEmptyException in
+      // cleanup, the driver's r12 flake). Writers do bounded work per loop
+      // and re-check `stop`, so an unbounded join terminates promptly once
+      // the JVM is scheduled again.
       val deadline = System.nanoTime() + 2_000_000_000L
-      try while (System.nanoTime() < deadline) {
+      var iters = 0
+      try while (System.nanoTime() < deadline || iters < 50) {
         val keys = s.listKeys("churn/")
         assert(keys.forall(k => k.startsWith("churn/") && !k.contains(".upload-")))
+        iters += 1
       } finally {
         stop.set(true)
-        writers.foreach(_.join(5000))
+        writers.foreach(_.join())
       }
       assert(failure.get() == null, s"writer failed: ${failure.get()}")
     }
