@@ -474,7 +474,10 @@ object RelationalQueries {
     * engine-specific values, bounded-error-asserted in SketchSpec and
     * consumed by [[a01Sketches]]'s oracle-gated bounds columns. */
   def a01SketchesRaw(s: SparkSession, d: String): DataFrame =
-    events(s, d)
+    a01SketchesRawFrom(events(s, d))
+
+  private def a01SketchesRawFrom(ev: DataFrame): DataFrame =
+    ev
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
@@ -503,13 +506,22 @@ object RelationalQueries {
     * drifting out of bounds flips a flag and fails rows+hash — the sketch
     * accuracy claim is driver-checked, not just spec-asserted. */
   def a01Sketches(s: SparkSession, d: String): DataFrame = {
+    // ONE events scan feeds both passes (r13, VERDICT r12 task 6 — guide
+    // §5 cache-when-reused): the sketch job and the rank-check pass each
+    // re-scanned + re-decoded events; the narrow (event_type, user_id,
+    // value) projection is materialized once INSIDE the query (timed —
+    // nothing escapes the bench's measured region) and both passes read
+    // it. The projection keeps the scan's own partitioning, so the sketch
+    // merge order — and therefore every sketch value — is unchanged.
+    val ev = events(s, d).select(col("event_type"), col("user_id"), col("value"))
+      .localCheckpoint(true)
     // pin ONE evaluation of the sketch subtree: it feeds both the rank
     // counts and the final join, and an un-checkpointed plan would rebuild
     // the sketches per branch — cost, plus a bound-straddling percentile
     // could differ between evaluations and flip a flag (same reason
     // d03From checkpoints the signature scan)
-    val sk = a01SketchesRaw(s, d).localCheckpoint(true)
-    val ranks = events(s, d)
+    val sk = a01SketchesRawFrom(ev).localCheckpoint(true)
+    val ranks = ev
       .join(sk.select(col("event_type"), col("p50_value"), col("p95_value")), "event_type")
       .groupBy(col("event_type"))
       .agg(

@@ -1449,9 +1449,20 @@ object TextQueries {
       .selectExpr("doc_id", "explode(toks) AS tok")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Top-k via the bounded-heap operator (r13, VERDICT r12 task 5): the
+    // rank window used to SORT each partition's full per-doc vocabulary
+    // before WindowGroupLimit could cut it to k rows; TopKPerGroup keeps a
+    // k-row heap per doc instead (no full sort, O(n log k)) and moves only
+    // O(docs·k) rows through its exchange. The trailing row_number window
+    // ranks ≤ [[SalientK]] rows per doc on the operator's own doc_id
+    // clustering (no second exchange) under the SAME total order
+    // (tf DESC, df ASC, tok ASC — tok unique per doc), so the surviving
+    // rows and their rnk values are identical to the full-sort plan.
+    val top = graft.plans.TopKPerGroup(tf.join(df, "tok"), Seq("doc_id"),
+      Seq("tf" -> true, "df" -> false, "tok" -> false), SalientK)
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
-    tf.join(df, "tok")
+    top
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= SalientK)
       .select("doc_id", "rnk", "tok", "tf", "df")
@@ -1569,12 +1580,28 @@ object TextQueries {
     * floor with `<unk>` before tokenizer training: per (lang, token) df
     * from a distributed groupBy, tokens masked when
     * df < [[MaskDfRatio]] · |docs in lang|, documents re-assembled in
-    * original token order. All joins key on (lang, token) / doc_id; the
-    * df table is corpus-vocabulary-sized (broadcastable when small,
-    * shuffle join when not — Catalyst picks). String + integer outputs →
-    * exact oracle parity. */
+    * original token order. String + integer outputs → exact oracle parity.
+    *
+    * Join shape (r13, VERDICT r12 task 3 — guide §3.1/§3.2 "reduce the big
+    * side before shuffling"): the position stream used to inner-join the
+    * FULL (lang, tok, df) vocabulary relation — an attach, not a filter
+    * (every position's token is in the vocabulary by construction), so at
+    * scale the whole token-position stream shuffled on (lang, tok) just to
+    * read one bit: "is this token masked?" (BENCH_sf1 watch ratio 11.2,
+    * the worst in the suite). That bit is membership in the KEPT set —
+    * tokens with df ≥ ratio·n_docs — whose size is PROVABLY bounded:
+    * Σ_tok df = Σ_doc |distinct tokens|, so at most (1/ratio)·avg-doc-vocab
+    * tokens per language can clear the floor (~10·avg-doc-vocab rows here)
+    * REGARDLESS of corpus size. The kept set is therefore always
+    * broadcastable, the position stream left-joins it broadcast-side and
+    * never shuffles before its final per-doc rollup, and the
+    * vocabulary-sized df relation stays where it is cheap (one aggregate,
+    * never broadcast, never joined against positions). The explicit
+    * `lang IS NOT NULL` filter preserves the old inner joins' only
+    * filtering effect (null-lang docs never reached the output). */
   def t07VocabMask(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
+      .filter(col("lang").isNotNull)
       .selectExpr("doc_id", "lang", s"$toksExpr AS toks")
       .selectExpr("doc_id", "lang", "posexplode(toks) AS (pos, tok)")
     val langDocs = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
@@ -1586,12 +1613,16 @@ object TextQueries {
       .selectExpr("lang", s"explode(array_distinct($toksExpr)) AS tok")
       .groupBy("lang", "tok")
       .agg(count(lit(1)).as("df"))
+    // kept = NOT(df < ratio·n_docs): the exact negation of the mask
+    // predicate, same literal/decimal arithmetic as before the rewrite
+    val kept = dfreq.join(langDocs, "lang")
+      .filter(expr(s"NOT (df < $MaskDfRatio * n_docs)"))
+      .select(col("lang"), col("tok"), lit(1L).as("keep"))
     toks
-      .join(dfreq, Seq("lang", "tok"))
-      .join(langDocs, "lang")
+      .join(broadcast(kept), Seq("lang", "tok"), "left")
       .selectExpr("doc_id", "pos",
-        s"CASE WHEN df < $MaskDfRatio * n_docs THEN '<unk>' ELSE tok END AS masked",
-        s"CASE WHEN df < $MaskDfRatio * n_docs THEN 1L ELSE 0L END AS is_m")
+        "CASE WHEN keep IS NULL THEN '<unk>' ELSE tok END AS masked",
+        "CASE WHEN keep IS NULL THEN 1L ELSE 0L END AS is_m")
       .groupBy("doc_id")
       .agg(
         expr("array_join(transform(sort_array(collect_list(struct(pos, masked))), x -> x.masked), ' ')")
