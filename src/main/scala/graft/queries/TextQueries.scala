@@ -1113,6 +1113,7 @@ object TextQueries {
     * r6 `countDistinct` forced an Expand that re-shuffled the full
     * window-row volume twice) all run over that collapsed relation. */
   def d11DupSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wins = normToksPar(s, d)
       .filter(s"size(toks) >= $DupSpanW")
       .selectExpr("doc_id",
@@ -1120,16 +1121,24 @@ object TextQueries {
       .selectExpr("doc_id", "pos",
         s"md5(array_join(slice(toks, pos, $DupSpanW), ' ')) AS whash")
     val perDocHash = wins.groupBy("doc_id", "whash").agg(count(lit(1)).as("cnt"))
-    val dup = perDocHash.groupBy("whash").agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") >= 2)
-      .select(col("whash"), lit(1L).as("is_dup"))
+    // ndocs via ONE window over the collapsed relation (r13, guide §2.4):
+    // the old dup derivation re-aggregated perDocHash by whash and joined
+    // it back — and because the join's two inputs are the same unshared
+    // subtree, the whole scan→explode→md5 inventory (the dominant stage)
+    // was planned AND executed twice (PLANS.md r12: 6 exchanges, no
+    // ReusedExchange). A count over (PARTITION BY whash) reads the same
+    // ndocs off one pass: the inventory runs once, the self-join and its
+    // (at scale non-broadcastable) dup relation disappear, and the
+    // window's partition is one aggregate row per (doc, whash) — bounded
+    // by the span's doc count, no skew (a hot span is still one row/doc).
+    val nd = Window.partitionBy("whash")
     perDocHash
-      .join(dup, Seq("whash"), "left")
+      .withColumn("ndocs", count(lit(1)).over(nd))
       .groupBy("doc_id")
       .agg(
         sum(col("cnt")).as("n_windows"),
-        sum(when(col("is_dup").isNotNull, col("cnt")).otherwise(0L)).as("n_dup_windows"),
-        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_spans"))
+        sum(when(col("ndocs") >= 2, col("cnt")).otherwise(0L)).as("n_dup_windows"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
   }
 
   /** d12: exact duplicated-span REMOVAL — d11's detection signal turned
@@ -1164,11 +1173,20 @@ object TextQueries {
         s"explode(sequence(1, size(toks) - ${DupSpanW - 1})) AS pos", "toks")
       .selectExpr("doc_id", "pos",
         s"md5(array_join(slice(toks, pos, $DupSpanW), ' ')) AS whash")
-    val dup = wins.select("doc_id", "whash").distinct()
-      .groupBy("whash").agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") >= 2)
-      .select("whash")
-    val covered = wins.join(dup, "whash")
+    // "window occurs in ≥2 distinct docs" decided row-locally from ONE
+    // pass (r13, guide §2.4): min(doc_id) < max(doc_id) over a whash
+    // window ⟺ the old distinct-count ≥ 2 — so the second derivation of
+    // the full scan→explode→md5 inventory (the old dup branch: distinct +
+    // re-aggregate + join back, executed as a separate unshared subtree)
+    // and the dup relation itself (non-broadcastable at scale) both
+    // disappear. The one whash exchange moves the same inventory volume
+    // the old distinct exchange already moved.
+    import org.apache.spark.sql.expressions.Window
+    val nd = Window.partitionBy("whash")
+    val covered = wins
+      .withColumn("mn", min(col("doc_id")).over(nd))
+      .withColumn("mx", max(col("doc_id")).over(nd))
+      .filter(col("mn") < col("mx"))
       .selectExpr("doc_id",
         s"explode(sequence(CAST(pos AS BIGINT), CAST(pos + ${DupSpanW - 1} AS BIGINT))) AS pos")
       .distinct()
