@@ -342,9 +342,16 @@ object TextQueries {
     d03From(d02MinHashSig(s, d))
 
   private[queries] def d03From(sig: DataFrame): DataFrame = {
-    // materialize the signature scan once: the band union + self-join would
-    // otherwise re-run the md5-shingle mapPartitions kernel 4x (once per
-    // union leg per join side)
+    // materialize the SIGNATURES once, not the band union (r13): the old
+    // eager checkpoint sat on `bands`, whose two union legs each evaluated
+    // `sig` — the md5-shingle mapPartitions kernel (the dominant cost) ran
+    // 2x per evaluation. Checkpointing sig itself runs the kernel ONCE;
+    // the bands union over the cached blocks is a narrow projection, so
+    // its checkpoint can be LAZY (persisted on first compute — the band
+    // join's broadcast build, a blocking job, so the probe side reads the
+    // cache with no concurrent-recompute race and no separate
+    // materialization job is paid).
+    val sigC = sig.localCheckpoint(true)
     // the band1 leg drops rows with band1 = band0 (ADVICE r12): the
     // row-local dedup below assumes a doc's two band keys differ — md5
     // digests of different-width inputs, so equality needs a digest
@@ -353,10 +360,10 @@ object TextQueries {
     // every pair involving it would survive the filter twice; the guard
     // restores exactly what the old `.distinct()` guaranteed, at the cost
     // of one codegen'd compare on the narrow band relation)
-    val bands = sig.selectExpr("doc_id", "band0", "band1", "band0 AS band")
-      .union(sig.selectExpr("doc_id", "band0", "band1", "band1 AS band")
+    val bands = sigC.selectExpr("doc_id", "band0", "band1", "band0 AS band")
+      .union(sigC.selectExpr("doc_id", "band0", "band1", "band1 AS band")
         .filter("band1 <> band0"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val a = bands.toDF("a", "a0", "a1", "band")
     val b = bands.toDF("b", "b0", "b1", "band")
     // dedup WITHOUT a distinct (r12, the d09 first-shared-band discipline
