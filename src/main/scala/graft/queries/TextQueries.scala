@@ -1166,12 +1166,13 @@ object TextQueries {
     * the oracle pins.
     *
     * Scale shape: everything d11 says holds (window-hash inventory over
-    * uniform keys, one aggregate finds cross-doc spans); the additional
-    * work is bounded by the DUPLICATED windows only — the coverage explode
-    * is W rows per duplicated window (unique docs never enter it), the
-    * (doc_id, pos) distinct and the token join co-key on doc_id, and the
-    * final rollup reuses that partitioning. A 100 TB corpus with 1% span
-    * duplication pays the d11 inventory plus ~8× rows on that 1%. */
+    * uniform keys, derived ONCE — a whash window decides cross-doc
+    * duplication row-locally, r13); the additional work is bounded by the
+    * DUPLICATED windows only — the coverage explode is W rows per
+    * duplicated window (unique docs never enter it), the (doc_id, pos)
+    * distinct and the token join co-key on doc_id, and the final rollup
+    * reuses that partitioning. A 100 TB corpus with 1% span duplication
+    * pays the d11 inventory plus ~8× rows on that 1%. */
   def d12SpanCut(s: SparkSession, d: String): DataFrame = {
     val base = normToksPar(s, d)
     val wins = base
