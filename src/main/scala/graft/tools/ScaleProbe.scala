@@ -24,6 +24,9 @@ object ScaleProbe {
       val fn = graft.SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(s"unknown query $name"))
       def pass(): Double = {
+        // same discipline as Bench (r13): every timed pass computes from
+        // the parquet inputs — session caches dropped first
+        graft.queries.TextQueries.clearSessionCaches(spark)
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
